@@ -1,0 +1,144 @@
+"""Table loader + derived reference-shaped views.
+
+The driver materializes a TPC-H-ish star schema as one parquet file per table
+(TESTDATA.md). `load_tables` returns lazy DataFrames (parquet scans with full
+Catalyst pushdown); `observations`/`obs_series` are the reference's warehouse
+fact table and insight-pipeline input, derived deterministically per
+FIXTURES.md §2 so the Spark engine and the DuckDB oracle read identical rows.
+
+Reference parity: the `observations` schema is the table created by the
+reference ETL (/root/reference/etl/main.py:170-184); `obs_series` is the
+projection fed to the insights builder
+(/root/reference/llm_app/build_knowledge_base.py:88-98).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# Deterministic synthetic mapping o_orderkey -> indicator code (FIXTURES.md §2.1).
+INDICATOR_CODES = ("GEP", "FC_E", "FC_IND_E", "FC_TRA_E", "FC_OTH_CP_E", "FC_OTH_HH_E")
+
+
+def sf_dir_from_env() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Lazy parquet scans for every driver table. Column pruning and filter
+    pushdown happen per-query via Catalyst; nothing is materialized here.
+
+    `events.ts` is stored as TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; with `spark.sql.legacy.parquet.nanosAsLong` it arrives as long
+    nanos and is converted to a microsecond timestamp with exact integer
+    arithmetic (`div` — double division would lose sub-microsecond bits)."""
+    out = {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLES}
+    ev = out["events"]
+    if dict(ev.dtypes)["ts"] == "bigint":
+        out["events"] = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return out
+
+
+def observations(tables: dict[str, DataFrame]) -> DataFrame:
+    """The reference warehouse fact table (FIXTURES.md §2.1), derived from
+    orders ⋈ customer ⋈ nation.
+
+    nation is dimension-sized -> broadcast; customer⋈orders is a key-key
+    equi-join Catalyst plans as broadcast or sort-merge depending on size —
+    exactly what we want at 100 TB (no driver-side work at all).
+    """
+    orders, customer, nation = tables["orders"], tables["customer"], tables["nation"]
+    indicator = F.element_at(
+        F.array(*[F.lit(c) for c in INDICATOR_CODES]),
+        (F.col("o_orderkey") % 6 + 1).cast("int"),
+    )
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("nrg_cb_e"))
+            .otherwise(F.lit("ten00124"))
+            .alias("dataset_code"),
+            F.col("n_name").alias("country_code"),
+            F.col("n_name").alias("country_name"),
+            indicator.alias("indicator_code"),
+            F.lit("label").alias("indicator_label"),
+            F.lit("GWH").alias("unit_code"),
+            F.lit("Gigawatt-hour").alias("unit_label"),
+            F.date_trunc("year", F.col("o_orderdate")).cast("date").alias("time"),
+            F.col("o_totalprice").alias("value"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("load_timestamp"),
+        )
+    )
+
+
+# DuckDB-side equivalent of observations() for oracle CTEs (FIXTURES.md §2.1).
+OBSERVATIONS_SQL = """
+SELECT
+  o_orderkey AS id,
+  CASE WHEN o_orderkey % 2 = 0 THEN 'nrg_cb_e' ELSE 'ten00124' END AS dataset_code,
+  n_name AS country_code,
+  n_name AS country_name,
+  CASE o_orderkey % 6 WHEN 0 THEN 'GEP' WHEN 1 THEN 'FC_E' WHEN 2 THEN 'FC_IND_E'
+       WHEN 3 THEN 'FC_TRA_E' WHEN 4 THEN 'FC_OTH_CP_E' ELSE 'FC_OTH_HH_E' END AS indicator_code,
+  'label' AS indicator_label,
+  'GWH' AS unit_code,
+  'Gigawatt-hour' AS unit_label,
+  CAST(date_trunc('year', o_orderdate) AS DATE) AS time,
+  o_totalprice AS value,
+  TIMESTAMP '2026-01-01 00:00:00' AS load_timestamp
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
+OBS_SERIES_SQL = """
+SELECT country_code AS geo, indicator_code AS indicator,
+       CAST(year(time) AS INT) AS yr, value AS val
+FROM observations WHERE value IS NOT NULL
+"""
+
+
+def obs_series(tables: dict[str, DataFrame]) -> DataFrame:
+    """4-column projection feeding the insights pipeline (FIXTURES.md §2.2)."""
+    return (
+        observations(tables)
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("country_code").alias("geo"),
+            F.col("indicator_code").alias("indicator"),
+            F.year("time").cast("int").alias("yr"),
+            F.col("value").alias("val"),
+        )
+    )
+
+
+def with_cte(body_sql: str) -> str:
+    """Wrap oracle SQL that references observations/obs_series with the
+    deterministic derivation CTEs (the driver pre-registers only the base
+    tables in DuckDB)."""
+    return (
+        "WITH observations AS (" + OBSERVATIONS_SQL + "),\n"
+        "obs_series AS (" + OBS_SERIES_SQL + ")\n" + body_sql
+    )

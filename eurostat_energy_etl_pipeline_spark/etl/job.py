@@ -1,0 +1,119 @@
+"""ETL load job: clean -> stamp -> write with the reference's three modes.
+
+Reference lifecycle (/root/reference/etl/main.py:126-207): drop_duplicates ->
+dropna(subset) -> to_datetime -> concat datasets -> load_timestamp -> DDL per
+mode -> bulk append. Spark mapping (K1-K3): parquet warehouse written with
+`mode("overwrite"/"append")`; `full-refresh` and `truncate` both resolve to an
+overwrite (the DDL drop/create vs TRUNCATE distinction is a JDBC concern —
+for JDBC sinks use `.option("truncate", True)`).
+
+Scale layout: partitioned by dataset_code (2 values) + year — partition
+pruning serves every dashboard query's (dataset, year) predicates; files
+within a partition are clustered by country via a repartition on the write
+path so min/max stats prune country filters too.
+"""
+
+from __future__ import annotations
+
+import argparse
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MODES = ("append", "truncate", "full-refresh")
+
+# dropna subset per /root/reference/etl/main.py:137-143 — note unit columns
+# are deliberately NOT in the subset (FIXTURES.md §3.3).
+DROPNA_SUBSET = (
+    "dataset_code",
+    "country_code",
+    "country_name",
+    "indicator_code",
+    "time",
+    "value",
+)
+
+
+def clean(df: DataFrame) -> DataFrame:
+    """A5 dedupe + P10 dropna (/root/reference/etl/main.py:132-143)."""
+    return df.dropDuplicates().na.drop(subset=list(DROPNA_SUBSET))
+
+
+def stamp(df: DataFrame, load_ts: datetime | None = None) -> DataFrame:
+    """P5: single-literal ingestion timestamp — evaluated once per batch
+    (parity with etl/main.py:164, NOT per-row current_timestamp())."""
+    ts = load_ts or datetime.now(timezone.utc).replace(tzinfo=None)
+    return df.withColumn("load_timestamp", F.lit(ts).cast("timestamp")).withColumn(
+        "id", F.monotonically_increasing_id()
+    )
+
+
+def write_warehouse(df: DataFrame, warehouse_dir: str, mode: str) -> None:
+    """K1-K3: the three load modes against the parquet warehouse."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    write_mode = "append" if mode == "append" else "overwrite"
+    (
+        df.withColumn("year", F.year("time"))
+        # cluster within partitions by country for min/max stat pruning
+        .repartition("dataset_code", "year")
+        .sortWithinPartitions("country_code")
+        .write.mode(write_mode)
+        .partitionBy("dataset_code", "year")
+        .parquet(warehouse_dir)
+    )
+
+
+def read_warehouse(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    return spark.read.parquet(warehouse_dir)
+
+
+def run_etl(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    warehouse_dir: str,
+    mode: str = "full-refresh",
+    load_ts: datetime | None = None,
+) -> int:
+    """Full load: union batches (U1) -> clean -> stamp -> write. Returns the
+    loaded row count (the reference's 'Loaded N rows' telemetry)."""
+    from functools import reduce
+
+    full = reduce(DataFrame.unionByName, batches)
+    out = stamp(clean(full), load_ts)
+    write_warehouse(out, warehouse_dir, mode)
+    return out.count()
+
+
+def main() -> None:  # pragma: no cover - CLI wrapper
+    """CLI mirroring the reference's argparse surface (etl/main.py:26-28)."""
+    from eurostat_energy_etl_pipeline_spark.session import get_spark
+    from eurostat_energy_etl_pipeline_spark.sources.jsonstat import (
+        decode_jsonstat,
+        fetch_jsonstat,
+    )
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=MODES, default="full-refresh")
+    p.add_argument("--warehouse", default="/tmp/warehouse/observations")
+    p.add_argument(
+        "--dataset",
+        action="append",
+        default=None,
+        help="dataset_code=url pairs; defaults to the two Eurostat cubes",
+    )
+    args = p.parse_args()
+    spark = get_spark("etl-job")
+    datasets = []
+    for spec in args.dataset or []:
+        code, url = spec.split("=", 1)
+        datasets.append(decode_jsonstat(spark, fetch_jsonstat(url), code))
+    if not datasets:
+        raise SystemExit("no --dataset provided (code=url)")
+    n = run_etl(spark, datasets, args.warehouse, args.mode)
+    print(f"Loaded {n} rows")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

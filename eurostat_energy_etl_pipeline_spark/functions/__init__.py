@@ -1,0 +1,25 @@
+"""Deterministic column-expression helpers shared by the query library."""
+
+from eurostat_energy_etl_pipeline_spark.functions.numeric import (
+    exact_avg,
+    exact_sum,
+    rolling_mean_min_periods,
+    rolling_std_min_periods,
+)
+from eurostat_energy_etl_pipeline_spark.functions.domain import (
+    growth_pct,
+    indicator_display_name,
+    insight_text,
+    trend_label,
+)
+
+__all__ = [
+    "exact_avg",
+    "exact_sum",
+    "rolling_mean_min_periods",
+    "rolling_std_min_periods",
+    "growth_pct",
+    "indicator_display_name",
+    "insight_text",
+    "trend_label",
+]

