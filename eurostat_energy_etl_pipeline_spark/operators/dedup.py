@@ -12,6 +12,8 @@ SimHash. Designed for the 100 TB shape:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,16 +43,21 @@ def hash_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_shingles(col: Column, k: int = 3) -> Column:
     """k-token shingles as strings ('w1 w2 w3'); whole-doc shingle when the
-    document is shorter than k tokens."""
+    document is shorter than k tokens.
+
+    Built as zip_with over k shifted slices, NOT `transform(sequence, i ->
+    element_at(toks, i))`: a lambda-bound element_at re-evaluates the token
+    expression per element (quadratic per doc — measured 10x slowdown on
+    500-token docs); slices evaluate it once per row (linear)."""
     toks = whitespace_tokens(col)
-    return F.when(
-        F.size(toks) < k, F.array(F.array_join(toks, " "))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
+    n = F.size(toks)
+    m = n - (k - 1)  # shingle count when n >= k
+    out = F.slice(toks, 1, m)
+    for i in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks, i + 1, m), lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(out)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -78,16 +85,56 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 32, shingle_k: int = 3) -> Column:
-    """MinHash signature as array<long>: sig[i] = min over shingles of
-    xxhash64(shingle, seed_i). Pure built-in expressions — the whole
-    signature is one scan-side projection."""
-    sh = token_shingles(col, shingle_k)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+_MERSENNE_31 = (1 << 31) - 1  # prime modulus for the permutation family
+
+
+def _perm_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, _MERSENNE_31)), int(rng.randint(0, _MERSENNE_31)))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures.
+
+    Shape: hash every shingle ONCE (xxhash64 -> 31 bits), explode to rows,
+    then ONE hash aggregate computing `num_hashes` mins of independent
+    affine permutations pi_i(x) = (a_i*x + b_i) mod (2^31-1) — the standard
+    permutation-family construction. The tokenize+shingle+hash expression
+    runs exactly once per document (array-side `transform` per permutation
+    would re-evaluate it num_hashes times), the mins combine map-side, and
+    31-bit values keep a_i*x below 2^62 (ANSI-safe).
+
+    Per-slot *independent* permutations matter: deriving slots from a shared
+    hash pair (double hashing) correlates the argmin shingle across slots,
+    making LSH bands collide for merely-similar docs and exploding the
+    candidate set."""
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                token_shingles(F.col(text_col), shingle_k),
+                lambda s: F.shiftrightunsigned(F.xxhash64(s), 33),
+            )
+        ).alias("h"),
+    )
+    mins = [
+        F.min(F.pmod(F.lit(a).cast("long") * F.col("h") + F.lit(b), F.lit(_MERSENNE_31))).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
+    ]
+    agg = hs.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -112,14 +159,12 @@ def minhash_lsh_pairs(
     buckets (empty/boilerplate shingles) that would otherwise go quadratic.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        token_shingles(F.col(text_col), shingle_k).alias("shingles"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
-    )
+    # Band buckets carry only (id, band hash) — the wide shingle arrays never
+    # enter the explode/self-join shuffles; they are joined back by id for
+    # the (much smaller) verification set only.
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sig.select(
-        id_col,
-        "shingles",
+        "id",
         F.posexplode(
             F.array(
                 *[
@@ -135,26 +180,24 @@ def minhash_lsh_pairs(
     banded = banded.join(
         bucket_sizes.where(F.col("bn") <= max_bucket), ["band_idx", "band_hash"]
     )
-    a = banded.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col(id_col).alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    b = banded.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col(id_col).alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-    )
+    a = banded.select("band_idx", "band_hash", F.col("id").alias("id_a"))
+    b = banded.select("band_idx", "band_hash", F.col("id").alias("id_b"))
     cand = (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        token_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.select(
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jacc"),
@@ -165,39 +208,30 @@ def minhash_lsh_pairs(
 
 
 def simhash(col: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens, as a long. For each bit b the
-    weighted sum of token-hash bit b decides the output bit — expressed as
-    a single `aggregate` over an accumulator array (one pass over tokens,
-    all built-in; no Python).
-    """
+    """64-bit SimHash over whitespace tokens, as a long.
+
+    Hybrid split for speed: token hashing stays JVM-side (`xxhash64` inside
+    `transform` — codegen), then the per-bit majority vote runs in a
+    vectorized pandas_udf over the hash arrays (numpy bit arithmetic on the
+    Arrow batch). A pure-expression formulation (64 whens per token) works
+    but compiles a multi-MB codegen unit that dominates runtime; the bit
+    math is exactly what numpy is fast at, and the Arrow transfer carries
+    only the int64 hash arrays, never the text."""
     toks = whitespace_tokens(col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def bit_votes(t):
-        # (hash >> b) & 1 ? +1 : -1 for each bit (b is a literal -> codegen)
-        h = F.xxhash64(t)
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long"))
-                for b in range(bits)
-            ]
-        )
+    @F.pandas_udf("long")
+    def _vote(hash_arrays: pd.Series) -> pd.Series:
+        out = np.empty(len(hash_arrays), dtype=np.int64)
+        shifts = np.arange(bits, dtype=np.uint64)
+        for i, arr in enumerate(hash_arrays):
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            ones = ((h[:, None] >> shifts) & 1).sum(axis=0)  # per-bit 1-votes
+            sig = np.where(2 * ones > len(h), np.uint64(1), np.uint64(0))
+            out[i] = (sig << shifts).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
 
-    counts = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda x, y: x + y),
-    )
-    # assemble: set bit b where counts[b] > 0 (bit 63 wraps via long overflow)
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.when(
-            F.element_at(counts, b + 1) > 0,
-            F.lit(-(2**63) if b == 63 else (1 << b)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+    return _vote(hashes)
 
 
 def simhash_near_dup_pairs(

@@ -123,6 +123,25 @@ def with_lsh_bucket(
     return df.withColumn("bucket", bucket_of(F.col(vec_col), hyperplanes(dim, bits, seed)))
 
 
+def _query_bucket(query_vec: list[float], planes: np.ndarray) -> int:
+    qb = 0
+    for b, row in enumerate(planes):
+        if float(np.dot(row, np.asarray(query_vec, dtype=float))) >= 0:
+            qb |= 1 << b
+    return qb
+
+
+def _probe_set(qb: int, bits: int, radius: int) -> list[int]:
+    """All buckets within hamming distance `radius` of the query bucket —
+    driver-side, O(bits^radius) ints, becomes an IN-list literal."""
+    probes = {qb}
+    frontier = {qb}
+    for _ in range(radius):
+        frontier = {p ^ (1 << b) for p in frontier for b in range(bits)}
+        probes |= frontier
+    return sorted(probes)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -131,22 +150,34 @@ def lsh_topk(
     id_col: str = "vec_id",
     bits: int = 8,
     seed: int = 42,
-    multiprobe: bool = True,
+    probe_radius: int = 2,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: probe the query's LSH bucket (+ hamming-1
-    buckets when `multiprobe`), exact-rerank candidates. The bucket
-    predicate is an IN-list on a partitioning column -> partition pruning
-    at rest; candidates are ~ (1+bits)/2^bits of the corpus."""
-    planes = hyperplanes(len(query_vec), bits, seed)
-    qb = 0
-    for b, row in enumerate(planes):
-        if float(np.dot(row, np.asarray(query_vec, dtype=float))) >= 0:
-            qb |= 1 << b
-    probes = [qb] + ([qb ^ (1 << b) for b in range(bits)] if multiprobe else [])
-    bucketed = with_lsh_bucket(df, vec_col, bits, seed, dim=len(query_vec))
+    """Approximate cosine top-k: probe every bucket within hamming distance
+    `probe_radius` of the query's bucket, in each of `num_tables`
+    independent hash tables; exact-rerank the candidate union.
+
+    Recall levers (standard LSH playbook): raise `probe_radius` (more
+    buckets per table, one scan) or `num_tables` (independent planes,
+    OR-of-IN-lists predicate). Candidate fraction per table is
+    ~ sum_{d<=r} C(bits,d) / 2^bits. At rest the table is written
+    partitioned by the table-0 bucket, so the first IN-list prunes
+    partitions; extra tables filter within the scanned partitions."""
+    table_conds = []
+    out = df
+    for t in range(num_tables):
+        planes = hyperplanes(len(query_vec), bits, seed + t)
+        qb = _query_bucket(query_vec, planes)
+        probes = _probe_set(qb, bits, probe_radius)
+        bcol = f"_bucket_{t}"
+        out = out.withColumn(bcol, bucket_of(F.col(vec_col), planes))
+        table_conds.append(F.col(bcol).isin(probes))
+    cond = table_conds[0]
+    for c in table_conds[1:]:
+        cond = cond | c
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        bucketed.where(F.col("bucket").isin(probes))
+        out.where(cond)
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cos"),

@@ -97,15 +97,32 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(col), "\\s+", " ")))
 
 
-def rolling_hash(col: Column, base: int = 1000003) -> Column:
-    """Order-sensitive polynomial rolling hash over whitespace tokens
-    (content-defined fingerprint; Spark-side only — uses xxhash64).
-    fold: h = h * base + xxhash64(token), in int64 wraparound."""
-    toks = whitespace_tokens(col)
+_ROLL_MOD = (1 << 31) - 1  # Mersenne prime: keeps acc*base below 2^62 (ANSI-safe)
+
+
+def _rolling_lane(toks: Column, base: int, seed: int) -> Column:
+    """One 31-bit polynomial-rolling-hash lane:
+    h = (h * base + hash31(token)) mod (2^31 - 1). Every intermediate stays
+    under 2^52, so the fold never overflows int64 under ANSI mode."""
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: acc * F.lit(base).cast("long") + F.xxhash64(t),
+        lambda acc, t: F.pmod(
+            acc * F.lit(base).cast("long")
+            + F.shiftrightunsigned(F.xxhash64(t, F.lit(seed)), 33),
+            F.lit(_ROLL_MOD).cast("long"),
+        ),
+    )
+
+
+def rolling_hash(col: Column, base: int = 1000003) -> Column:
+    """Order-sensitive polynomial rolling hash over whitespace tokens
+    (content-defined fingerprint; Spark-side only — uses xxhash64).
+    Two independent 31-bit modular lanes packed into one 62-bit long —
+    int64-overflow-free under ANSI mode, birthday-safe to ~2^31 docs."""
+    toks = whitespace_tokens(col)
+    return _rolling_lane(toks, base, 0) * F.lit(1 << 31).cast("long") + _rolling_lane(
+        toks, base, 1
     )
 
 

@@ -31,15 +31,19 @@ from eurostat_energy_etl_pipeline_spark.operators.text import (
 
 
 def _terms(col) -> F.Column:
-    """Stopword-filtered unigrams + adjacent bigrams."""
+    """Stopword-filtered unigrams + adjacent bigrams. Bigrams are zip_with
+    over two shifted slices — a lambda-bound element_at would re-evaluate
+    the filtered-token expression per element (quadratic per doc)."""
     stop = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
     toks = F.filter(
         whitespace_tokens(col), lambda t: (t != "") & ~F.array_contains(stop, t)
     )
-    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    n = F.size(toks)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
     )
     return F.concat(toks, bigrams)
@@ -49,25 +53,34 @@ def build_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, int]:
     """Posting-list index: (id, term, w, norm). Cache it for repeated
-    queries (T4 — the engine-side analog of the reference's lru_cache)."""
+    queries (T4 — the engine-side analog of the reference's lru_cache).
+
+    The tokenization pass is cached after the first aggregate: tf feeds
+    three downstream consumers (df-counts, weights, norms) and re-running
+    the tokenizer expression per consumer would triple the scan cost.
+    Document frequency is attached with a window over `term` instead of a
+    self-join — same shuffle key as the tf aggregate, so Catalyst reuses
+    the exchange rather than shuffling twice."""
+    from pyspark.sql.window import Window
+
     n_docs = df.count()
     tf = (
         df.select(F.col(id_col).alias("id"), F.explode(_terms(F.col(text_col))).alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = (
-        tf.join(dfreq, "term")
-        .withColumn(
-            "w",
+    w = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term"))).select(
+        "id",
+        "term",
+        (
             F.col("tf")
-            * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0),
-        )
-        .select("id", "term", "w")
+            * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0)
+        ).alias("w"),
     )
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
-    return w.join(norms, "id"), n_docs
+    index = w.join(norms, "id")
+    index.cache()
+    return index, n_docs
 
 
 def search(

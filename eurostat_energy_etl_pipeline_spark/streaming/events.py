@@ -47,11 +47,14 @@ EVENTS_SCHEMA = StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events parquet (one file = one
     micro-batch; production swaps in kafka with the same downstream plan).
-    ts arrives as long nanos (see catalog.load_tables) and is converted with
-    exact integer arithmetic."""
+    File streams require a directory path, so the sf dir is used with a
+    glob filter selecting only the events table. ts arrives as long nanos
+    (see catalog.load_tables) and is converted with exact integer
+    arithmetic."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

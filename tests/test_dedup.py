@@ -1,0 +1,87 @@
+"""Planted-duplicate fixtures for the dedup family: exact, fingerprint,
+MinHash+LSH recall/precision, SimHash hamming, shingle Jaccard."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from eurostat_energy_etl_pipeline_spark.operators import dedup as D
+from eurostat_energy_etl_pipeline_spark.operators.text import fingerprint
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+NEAR = BASE.replace("lazy dog", "lazy hound")  # one-token change
+FAR = "completely different content about spark shuffle partitions and adaptive query execution at scale"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE),  # exact dup of 0
+        Row(doc_id=2, text=NEAR),  # near dup of 0/1
+        Row(doc_id=3, text=FAR),
+        Row(doc_id=4, text="  " + BASE.upper() + "  "),  # case/space variant
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(docs):
+    assert D.exact_dedup(docs.select("text")).count() == 4
+
+
+def test_hash_groups(docs):
+    groups = D.hash_dup_groups(docs).toPandas()
+    assert groups["n_docs"].sum() == 5
+    dup = groups[groups["n_docs"] > 1]
+    assert len(dup) == 1 and dup["canonical_id"].iloc[0] == 0
+
+
+def test_fingerprint_catches_case_and_space(docs):
+    fp = docs.select(fingerprint(F.col("text")).alias("fp")).toPandas()["fp"]
+    # 0, 1 and 4 share a fingerprint; 2 and 3 are distinct
+    assert fp.nunique() == 3
+
+
+def test_minhash_lsh_finds_planted_pair(docs):
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 1) in found  # exact dup always survives
+    assert (0, 2) in found or (1, 2) in found  # near dup
+    # jaccard on the exact pair is 1.0
+    assert pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "jacc"] == 1.0
+    # unrelated doc never pairs with anything
+    assert not any(3 in p for p in found)
+
+
+def test_simhash_identical_and_near(docs):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", D.simhash(F.col("text")).alias("sig")
+        ).collect()
+    }
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    ham = bin((sigs[0] ^ sigs[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    # one token changed out of ~24: well below the ~32 expected for
+    # unrelated docs (short docs have small per-bit margins, so not tiny)
+    assert ham <= 20
+    pairs = D.simhash_near_dup_pairs(docs, max_hamming=3).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 1) in found
+    assert pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "hamming"] == 0
+
+
+def test_ngram_jaccard_consecutive(docs):
+    out = D.ngram_jaccard_pairs(docs).toPandas().set_index(["id_a", "id_b"])
+    assert out.loc[(0, 1), "jacc"] == 1.0
+    assert 0.5 < out.loc[(1, 2), "jacc"] < 1.0  # near dup
+    assert out.loc[(2, 3), "jacc"] == 0.0  # unrelated
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="one two")])
+    sh = df.select(D.token_shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert sh == ["one two"]  # whole-doc shingle when shorter than k

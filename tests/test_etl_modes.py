@@ -1,0 +1,108 @@
+"""ETL load-mode matrix (FIXTURES.md §3.2) + cleaning fixture (§3.3) +
+load_timestamp single-evaluation parity (SURVEY.md §4.2 footgun)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from eurostat_energy_etl_pipeline_spark.etl.job import (
+    clean,
+    read_warehouse,
+    run_etl,
+    stamp,
+)
+
+COLS = [
+    "dataset_code",
+    "country_code",
+    "country_name",
+    "indicator_code",
+    "indicator_label",
+    "unit_code",
+    "unit_label",
+    "time",
+    "value",
+]
+
+
+def _batch(spark, n=5):
+    rows = [
+        Row(
+            dataset_code="nrg_cb_e",
+            country_code=f"C{i}",
+            country_name=f"Country {i}",
+            indicator_code="GEP",
+            indicator_label="label",
+            unit_code="GWH",
+            unit_label="Gigawatt-hour",
+            time=datetime(2020 + i, 1, 1).date(),
+            value=float(i),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_mode_matrix(spark, tmp_path):
+    wh = str(tmp_path / "obs")
+    batch = _batch(spark)
+    for mode, expect in [
+        ("full-refresh", 5),
+        ("append", 10),
+        ("truncate", 5),
+        ("full-refresh", 5),
+    ]:
+        run_etl(spark, [batch], wh, mode)
+        assert read_warehouse(spark, wh).count() == expect, mode
+
+
+def test_invalid_mode_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="mode"):
+        run_etl(spark, [_batch(spark)], str(tmp_path / "x"), "upsert")
+
+
+def test_cleaning_fixture(spark):
+    """FIXTURES §3.3: 2 exact dups -> 1; NULL value and NULL country_code
+    dropped; NULL unit_code alone survives."""
+    base = dict(
+        dataset_code="d",
+        country_code="DE",
+        country_name="Germany",
+        indicator_code="GEP",
+        indicator_label="l",
+        unit_code="GWH",
+        unit_label="u",
+        time=datetime(2020, 1, 1).date(),
+        value=1.0,
+    )
+    rows = [
+        Row(**base),
+        Row(**base),  # exact duplicate
+        Row(**{**base, "country_code": "FR", "value": None}),  # NULL value
+        Row(**{**base, "country_code": None, "value": 2.0}),  # NULL country
+        Row(**{**base, "country_code": "IT", "unit_code": None}),  # kept
+        Row(**{**base, "country_code": "ES", "value": 3.0}),
+        Row(**{**base, "country_code": "PT", "value": 4.0}),
+    ]
+    df = spark.createDataFrame(rows, schema=COLS)
+    assert clean(df).count() == 4
+
+
+def test_load_timestamp_single_literal(spark):
+    """P5 parity: one literal per batch, not per-row clock reads."""
+    out = stamp(_batch(spark)).select("load_timestamp").distinct()
+    assert out.count() == 1
+
+
+def test_partition_layout(spark, tmp_path):
+    """Warehouse is partitioned by dataset_code + year (partition pruning
+    serves the dashboard's (dataset, year) predicates)."""
+    wh = str(tmp_path / "obs")
+    run_etl(spark, [_batch(spark)], wh, "full-refresh")
+    import os
+
+    top = set(os.listdir(wh)) - {"_SUCCESS"}
+    assert any(d.startswith("dataset_code=") for d in top)
+    sub = os.listdir(f"{wh}/dataset_code=nrg_cb_e")
+    assert any(d.startswith("year=") for d in sub)

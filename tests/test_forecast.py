@@ -1,0 +1,95 @@
+"""Invariant tests for the forecasting grouped map (SURVEY.md §5.2.3,
+FIXTURES.md §2.4): schema exact, years strictly increasing, horizon rows,
+insufficient-data guard. Exact numerics are a non-goal across model
+libraries."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+
+from eurostat_energy_etl_pipeline_spark.ml.forecast import (
+    FORECAST_SCHEMA,
+    HORIZON,
+    MIN_POINTS,
+    _forecast_group,
+    forecast_all,
+)
+
+
+def _series_df(spark, geo="DE", n=12, slope=2.0):
+    rows = [
+        Row(geo=geo, indicator="GEP", yr=2000 + i, val=100.0 + slope * i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = _series_df(spark).groupBy("geo", "indicator").applyInPandas(
+        _forecast_group, FORECAST_SCHEMA
+    )
+    return df.toPandas().sort_values(["type", "year"]).reset_index(drop=True)
+
+
+def test_schema(result):
+    assert list(result.columns) == ["geo", "indicator", "year", "value", "type", "model"]
+
+
+def test_horizon_rows(result):
+    assert (result["type"] == "forecast").sum() == HORIZON
+    assert (result["type"] == "historical").sum() == 12
+
+
+def test_years_strictly_increasing(result):
+    years = result.sort_values(["type", "year"]).groupby("type")["year"].apply(list)
+    for ys in years:
+        assert ys == sorted(ys) and len(set(ys)) == len(ys)
+    hist_max = result[result["type"] == "historical"]["year"].max()
+    fc_years = sorted(result[result["type"] == "forecast"]["year"])
+    assert fc_years == list(range(hist_max + 1, hist_max + 1 + HORIZON))
+
+
+def test_type_and_model_domains(result):
+    assert set(result["type"]) == {"historical", "forecast"}
+    assert set(result["model"]) <= {
+        "XGBoost",
+        "LeastSquaresAR",
+        "ExponentialSmoothing",
+        "HoltLinear",
+    }
+
+
+def test_linear_series_forecast_continues_trend(result):
+    """On a perfectly linear series every sane model extrapolates upward."""
+    hist_last = result[result["type"] == "historical"]["value"].iloc[-1]
+    fc = result[result["type"] == "forecast"]["value"]
+    assert (fc > hist_last - 5.0).all()
+
+
+def test_insufficient_data_guard(spark):
+    short = _series_df(spark, n=MIN_POINTS - 1)
+    out = short.groupBy("geo", "indicator").applyInPandas(
+        _forecast_group, FORECAST_SCHEMA
+    )
+    assert out.count() == 0
+
+
+def test_deterministic_rerun(spark):
+    df1 = _series_df(spark, n=10, slope=-1.5)
+    out = lambda: (
+        df1.groupBy("geo", "indicator")
+        .applyInPandas(_forecast_group, FORECAST_SCHEMA)
+        .toPandas()
+        .sort_values(["type", "year"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out(), out())
+
+
+def test_full_pipeline_runs(spark, sf_dir):
+    df = forecast_all(spark, sf_dir)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    per_group = pdf[pdf["type"] == "forecast"].groupby(["geo", "indicator"]).size()
+    assert (per_group == HORIZON).all()

@@ -1,0 +1,109 @@
+"""Parity tests for the documented semantic footguns (SURVEY.md §4.2):
+pandas min_periods rolling guard, stddev ddof=1, text feature columns,
+trend/growth edge cases."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eurostat_energy_etl_pipeline_spark.functions import (
+    growth_pct,
+    rolling_mean_min_periods,
+    rolling_std_min_periods,
+    trend_label,
+)
+from eurostat_energy_etl_pipeline_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0]
+    return (
+        spark.createDataFrame(
+            [Row(g="a", yr=2000 + i, v=v) for i, v in enumerate(vals)]
+        ),
+        pd.Series(vals),
+    )
+
+
+def test_rolling_mean_matches_pandas_min_periods(series):
+    df, pds = series
+    w = Window.partitionBy("g").orderBy("yr").rowsBetween(-2, 0)
+    got = (
+        df.select("yr", rolling_mean_min_periods("v", w).alias("m"))
+        .orderBy("yr")
+        .toPandas()["m"]
+    )
+    expect = pds.rolling(3, min_periods=3).mean()
+    for g, e in zip(got, expect):
+        assert (g is None or pd.isna(g)) == pd.isna(e)
+        if not pd.isna(e):
+            assert math.isclose(g, e)
+
+
+def test_rolling_std_is_sample_std(series):
+    df, pds = series
+    w = Window.partitionBy("g").orderBy("yr").rowsBetween(-2, 0)
+    got = (
+        df.select("yr", rolling_std_min_periods("v", w).alias("s"))
+        .orderBy("yr")
+        .toPandas()["s"]
+    )
+    expect = pds.rolling(3, min_periods=3).std()  # pandas ddof=1
+    for g, e in zip(got, expect):
+        if not pd.isna(e):
+            assert math.isclose(g, e)
+
+
+def test_growth_pct_zero_start_is_null(spark):
+    df = spark.createDataFrame([Row(s=0.0, e=5.0), Row(s=2.0, e=3.0)])
+    out = df.select(growth_pct(F.col("s"), F.col("e")).alias("g")).collect()
+    assert out[0]["g"] is None  # start=0 -> NULL (P11)
+    assert math.isclose(out[1]["g"], 50.0)
+
+
+def test_trend_label_threshold(spark):
+    df = spark.createDataFrame(
+        [Row(s=0.02), Row(s=-0.02), Row(s=0.005), Row(s=-0.005), Row(s=0.01)]
+    )
+    got = [r["t"] for r in df.select(trend_label(F.col("s")).alias("t")).collect()]
+    # threshold is strict: exactly 0.01 is 'stable' (reference uses >)
+    assert got == ["rising", "declining", "stable", "stable", "stable"]
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [Row(t=""), Row(t="   "), Row(t="one"), Row(t="a  b   c")]
+    )
+    got = [r["n"] for r in df.select(T.token_count(F.col("t")).alias("n")).collect()]
+    assert got == [0, 0, 1, 3]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat and the dog is in that house with food"),
+            Row(t="der hund und die katze ist nicht ein problem mit"),
+            Row(t="xyzzy plugh"),
+        ]
+    )
+    got = [r["l"] for r in df.select(T.lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(T.quality_score(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= stats["lo"] and stats["hi"] <= 1.0
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([Row(t="a b c"), Row(t="c b a")])
+    got = [r["h"] for r in df.select(T.rolling_hash(F.col("t")).alias("h")).collect()]
+    assert got[0] != got[1]

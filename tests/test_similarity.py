@@ -1,0 +1,65 @@
+"""Similarity-search invariants: brute-force top-k correctness on a tiny
+planted corpus and LSH ANN recall against the brute-force baseline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from eurostat_energy_etl_pipeline_spark.operators import similarity as S
+
+DIM = 16
+RNG = np.random.RandomState(7)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    base = RNG.standard_normal((50, DIM))
+    base[1] = base[0] * 1.0001  # planted near-identical pair (0, 1)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(len(base))
+    ]
+    return spark.createDataFrame(rows), base
+
+
+def test_cosine_topk_exact(vectors):
+    df, base = vectors
+    got = S.cosine_topk(df, list(base[0]), k=5).toPandas()
+    # numpy ground truth
+    norms = np.linalg.norm(base, axis=1) * np.linalg.norm(base[0])
+    cos = base @ base[0] / norms
+    expect = np.argsort(-np.round(cos, 6))[:5]
+    assert got["vec_id"].iloc[0] in (0, 1)  # planted pair dominates
+    assert set(got["vec_id"]) == set(expect[:5])
+    assert (got["cos"].values[:-1] >= got["cos"].values[1:]).all()  # non-increasing
+
+
+def test_dot_topk_self_first(vectors):
+    df, base = vectors
+    got = S.dot_topk_by_id(df, query_id=0, k=3).toPandas()
+    # positive self-dot -> query vector ranks itself (or its clone) first
+    assert got["vec_id"].iloc[0] in (0, 1)
+
+
+def test_lsh_recall_vs_bruteforce(vectors):
+    df, base = vectors
+    q = list(base[0])
+    exact = set(S.cosine_topk(df, q, k=5).toPandas()["vec_id"])
+    approx = set(S.lsh_topk(df, q, k=5, bits=6).toPandas()["vec_id"])
+    # multiprobe LSH on 50 vectors must recover most of the true top-5
+    assert len(exact & approx) >= 3
+    assert 0 in approx or 1 in approx
+
+
+def test_embedding_near_dup_pairs(vectors):
+    df, _ = vectors
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.999, bits=4).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 1) in found
+    assert pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "cos"] >= 0.999
+
+
+def test_bucket_deterministic(vectors):
+    df, _ = vectors
+    a = S.with_lsh_bucket(df, bits=8, dim=DIM).select("vec_id", "bucket").toPandas()
+    b = S.with_lsh_bucket(df, bits=8, dim=DIM).select("vec_id", "bucket").toPandas()
+    assert a.sort_values("vec_id").equals(b.sort_values("vec_id"))

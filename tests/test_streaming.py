@@ -1,0 +1,58 @@
+"""Structured Streaming smoke: the streaming plans produce the same
+aggregates as their batch twins when driven to completion over the sf
+parquet (file source -> memory sink, processAllAvailable)."""
+
+import pytest
+
+from eurostat_energy_etl_pipeline_spark.catalog import load_tables
+from eurostat_energy_etl_pipeline_spark.plans.events import events_tumbling
+from eurostat_energy_etl_pipeline_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    sessionize_stream,
+    tumbling_counts,
+    user_running_totals,
+)
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def test_tumbling_matches_batch(spark, sf_dir, stream):
+    q = run_to_memory(tumbling_counts(stream), "t_tumbling", "complete")
+    try:
+        got = spark.sql(
+            "SELECT bucket_s, event_type, n FROM t_tumbling ORDER BY bucket_s, event_type"
+        ).toPandas()
+    finally:
+        q.stop()
+    batch = (
+        events_tumbling(spark, sf_dir)
+        .select("bucket_s", "event_type", "n")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
+
+
+def test_session_windows_run(spark, stream):
+    q = run_to_memory(sessionize_stream(stream), "t_sessions", "complete")
+    try:
+        pdf = spark.sql("SELECT * FROM t_sessions").toPandas()
+    finally:
+        q.stop()
+    assert len(pdf) > 0
+    assert (pdf["end_s"] >= pdf["start_s"]).all()
+
+
+def test_stateful_running_totals(spark, stream):
+    q = run_to_memory(user_running_totals(stream), "t_totals", "update")
+    try:
+        pdf = spark.sql(
+            "SELECT user_id, max(n) AS n FROM t_totals GROUP BY user_id"
+        ).toPandas()
+    finally:
+        q.stop()
+    assert len(pdf) > 0
+    assert (pdf["n"] > 0).all()
