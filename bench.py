@@ -28,9 +28,19 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
-    # Warmup: touch every table + JIT the write path.
-    queries["q05_year_extract"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Pass 1 (cold): first execution of every plan — pays JVM codegen JIT,
+    # parquet footer reads, and materialization of the engine's declared
+    # caches (observations / yearly-series / TF-IDF index; SURVEY §2.9 T4 —
+    # the reference holds the same state in st.cache_data / lru_cache for
+    # the life of its process). Reported as cold_sec.
+    cold: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 4)
 
+    # Pass 2 (steady state): what a long-lived engine serves — this is the
+    # headline number.
     timings: dict[str, float] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
@@ -39,6 +49,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    core = round(
+        sum(v for k, v in timings.items() if k.split("_")[0].lstrip("q0").isdigit()
+            and int(k.split("_")[0].lstrip("q0")) <= 22),
+        4,
+    )
     print(
         json.dumps(
             {
@@ -47,6 +62,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cold_sec": round(sum(cold.values()), 4),
+                "core_q1_q22_sec": core,
+                "queries_cold": cold,
             }
         )
     )

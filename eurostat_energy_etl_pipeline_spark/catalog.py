@@ -42,21 +42,75 @@ def sf_dir_from_env() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+# Table-handle memo per (SparkContext, sf_dir): resolving 10 parquet footers
+# + schema analysis costs ~0.8 s per call — pure catalog overhead that a real
+# metastore pays once, so we pay it once per session too. The testdata dirs
+# are immutable, so the handles never go stale.
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Lazy parquet scans for every driver table. Column pruning and filter
-    pushdown happen per-query via Catalyst; nothing is materialized here.
+    """Lazy parquet scans for every driver table, memoized per session.
+    Column pruning and filter pushdown happen per-query via Catalyst;
+    nothing is materialized here.
 
     `events.ts` is stored as TIMESTAMP(NANOS), which Spark's parquet reader
     rejects; with `spark.sql.legacy.parquet.nanosAsLong` it arrives as long
     nanos and is converted to a microsecond timestamp with exact integer
     arithmetic (`div` — double division would lose sub-microsecond bits)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     out = {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLES}
     ev = out["events"]
     if dict(ev.dtypes)["ts"] == "bigint":
         out["events"] = ev.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    _TABLE_CACHE[key] = dict(out)
     return out
+
+
+# Derived-view cache (SURVEY §2.9 T4): the reference caches its warehouse
+# scan per process (st.cache_data) and its TF-IDF index per process
+# (lru_cache). The engine analog is a persisted (MEMORY_AND_DISK) DataFrame
+# per derived view, built once per session. At warehouse scale the same hook
+# points at a materialized table instead; the plans on top are unchanged.
+_VIEW_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def cached_view(name, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Memoize + `.cache()` a derived DataFrame per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _VIEW_CACHE.get(key)
+    if df is None:
+        df = build().cache()
+        _VIEW_CACHE[key] = df
+    return df
+
+
+def observations_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached `observations` fact view — the engine-side analog of the
+    reference's whole-table dashboard cache (streamlit_app.py:42-57)."""
+    return cached_view(
+        "observations", spark, sf_dir, lambda: observations(load_tables(spark, sf_dir))
+    )
+
+
+def obs_series_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-column insights input projected off the cached observations view
+    (scan of the cached columnar batches, no extra cache entry)."""
+    return (
+        observations_view(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("country_code").alias("geo"),
+            F.col("indicator_code").alias("indicator"),
+            F.year("time").cast("int").alias("yr"),
+            F.col("value").alias("val"),
+        )
+    )
 
 
 def observations(tables: dict[str, DataFrame]) -> DataFrame:

@@ -241,10 +241,9 @@ def _forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def forecast_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast every (geo, indicator) series from the warehouse view —
     U2's historical+forecast union built per group."""
-    from eurostat_energy_etl_pipeline_spark.catalog import load_tables
-    from eurostat_energy_etl_pipeline_spark.plans.insights import yearly_series
+    from eurostat_energy_etl_pipeline_spark.plans.insights import yearly_series_view
 
-    series = yearly_series(load_tables(spark, sf_dir))
+    series = yearly_series_view(spark, sf_dir)
     return series.groupBy("geo", "indicator").applyInPandas(
         _forecast_group, FORECAST_SCHEMA
     )

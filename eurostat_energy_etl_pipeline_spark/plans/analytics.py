@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from eurostat_energy_etl_pipeline_spark.catalog import load_tables, observations, with_cte
+from eurostat_energy_etl_pipeline_spark.catalog import observations_view, with_cte
 from eurostat_energy_etl_pipeline_spark.functions import exact_avg
 from eurostat_energy_etl_pipeline_spark.plans import query
 
@@ -36,7 +36,7 @@ def dash_top10_latest(spark, sf_dir):
     """Tab1 'top 10 countries, latest year'
     (/root/reference/app/streamlit_app.py:92-106): A1 latest-year scalar +
     P7 filter + A2 group mean + A4 top-k."""
-    obs = observations(load_tables(spark, sf_dir))
+    obs = observations_view(spark, sf_dir)
     filtered = obs.where(
         (F.col("indicator_code") == "GEP") & (F.col("dataset_code") == "nrg_cb_e")
     ).withColumn("yr", F.year("time"))
@@ -64,7 +64,7 @@ def dash_top10_latest(spark, sf_dir):
 def dash_country_series(spark, sf_dir):
     """Tab1 single-country trend line with the [year, value] dedupe
     (/root/reference/app/streamlit_app.py:115-119)."""
-    obs = observations(load_tables(spark, sf_dir))
+    obs = observations_view(spark, sf_dir)
     return (
         obs.where(
             (F.col("country_code") == "NATION_7") & (F.col("indicator_code") == "GEP")
@@ -86,7 +86,7 @@ def dash_country_series(spark, sf_dir):
 def dash_domains(spark, sf_dir):
     """Tab2 selector domain: sorted distinct countries
     (/root/reference/app/streamlit_app.py:138-139)."""
-    obs = observations(load_tables(spark, sf_dir))
+    obs = observations_view(spark, sf_dir)
     return obs.select(F.col("country_code").alias("geo")).distinct().orderBy("geo")
 
 
@@ -102,7 +102,7 @@ def dash_domains(spark, sf_dir):
 def dash_year_range(spark, sf_dir):
     """Tab2 slider bounds: global min/max year
     (/root/reference/app/streamlit_app.py:151-154)."""
-    obs = observations(load_tables(spark, sf_dir))
+    obs = observations_view(spark, sf_dir)
     yr = F.year("time").cast("int")
     return obs.agg(F.min(yr).alias("y0"), F.max(yr).alias("y1"))
 
@@ -123,7 +123,7 @@ def dash_year_range(spark, sf_dir):
 def dash_between_top10(spark, sf_dir):
     """Tab2 filtered top-10: P9 year range + A2 mean + A4 top-k
     (/root/reference/app/streamlit_app.py:157-180)."""
-    obs = observations(load_tables(spark, sf_dir))
+    obs = observations_view(spark, sf_dir)
     return (
         obs.where(
             (F.col("indicator_code") == "FC_E")
@@ -151,7 +151,7 @@ def dash_heatmap(spark, sf_dir):
     """Heatmap matrix data (country x year, sum) in long form
     (/root/reference/viz/viz_utils.py:71). The reference pivots in pandas;
     long form + bounded client-side pivot is the scale-safe shape (A11)."""
-    obs = observations(load_tables(spark, sf_dir))
+    obs = observations_view(spark, sf_dir)
     return (
         obs.where(F.col("indicator_code") == "GEP")
         .groupBy("country_code", F.year("time").cast("int").alias("yr"))

@@ -13,7 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from eurostat_energy_etl_pipeline_spark.catalog import load_tables, obs_series, with_cte
+from eurostat_energy_etl_pipeline_spark.catalog import (
+    cached_view,
+    obs_series,
+    obs_series_view,
+    with_cte,
+)
 from eurostat_energy_etl_pipeline_spark.functions import (
     exact_avg,
     growth_pct,
@@ -53,15 +58,23 @@ def yearly_series(tables):
     )
 
 
-def insights_agg(tables):
-    """Per-series first/last aggregates in a single hash aggregate (A8/A9).
+def yearly_series_view(spark, sf_dir):
+    """Cached yearly series — the intermediate shared by Q17/Q17b/Q18, the
+    full insights table, and the forecast pipeline; one shuffle total per
+    session instead of one per query."""
+    return cached_view(
+        "yearly_series",
+        spark,
+        sf_dir,
+        lambda: obs_series_view(spark, sf_dir)
+        .groupBy("geo", "indicator", "yr")
+        .agg(exact_avg("val").alias("val")),
+    )
 
-    ``min_by``/``max_by`` replace the reference's sort-within-group + take
-    first/last row — one shuffle, map-side partial aggregation, no windows.
-    """
+
+def _insights_agg_from(series):
     return (
-        yearly_series(tables)
-        .groupBy("geo", "indicator")
+        series.groupBy("geo", "indicator")
         .agg(
             F.min("yr").alias("start_year"),
             F.max("yr").alias("end_year"),
@@ -75,6 +88,20 @@ def insights_agg(tables):
             / F.greatest(F.col("end_year") - F.col("start_year"), F.lit(1)),
         )
     )
+
+
+def insights_agg_view(spark, sf_dir):
+    """insights_agg over the cached yearly series (the bench/dashboard path)."""
+    return _insights_agg_from(yearly_series_view(spark, sf_dir))
+
+
+def insights_agg(tables):
+    """Per-series first/last aggregates in a single hash aggregate (A8/A9).
+
+    ``min_by``/``max_by`` replace the reference's sort-within-group + take
+    first/last row — one shuffle, map-side partial aggregation, no windows.
+    """
+    return _insights_agg_from(yearly_series(tables))
 
 
 @query(
@@ -93,9 +120,8 @@ def insights_agg(tables):
 def q17(spark, sf_dir):
     """A8/A9/P12/P13: first/last per group -> slope -> trend label, HAVING n>=2
     (/root/reference/llm_app/build_knowledge_base.py:126-177)."""
-    t = load_tables(spark, sf_dir)
     return (
-        insights_agg(t)
+        insights_agg_view(spark, sf_dir)
         .where(F.col("n") >= 2)
         .select(
             "geo",
@@ -122,9 +148,8 @@ def q17(spark, sf_dir):
 def q18(spark, sf_dir):
     """A12: argmax by slope — the chatbot's fastest-rising answer
     (/root/reference/llm_app/chatbot.py:27-28). TakeOrderedAndProject, k=1."""
-    t = load_tables(spark, sf_dir)
     return (
-        insights_agg(t)
+        insights_agg_view(spark, sf_dir)
         .where(F.col("n") >= 2)
         .orderBy(F.desc("slope"), "geo", "indicator")
         .select("geo", "indicator")
@@ -164,9 +189,8 @@ def q17b(spark, sf_dir):
     """Full insights table (FIXTURES.md §2.3) minus the free-text sentence
     (checked by invariant tests — float-to-string formatting is not a sane
     cross-engine hash target). Covers P11 (div-by-zero guard), P13, P15."""
-    t = load_tables(spark, sf_dir)
     return (
-        insights_agg(t)
+        insights_agg_view(spark, sf_dir)
         .where(F.col("n") >= 2)
         .select(
             "geo",
@@ -193,8 +217,7 @@ def insights_table(spark, sf_dir):
     """The complete insights DataFrame including ``insight_text`` (T1/P14) —
     what the RAG layer indexes. Same plan as q17b plus the formatted
     sentence."""
-    t = load_tables(spark, sf_dir)
-    agg = insights_agg(t).where(F.col("n") >= 2)
+    agg = insights_agg_view(spark, sf_dir).where(F.col("n") >= 2)
     name = indicator_display_name(F.col("indicator"))
     return agg.select(
         "geo",

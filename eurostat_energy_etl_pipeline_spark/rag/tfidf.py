@@ -130,10 +130,26 @@ def semantic_search(
     )
 
 
+# Index memo per (session, corpus path) — the engine analog of the
+# reference's process-wide lru_cache on get_index (rag_engine.py:14-15).
+_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
+
+def documents_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """Build-once posting-list index over the documents fixture (T4)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _INDEX_CACHE.get(key)
+    if hit is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hit = build_index(docs, "text", "doc_id")
+        _INDEX_CACHE[key] = hit
+    return hit
+
+
 def tfidf_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: fixed query over the documents fixture (rows-only
     driver check; ranking invariants in tests/test_rag.py)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return semantic_search(
-        spark, docs, "spark shuffle join performance", k=5
-    ).select("id", "score")
+    index, n = documents_index(spark, sf_dir)
+    return search(index, n, spark, "spark shuffle join performance", k=5).select(
+        "id", F.round("score", 6).alias("score")
+    )
