@@ -244,8 +244,18 @@ def forecast_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eurostat_energy_etl_pipeline_spark.plans.insights import yearly_series_view
 
     series = yearly_series_view(spark, sf_dir)
-    return series.groupBy("geo", "indicator").applyInPandas(
-        _forecast_group, FORECAST_SCHEMA
+    # Explicit repartition by the group key: the data is tiny in BYTES but
+    # expensive in PYTHON (a model fit per group), and AQE's size-based
+    # coalescing would pack every group into one task — serializing all the
+    # fits. A user-specified partition count is exempt from AQE coalescing,
+    # and hash-partitioning on the exact group key means groupBy adds no
+    # second shuffle. Same reasoning holds on a 1000-executor cluster:
+    # grouped-map ML stages are CPU-bound, not size-bound.
+    n_parts = spark.sparkContext.defaultParallelism
+    return (
+        series.repartition(n_parts, "geo", "indicator")
+        .groupBy("geo", "indicator")
+        .applyInPandas(_forecast_group, FORECAST_SCHEMA)
     )
 
 

