@@ -1,0 +1,93 @@
+"""Physical-plan quality gates — the 100 TB design assertions, encoded.
+
+Correctness tests prove the operators compute the right rows; these prove
+they compute them with the plan we would want on a 1000-executor cluster:
+filters reach the parquet scan, unused columns are pruned, dimension joins
+broadcast, aggregates combine map-side, top-k never global-sorts, and the
+grouped-map ML stage keeps exactly the one explicit repartition (AQE must
+not serialize it). A regression here is a scale bug even when row-level
+results stay correct.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry_mod.queries()
+
+
+def test_q01_filter_and_projection_pushed(spark, queries):
+    plan = plan_of(queries["q01_filter_project"](spark, SF_DIR))
+    assert "EqualTo(o_orderstatus,F)" in plan  # predicate reaches the scan
+    # column pruning: the scan must not read unprojected columns
+    assert "o_orderdate" not in plan
+    assert "o_comment" not in plan
+
+
+def test_q06_topk_is_take_ordered_with_partial_agg(spark, queries):
+    plan = plan_of(queries["q06_topk_avg"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+    assert "partial_" in plan  # map-side combine before the exchange
+    assert plan.count(") Exchange") == 1  # exactly the agg shuffle
+
+
+def test_q14_dimension_join_broadcasts(spark, queries):
+    plan = plan_of(queries["q14_join_agg"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nation must never shuffle the fact
+
+
+def test_q15_left_join_broadcasts(spark, queries):
+    plan = plan_of(queries["q15_left_join_coalesce"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_semi_join_broadcasts(spark, queries):
+    plan = plan_of(queries["q16_left_semi"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_dedup_counts_never_shuffle_text(spark, queries):
+    plan = plan_of(queries["q19_dedup_exact"](spark, SF_DIR))
+    # count(distinct text) partial-aggregates before every exchange
+    assert "partial_" in plan
+
+
+def test_forecast_single_explicit_repartition(spark, queries):
+    plan = plan_of(queries["q35_forecast"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    # one REPARTITION_BY_NUM exchange (ours, AQE-exempt); groupBy must reuse
+    # it rather than adding an ENSURE_REQUIREMENTS shuffle of its own.
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    assert "FlatMapGroupsInPandas" in plan.split("REPARTITION_BY_NUM")[0]
+
+
+def test_q22_embedding_topk_single_pass(spark, queries):
+    plan = plan_of(queries["q22_embedding_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # 1-row query side must broadcast
+
+
+def test_scan_reuses_cached_observations(spark, queries):
+    # dashboard queries must hit the cached fact view, not re-join parquet
+    df = queries["q_dash_top10_latest"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()  # materialize the cache
+    plan = plan_of(queries["q_dash_year_range"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan or "Scan In-memory" in plan
