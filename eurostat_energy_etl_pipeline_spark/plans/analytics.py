@@ -162,3 +162,69 @@ def dash_heatmap(spark, sf_dir):
         )
         .orderBy("country_code", "yr")
     )
+
+
+@query(
+    "q_dash_pivot_types",
+    oracle=with_cte(
+        """
+    SELECT CAST(year(time) AS INT) AS yr,
+           round(CAST(sum(CASE WHEN dataset_code = 'nrg_cb_e'
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / count(CASE WHEN dataset_code = 'nrg_cb_e' THEN 1 END), 4)
+             AS nrg_cb_e,
+           round(CAST(sum(CASE WHEN dataset_code = 'ten00124'
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / count(CASE WHEN dataset_code = 'ten00124' THEN 1 END), 4)
+             AS ten00124
+    FROM observations GROUP BY year(time) ORDER BY yr
+    """
+    ),
+)
+def dash_pivot_types(spark, sf_dir):
+    """A10: Spark's actual pivot operator (year x dataset -> columns, mean —
+    the pandas pivot_table default the reference relies on,
+    /root/reference/app/streamlit_app.py:203-207). The pivot domain is
+    DECLARED, not discovered: passing the value list skips Spark's
+    distinct-collection job and keeps the column set bounded by contract —
+    the only shape where pivot is 100 TB-safe."""
+    obs = observations_view(spark, sf_dir)
+    piv = (
+        obs.select(
+            F.year("time").cast("int").alias("yr"),
+            "dataset_code",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("yr")
+        .pivot("dataset_code", ["nrg_cb_e", "ten00124"])
+        .agg(F.round(F.sum("v").cast("double") / F.count("v"), 4))
+    )
+    return piv.orderBy("yr")
+
+
+@query(
+    "q_dq_probes",
+    oracle=with_cte(
+        """
+    SELECT count(*) AS total_rows,
+           count(*) - count(DISTINCT (country_code, indicator_code, time, value))
+             AS dup_rows,
+           count(CASE WHEN value IS NULL THEN 1 END) AS null_values,
+           count(CASE WHEN country_name IS NULL THEN 1 END) AS null_names
+    FROM observations
+    """
+    ),
+)
+def dq_probes(spark, sf_dir):
+    """A7: the ETL's data-quality telemetry as one aggregate — duplicate
+    count (on the natural key) and per-column null counts
+    (/root/reference/etl/main.py:132,137). One pass, map-side combinable;
+    the distinct-count shuffles a hash of the key tuple, never wide rows."""
+    obs = observations_view(spark, sf_dir)
+    key = F.struct("country_code", "indicator_code", "time", "value")
+    return obs.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        (F.count(F.lit(1)) - F.count_distinct(key)).alias("dup_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("null_values"),
+        F.count(F.when(F.col("country_name").isNull(), 1)).alias("null_names"),
+    )

@@ -99,3 +99,50 @@ def test_invalid_payload_yields_empty_with_schema(spark):
 
 def test_dataset_code_stamped(decoded):
     assert {r["dataset_code"] for r in decoded.collect()} == {"nrg_cb_e"}
+
+
+def test_datasource_format_matches_decode(spark, tmp_path):
+    """spark.read.format('jsonstat') over a directory of documents produces
+    the same rows as the Catalyst decode path, one partition per file."""
+    from eurostat_energy_etl_pipeline_spark.sources.jsonstat import decode_jsonstat
+    from eurostat_energy_etl_pipeline_spark.sources.jsonstat_datasource import (
+        register_jsonstat_source,
+    )
+    import json
+
+    d = tmp_path / "responses"
+    d.mkdir()
+    (d / "nrg_cb_e.json").write_text(json.dumps(FIXTURE))
+    (d / "ten00124.json").write_text(json.dumps(FIXTURE))
+    register_jsonstat_source(spark)
+
+    got = spark.read.format("jsonstat").load(str(d))
+    assert got.rdd.getNumPartitions() == 2  # one per document
+    got_rows = sorted(
+        got.collect(), key=lambda r: (r.dataset_code, r.country_code, r.time)
+    )
+    exp_one = decode_jsonstat(spark, FIXTURE, dataset_code="nrg_cb_e").collect()
+    assert len(got_rows) == 2 * len(exp_one)
+    exp_sorted = sorted(exp_one, key=lambda r: (r.country_code, r.time))
+    nrg = [r for r in got_rows if r.dataset_code == "nrg_cb_e"]
+    for g, e in zip(nrg, exp_sorted):
+        assert g.country_code == e.country_code
+        assert g.indicator_code == e.indicator_code
+        assert g.time == e.time
+        assert g.value == e.value
+        assert g.country_name == e.country_name
+
+
+def test_datasource_invalid_payload_yields_empty(spark, tmp_path):
+    from eurostat_energy_etl_pipeline_spark.sources.jsonstat_datasource import (
+        register_jsonstat_source,
+    )
+    import json
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "broken.json").write_text(json.dumps({"not": "jsonstat"}))
+    register_jsonstat_source(spark)
+    df = spark.read.format("jsonstat").load(str(d))
+    assert df.count() == 0
+    assert len(df.schema.fields) == 9
