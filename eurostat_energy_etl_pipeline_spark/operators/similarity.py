@@ -187,6 +187,72 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means over the corpus (pyspark.ml, one
+    distributed training job), returning the (nlist x dim) centroid matrix.
+    Train once, store with the index — the analog of the LSH plane matrix,
+    but data-adapted."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=nlist, seed=seed, initMode="k-means||").fit(feat)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def ivf_cell_of(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id as a column expression (codegen, no Python):
+    argmin ||v-c||^2 = argmax (<v,c> - ||c||^2/2). The centroid matrix is
+    inlined as literals like the LSH planes."""
+    v = _as_double(vec_col)
+    scores = []
+    for c in centroids:
+        dot_c = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scores.append(dot_c - float(np.dot(c, c)) / 2.0)
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: scan only the `nprobe` cells whose centroids
+    are nearest the query, exact-rerank inside them. At rest the corpus is
+    written partitioned by cell, so the IN-list predicate prunes partitions
+    — reading ~nprobe/nlist of the data. Data-adapted cells beat LSH's
+    data-oblivious buckets on clustered corpora; LSH needs no training.
+    Both share the exact-rerank tail."""
+    q = np.asarray(query_vec, dtype=float)
+    scores = centroids @ q - 0.5 * (centroids * centroids).sum(axis=1)
+    probes = [int(i) for i in np.argsort(-scores)[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.withColumn("_cell", ivf_cell_of(F.col(vec_col), centroids))
+        .where(F.col("_cell").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qcol), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

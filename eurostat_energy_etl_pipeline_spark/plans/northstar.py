@@ -345,6 +345,36 @@ def q32(spark, sf_dir):
     return S.lsh_topk(e, qvec, k=5)
 
 
+@query("q37_ivf_ann")
+def q37(spark, sf_dir):
+    """IVF approximate NN: k-means coarse quantizer (trained once per
+    corpus, cached like any derived view), nprobe-cell scan + exact rerank
+    against the vec_id=0 query. Rows-only check; recall-vs-bruteforce pinned
+    in tests/test_similarity.py."""
+    from eurostat_energy_etl_pipeline_spark.catalog import cached_view
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    qvec = [
+        r[0]
+        for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()
+    ]
+    # centroids are tiny; piggyback the view cache with a 1-row DF holding
+    # them so training runs once per (session, sf_dir)
+    cent_df = cached_view(
+        "ivf_centroids",
+        spark,
+        sf_dir,
+        lambda: spark.createDataFrame(
+            [(S.train_ivf_centroids(e, nlist=16).flatten().tolist(),)], ["c"]
+        ),
+    )
+    import numpy as np
+
+    centroids = np.array(cent_df.first()["c"]).reshape(16, -1)
+    return S.ivf_topk(e, qvec, centroids, k=5, nprobe=4)
+
+
 @query("q33_multimodal_features")
 def q33(spark, sf_dir):
     """Multimodal plumbing: binary payload table -> mapInPandas feature

@@ -63,3 +63,34 @@ def test_bucket_deterministic(vectors):
     a = S.with_lsh_bucket(df, bits=8, dim=DIM).select("vec_id", "bucket").toPandas()
     b = S.with_lsh_bucket(df, bits=8, dim=DIM).select("vec_id", "bucket").toPandas()
     assert a.sort_values("vec_id").equals(b.sort_values("vec_id"))
+
+
+def test_ivf_recall_vs_bruteforce(vectors):
+    df, base = vectors
+    q = list(base[0])
+    centroids = S.train_ivf_centroids(df, nlist=4, seed=42)
+    assert centroids.shape == (4, DIM)
+    exact = set(S.cosine_topk(df, q, k=5).toPandas()["vec_id"])
+    approx = S.ivf_topk(df, q, centroids, k=5, nprobe=2).toPandas()
+    got = set(approx["vec_id"])
+    # probing half the cells must recover most of the true top-5,
+    # always including the planted near-identical pair
+    assert len(exact & got) >= 3
+    assert 0 in got or 1 in got
+    assert (approx["cos"].values[:-1] >= approx["cos"].values[1:]).all()
+
+
+def test_ivf_cell_assignment_is_nearest_centroid(vectors):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    df, base = vectors
+    centroids = S.train_ivf_centroids(df, nlist=4, seed=42)
+    got = (
+        df.select("vec_id", S.ivf_cell_of(F.col("embedding"), centroids).alias("cell"))
+        .toPandas()
+        .set_index("vec_id")["cell"]
+    )
+    d2 = ((base[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    expect = d2.argmin(axis=1)
+    assert (got.sort_index().values == expect).all()
