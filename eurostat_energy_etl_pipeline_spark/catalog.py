@@ -188,6 +188,18 @@ def obs_series(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """SQL front-end: temp views for the 10 base tables plus the derived
+    `observations` / `obs_series` views, so `spark.sql(...)` serves the
+    same surface as the DataFrame API. The declared oracle queries are
+    written in the Spark-SQL ∩ DuckDB dialect, so they run verbatim here
+    (proven in tests/test_sql_frontend.py)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    observations_view(spark, sf_dir).createOrReplaceTempView("observations")
+    obs_series_view(spark, sf_dir).createOrReplaceTempView("obs_series")
+
+
 def with_cte(body_sql: str) -> str:
     """Wrap oracle SQL that references observations/obs_series with the
     deterministic derivation CTEs (the driver pre-registers only the base

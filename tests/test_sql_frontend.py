@@ -1,0 +1,58 @@
+"""SQL front-end: the declared oracle SQL (written in the Spark-SQL ∩ DuckDB
+dialect) must run verbatim through spark.sql() over the registered views and
+produce the same rows as the DataFrame plans. This proves a SQL-only user of
+the engine gets the full declared surface."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from eurostat_energy_etl_pipeline_spark.catalog import register_views
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries whose oracle SQL uses duckdb-only idioms are excluded; everything
+# else — the whole relational core, insights pipeline, dashboards, text
+# stats — must run on both engines unchanged.
+DUCKDB_ONLY = {
+    "q21_word_count",        # string_split/unnest idiom differs by contract
+    "q_events_asof_join",    # duckdb-native ASOF JOIN
+    "q_events_sessionize",   # duckdb-specific window idiom
+    "q_events_tumbling",     # duckdb time_bucket/epoch
+    "q34_media_meta",        # duckdb encode()
+    "q_dq_probes",           # duckdb row-value count(DISTINCT (a,b,..))
+    "q22_embedding_topk",    # duckdb unnest-with-ordinality idiom
+    "q23_dedup_hash_groups", # duckdb sha256()
+    "q24_ngram_jaccard",     # duckdb list_transform/list_intersect
+    "q27_fingerprint",       # duckdb regexp_replace(..., 'g') flag
+    "q28_lang_id",           # duckdb string_split_regex/list_*
+    "q29_token_stats",       # duckdb string_split_regex
+    "q30_quality_buckets",   # duckdb string_split_regex/list_*
+    "q31_embedding_neardup", # duckdb list_* vector arithmetic
+}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark):
+    register_views(spark, SF_DIR)
+
+
+def sql_cases():
+    return sorted(set(entry_mod.oracle_sql()) - DUCKDB_ONLY)
+
+
+@pytest.mark.parametrize("name", sql_cases())
+def test_oracle_sql_runs_on_spark(spark, name):
+    oracle = entry_mod.oracle_sql()[name]
+    got_sql = spark.sql(oracle).toPandas()
+    got_df = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+    assert list(got_sql.columns) == list(got_df.columns)
+    assert len(got_sql) == len(got_df)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got_sql.reset_index(drop=True),
+        got_df.reset_index(drop=True),
+        check_dtype=False,
+        atol=1e-6,
+        check_exact=False,
+    )
