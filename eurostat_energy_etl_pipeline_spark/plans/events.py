@@ -166,3 +166,43 @@ def events_asof_join(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_events_sliding",
+    oracle="""
+    WITH g AS (SELECT generate_series AS off_s
+               FROM generate_series(0, 599, 300)),
+    b AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL 10 MINUTES, ts - to_seconds(off_s)))
+                  + off_s AS BIGINT) AS win_start_s,
+             value
+      FROM events CROSS JOIN g
+    )
+    SELECT win_start_s, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+    FROM b GROUP BY win_start_s ORDER BY win_start_s
+    """,
+)
+def events_sliding(spark, sf_dir):
+    """10-minute windows sliding every 5 minutes (W-extension): Spark's
+    native sliding `F.window` assigns each event to size/slide overlapping
+    windows scan-side — one explode-free projection + one hash aggregate.
+    The DuckDB oracle reconstructs the same window grid with an offset
+    cross join (the textbook relational emulation); start epochs hash
+    identically."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("win_start_s"),
+            "n",
+            "total",
+        )
+        .orderBy("win_start_s")
+    )

@@ -398,3 +398,34 @@ def q16(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q38_set_ops",
+    oracle="""
+    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    ORDER BY k
+    """,
+)
+def q38(spark, sf_dir):
+    """U-extensions (SURVEY §2.7: intersect/except are free in Spark):
+    BUILDING-segment customers with a finished order, minus negative-balance
+    accounts. Both set ops plan as aggregated semi/anti joins — shuffle on
+    the key only. Shared SQL dialect, so the oracle runs verbatim on both
+    engines."""
+    t = load_tables(spark, sf_dir)
+    building = (
+        t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    finished = t["orders"].where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    negative = t["customer"].where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    return building.intersect(finished).exceptAll(negative.distinct()).orderBy("k")

@@ -18,6 +18,7 @@ DUCKDB_ONLY = {
     "q_events_asof_join",    # duckdb-native ASOF JOIN
     "q_events_sessionize",   # duckdb-specific window idiom
     "q_events_tumbling",     # duckdb time_bucket/epoch
+    "q_events_sliding",      # duckdb generate_series/time_bucket
     "q34_media_meta",        # duckdb encode()
     "q_dq_probes",           # duckdb row-value count(DISTINCT (a,b,..))
     "q22_embedding_topk",    # duckdb unnest-with-ordinality idiom
