@@ -187,6 +187,57 @@ def lsh_topk(
     )
 
 
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> None:
+    """Materialize the LSH-bucketed corpus partitioned by bucket — the
+    at-rest layout that makes probes partition-pruned scans. A query's
+    hamming-radius IN-list touches ~|probes|/2^bits of the directory; the
+    pruning is visible as PartitionFilters in the scan node (pinned in
+    tests/test_similarity.py)."""
+    (
+        with_lsh_bucket(df, vec_col, bits, seed, dim)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ann_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+    probe_radius: int = 2,
+) -> DataFrame:
+    """Top-k against a written ANN index: the bucket IN-list prunes
+    partitions at planning time, then exact rerank inside the probed
+    buckets."""
+    planes = hyperplanes(len(query_vec), bits, seed)
+    probes = _probe_set(_query_bucket(query_vec, planes), bits, probe_radius)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

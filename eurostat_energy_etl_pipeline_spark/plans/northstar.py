@@ -15,6 +15,7 @@ from eurostat_energy_etl_pipeline_spark.operators import similarity as S
 from eurostat_energy_etl_pipeline_spark.operators import text as T
 from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
     extract_features,
+    frame_sample,
     media_table,
 )
 from eurostat_energy_etl_pipeline_spark.plans import query
@@ -404,4 +405,33 @@ def q34(spark, sf_dir):
         .groupBy("media_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("total_bytes"))
         .orderBy("media_type")
+    )
+
+
+@query(
+    "q39_frame_sample",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(greatest(CAST(floor(octet_length(encode(text)) / 64) AS INT) - 1, 0) + 1
+                AS BIGINT) AS n_frames,
+           CAST((greatest(CAST(floor(octet_length(encode(text)) / 64) AS INT) - 1, 0))
+                * 64 AS BIGINT) AS max_offset
+    FROM documents ORDER BY media_id
+    """,
+)
+def q39(spark, sf_dir):
+    """Frame-sampling plumbing (video-style fixed-stride chunking): the
+    exploded per-frame offsets aggregated back per media item and checked
+    against the closed-form frame count — proving the explode grid is
+    exactly the stride arithmetic. Payloads are only sliced scan-side,
+    never shuffled (the aggregate carries media_id + offsets)."""
+    t = load_tables(spark, sf_dir)
+    frames = frame_sample(media_table(t["documents"]), every_n_bytes=64)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("byte_offset").cast("long").alias("max_offset"),
+        )
+        .orderBy("media_id")
     )

@@ -124,6 +124,21 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup — the incremental twin of operators/dedup
+    exact_dedup, and the shape an LLM-ingest pipeline runs on a document
+    firehose: watermarked dropDuplicates on a compact content key, so state
+    holds only keys inside the lateness horizon (10 min here) and is GC'd
+    beyond it. The key is an 8-byte xxhash64 of the payload columns — state
+    never stores wide rows."""
+    keys = key_cols or ["event_type", "value", "props"]
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .withColumn("content_key", F.xxhash64(*keys))
+        .dropDuplicates(["content_key", "ts"])
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming plan to completion against a memory sink
     (deterministic for tests)."""

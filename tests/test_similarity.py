@@ -94,3 +94,26 @@ def test_ivf_cell_assignment_is_nearest_centroid(vectors):
     d2 = ((base[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     expect = d2.argmin(axis=1)
     assert (got.sort_index().values == expect).all()
+
+
+def test_ann_index_at_rest_prunes_partitions(vectors, tmp_path):
+    import contextlib
+    import io
+
+    df, base = vectors
+    path = str(tmp_path / "ann")
+    S.write_ann_index(df, path, bits=4, dim=DIM)
+    q = list(base[0])
+    got = S.ann_index_topk(
+        df.sparkSession, path, q, k=5, bits=4, probe_radius=1
+    )
+    # partition pruning is visible in the scan: bucket is a partition
+    # column filtered by the probe IN-list, not a post-scan filter
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:300]
+    hits = got.toPandas()
+    assert 0 in set(hits["vec_id"]) or 1 in set(hits["vec_id"])

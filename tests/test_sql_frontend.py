@@ -20,6 +20,7 @@ DUCKDB_ONLY = {
     "q_events_tumbling",     # duckdb time_bucket/epoch
     "q_events_sliding",      # duckdb generate_series/time_bucket
     "q34_media_meta",        # duckdb encode()
+    "q39_frame_sample",      # duckdb encode()
     "q_dq_probes",           # duckdb row-value count(DISTINCT (a,b,..))
     "q22_embedding_topk",    # duckdb unnest-with-ordinality idiom
     "q23_dedup_hash_groups", # duckdb sha256()

@@ -56,3 +56,24 @@ def test_stateful_running_totals(spark, stream):
         q.stop()
     assert len(pdf) > 0
     assert (pdf["n"] > 0).all()
+
+
+def test_dedup_stream_drops_duplicates(spark, stream, sf_dir):
+    from eurostat_energy_etl_pipeline_spark.streaming.events import dedup_stream
+
+    q = run_to_memory(dedup_stream(stream), "t_dedup", "append")
+    try:
+        got = spark.table("t_dedup").count()
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import functions as F
+
+        exp = (
+            batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withColumn("content_key", F.xxhash64("event_type", "value", "props"))
+            .dropDuplicates(["content_key", "ts"])
+            .count()
+        )
+        assert got == exp
+        assert got <= batch.count()
+    finally:
+        q.stop()
