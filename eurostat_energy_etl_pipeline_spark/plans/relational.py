@@ -429,3 +429,53 @@ def q38(spark, sf_dir):
         F.col("c_custkey").alias("k")
     )
     return building.intersect(finished).exceptAll(negative.distinct()).orderBy("k")
+
+
+@query(
+    "q40_rollup",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def q40(spark, sf_dir):
+    """Grouping-sets surface (SURVEY §2.4 notes the reference has none —
+    Spark gives rollup/cube free): status x priority rollup with subtotal
+    and grand-total rows. One expand + one hash aggregate; shared SQL
+    dialect so the oracle runs on both engines verbatim."""
+    t = load_tables(spark, sf_dir)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec).cast("double"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query("q41_approx_distinct")
+def q41(spark, sf_dir):
+    """HLL approximate distinct counts — the 100 TB dedup-accounting shape
+    (exact countDistinct shuffles every distinct value; HLL sketches merge
+    in fixed space map-side). Rows-only driver check; the exactness
+    tolerance is pinned in tests/test_parity_semantics.py."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].agg(
+        F.count(F.lit(1)).alias("total"),
+        F.approx_count_distinct("text", 0.02).alias("approx_distinct_texts"),
+    )

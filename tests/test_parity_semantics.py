@@ -107,3 +107,17 @@ def test_rolling_hash_order_sensitive(spark):
     df = spark.createDataFrame([Row(t="a b c"), Row(t="c b a")])
     got = [r["h"] for r in df.select(T.rolling_hash(F.col("t")).alias("h")).collect()]
     assert got[0] != got[1]
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """HLL at rsd=0.02 must land within 5% of the exact distinct count."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    got = m.queries()["q41_approx_distinct"](spark, sf_dir).first()
+    exact = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.countDistinct("text"))
+        .first()[0]
+    )
+    assert abs(got["approx_distinct_texts"] - exact) <= max(1, 0.05 * exact)
