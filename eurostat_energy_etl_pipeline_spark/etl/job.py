@@ -103,14 +103,27 @@ def main() -> None:  # pragma: no cover - CLI wrapper
         default=None,
         help="dataset_code=url pairs; defaults to the two Eurostat cubes",
     )
+    p.add_argument(
+        "--from-dir",
+        default=None,
+        help="directory of saved JSON-stat responses; decoded in parallel "
+        "via spark.read.format('jsonstat') (one partition per document)",
+    )
     args = p.parse_args()
     spark = get_spark("etl-job")
     datasets = []
+    if args.from_dir:
+        from eurostat_energy_etl_pipeline_spark.sources.jsonstat_datasource import (
+            register_jsonstat_source,
+        )
+
+        register_jsonstat_source(spark)
+        datasets.append(spark.read.format("jsonstat").load(args.from_dir))
     for spec in args.dataset or []:
         code, url = spec.split("=", 1)
         datasets.append(decode_jsonstat(spark, fetch_jsonstat(url), code))
     if not datasets:
-        raise SystemExit("no --dataset provided (code=url)")
+        raise SystemExit("no --dataset (code=url) or --from-dir provided")
     n = run_etl(spark, datasets, args.warehouse, args.mode)
     print(f"Loaded {n} rows")
 

@@ -218,12 +218,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("bn")
-    )
-    banded = banded.join(
-        bucket_sizes.where(F.col("bn") <= max_bucket), ["band_idx", "band_hash"]
-    )
+    # Degenerate-bucket guard as a window count, not groupBy+join-back: the
+    # window partitions on exactly the band key, so the filter and the
+    # self-join below all reuse ONE exchange of the (id, band hash) rows
+    # (groupBy+join costs two more exchanges of the same data).
+    from pyspark.sql.window import Window
+
+    banded = banded.withColumn(
+        "bn", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+    ).where(F.col("bn") <= max_bucket)
     a = banded.select("band_idx", "band_hash", F.col("id").alias("id_a"))
     b = banded.select("band_idx", "band_hash", F.col("id").alias("id_b"))
     cand = (
