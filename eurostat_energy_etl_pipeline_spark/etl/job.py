@@ -86,6 +86,24 @@ def run_etl(
     return out.count()
 
 
+def wait_for(check, retries: int = 20, delay: float = 5.0, sleep=None) -> bool:
+    """K6 readiness loop (/root/reference/etl/main.py:31-49): poll `check`
+    up to `retries` times with `delay` seconds between attempts. Retained
+    for JDBC warehouse targets, where the database may lag the job."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    for attempt in range(retries):
+        try:
+            if check():
+                return True
+        except Exception:
+            pass
+        if attempt < retries - 1:
+            sleep(delay)
+    return False
+
+
 def main() -> None:  # pragma: no cover - CLI wrapper
     """CLI mirroring the reference's argparse surface (etl/main.py:26-28)."""
     from eurostat_energy_etl_pipeline_spark.session import get_spark

@@ -106,3 +106,28 @@ def test_partition_layout(spark, tmp_path):
     assert any(d.startswith("dataset_code=") for d in top)
     sub = os.listdir(f"{wh}/dataset_code=nrg_cb_e")
     assert any(d.startswith("year=") for d in sub)
+
+
+def test_wait_for_retries_then_succeeds():
+    from eurostat_energy_etl_pipeline_spark.etl.job import wait_for
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("not ready")
+        return True
+
+    slept = []
+    assert wait_for(flaky, retries=5, delay=0.01, sleep=slept.append)
+    assert calls["n"] == 3
+    assert len(slept) == 2  # no sleep after success
+
+
+def test_wait_for_gives_up():
+    from eurostat_energy_etl_pipeline_spark.etl.job import wait_for
+
+    slept = []
+    assert not wait_for(lambda: False, retries=3, delay=0.01, sleep=slept.append)
+    assert len(slept) == 2  # no sleep after the final attempt
