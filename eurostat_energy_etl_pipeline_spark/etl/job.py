@@ -119,7 +119,8 @@ def main() -> None:  # pragma: no cover - CLI wrapper
         "--dataset",
         action="append",
         default=None,
-        help="dataset_code=url pairs; defaults to the two Eurostat cubes",
+        help="dataset_code=url pairs (repeatable), e.g. "
+        "nrg_cb_e=https://ec.europa.eu/eurostat/api/.../nrg_cb_e?...",
     )
     p.add_argument(
         "--from-dir",
