@@ -150,3 +150,11 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.processAllAvailable()
     return q
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join — the standard streaming dimension
+    lookup: each micro-batch joins against the (batch) dimension table,
+    which Spark re-plans per batch, so a broadcast-sized dim never shuffles
+    the stream. No watermark needed (static side is unbounded-lifetime)."""
+    return events.join(F.broadcast(dim), on, "left")

@@ -77,3 +77,23 @@ def test_dedup_stream_drops_duplicates(spark, stream, sf_dir):
         assert got <= batch.count()
     finally:
         q.stop()
+
+
+def test_enrich_stream_static_join(spark, stream, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import enrich_stream
+
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("segment_"), (F.col("id") % 3)).alias("segment"),
+    )
+    q = run_to_memory(enrich_stream(stream, dim), "t_enriched", "append")
+    try:
+        got = spark.table("t_enriched")
+        n_stream = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert got.count() == n_stream  # left join preserves every event
+        matched = got.where(F.col("segment").isNotNull()).count()
+        assert matched == got.where(F.col("user_id") < 50).count()
+    finally:
+        q.stop()
