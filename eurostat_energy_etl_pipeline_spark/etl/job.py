@@ -17,11 +17,16 @@ from __future__ import annotations
 
 import argparse
 from datetime import datetime, timezone
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MODES = ("append", "truncate", "full-refresh")
+MODES = ("append", "truncate", "full-refresh", "merge")
+
+# Natural key of one observation cell; unit_code is null-safe matched because
+# a NULL unit survives cleaning (FIXTURES.md §3.3).
+MERGE_KEY = ("dataset_code", "country_code", "indicator_code", "unit_code", "time")
 
 # dropna subset per /root/reference/etl/main.py:137-143 — note unit columns
 # are deliberately NOT in the subset (FIXTURES.md §3.3).
@@ -50,19 +55,56 @@ def stamp(df: DataFrame, load_ts: datetime | None = None) -> DataFrame:
 
 
 def write_warehouse(df: DataFrame, warehouse_dir: str, mode: str) -> None:
-    """K1-K3: the three load modes against the parquet warehouse."""
+    """K1-K3 + incremental merge against the parquet warehouse.
+
+    `merge` is the upsert the reference can't express (its loads are all
+    drop/append): batch rows replace existing rows with the same MERGE_KEY,
+    and ONLY the (dataset_code, year) partitions present in the batch are
+    rewritten (`partitionOverwriteMode=dynamic`) — at 100 TB a daily batch
+    touches a handful of year partitions, so the rewrite cost is bounded by
+    the batch's partition footprint, not the table size. Production tables
+    would use a transactional format (Delta/Iceberg MERGE = new files +
+    metadata swap); this is the same plan shape over plain parquet, with the
+    affected-partition remainder staged via localCheckpoint so the read and
+    the overwrite of the same path don't collide."""
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    out = df.withColumn("year", F.year("time"))
     write_mode = "append" if mode == "append" else "overwrite"
-    (
-        df.withColumn("year", F.year("time"))
+    writer_opts = {}
+    if mode == "merge":
+        spark = df.sparkSession
+        try:
+            existing = spark.read.parquet(warehouse_dir)
+        except Exception:
+            existing = None  # first load: merge degenerates to full-refresh
+        if existing is not None:
+            writer_opts["partitionOverwriteMode"] = "dynamic"
+            # Partition-prune the scan to the batch's footprint, then drop
+            # rows whose natural key the batch replaces. Both join sides the
+            # batch contributes are broadcast-sized (it's one API response).
+            parts = out.select("dataset_code", "year").distinct()
+            affected = existing.join(
+                F.broadcast(parts), ["dataset_code", "year"], "left_semi"
+            )
+            keys = out.select(*MERGE_KEY).distinct()
+            cond = reduce(
+                lambda a, b: a & b,
+                [affected[k].eqNullSafe(keys[k]) for k in MERGE_KEY],
+            )
+            survivors = affected.join(F.broadcast(keys), cond, "left_anti")
+            out = survivors.unionByName(out).localCheckpoint(eager=True)
+    writer = (
+        out
         # cluster within partitions by country for min/max stat pruning
         .repartition("dataset_code", "year")
         .sortWithinPartitions("country_code")
         .write.mode(write_mode)
         .partitionBy("dataset_code", "year")
-        .parquet(warehouse_dir)
     )
+    for k, v in writer_opts.items():
+        writer = writer.option(k, v)
+    writer.parquet(warehouse_dir)
 
 
 def read_warehouse(spark: SparkSession, warehouse_dir: str) -> DataFrame:
@@ -78,8 +120,6 @@ def run_etl(
 ) -> int:
     """Full load: union batches (U1) -> clean -> stamp -> write. Returns the
     loaded row count (the reference's 'Loaded N rows' telemetry)."""
-    from functools import reduce
-
     full = reduce(DataFrame.unionByName, batches)
     out = stamp(clean(full), load_ts)
     write_warehouse(out, warehouse_dir, mode)

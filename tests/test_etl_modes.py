@@ -59,7 +59,69 @@ def test_mode_matrix(spark, tmp_path):
 
 def test_invalid_mode_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="mode"):
-        run_etl(spark, [_batch(spark)], str(tmp_path / "x"), "upsert")
+        run_etl(spark, [_batch(spark)], str(tmp_path / "x"), "replace")
+
+
+def test_merge_upserts_and_preserves_untouched_partitions(spark, tmp_path):
+    """merge = key-based upsert with dynamic partition overwrite: matched
+    keys take the batch's value, new keys are inserted, and rows in
+    partitions the batch never touches keep their original load_timestamp
+    (they are not rewritten)."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "obs")
+    t0, t1 = datetime(2024, 1, 1), datetime(2025, 6, 1)
+    run_etl(spark, [_batch(spark)], wh, "full-refresh", load_ts=t0)
+
+    base = _batch(spark).where("country_code = 'C1'").collect()[0].asDict()
+    delta = spark.createDataFrame(
+        [
+            Row(**{**base, "value": 100.0}),  # update: same key, new value
+            Row(
+                **{
+                    **base,
+                    "country_code": "C9",
+                    "country_name": "Country 9",
+                    "time": datetime(2029, 1, 1).date(),
+                    "value": 9.0,
+                }
+            ),  # insert: new key in a new year partition
+        ]
+    )
+    run_etl(spark, [delta], wh, "merge", load_ts=t1)
+
+    out = read_warehouse(spark, wh)
+    assert out.count() == 6  # 5 original - 1 replaced + 2 batch rows... = 6
+    got = {r["country_code"]: r for r in out.collect()}
+    assert got["C1"]["value"] == 100.0
+    assert got["C1"]["load_timestamp"] == t1
+    assert got["C9"]["value"] == 9.0
+    # untouched partitions (years 2020, 2022-2024) were not rewritten
+    for c in ("C0", "C2", "C3", "C4"):
+        assert got[c]["load_timestamp"] == t0, c
+    # merge into an empty warehouse degenerates to a plain load
+    wh2 = str(tmp_path / "obs2")
+    run_etl(spark, [_batch(spark)], wh2, "merge", load_ts=t0)
+    assert read_warehouse(spark, wh2).count() == 5
+
+
+def test_merge_null_unit_key_is_null_safe(spark, tmp_path):
+    """A NULL unit_code survives cleaning (FIXTURES §3.3); merging the same
+    NULL-unit key must UPDATE that row, not duplicate it."""
+    wh = str(tmp_path / "obs")
+    schema = _batch(spark).schema
+    base = _batch(spark, n=2).collect()[0].asDict()
+    nullunit = Row(**{**base, "unit_code": None})
+    run_etl(spark, [spark.createDataFrame([nullunit], schema)], wh, "full-refresh")
+    run_etl(
+        spark,
+        [spark.createDataFrame([Row(**{**nullunit.asDict(), "value": 42.0})], schema)],
+        wh,
+        "merge",
+    )
+    rows = read_warehouse(spark, wh).collect()
+    assert len(rows) == 1
+    assert rows[0]["value"] == 42.0
 
 
 def test_cleaning_fixture(spark):

@@ -28,6 +28,12 @@ def plan_of(df) -> str:
 
 @pytest.fixture(scope="module")
 def queries():
+    # Plan assertions must see the static (pre-AQE-finalized) plan; a
+    # DataFrame memoized and already executed by an earlier test would
+    # explain() its runtime-adapted plan instead.
+    from eurostat_energy_etl_pipeline_spark.plans import clear_plan_cache
+
+    clear_plan_cache()
     return entry_mod.queries()
 
 
