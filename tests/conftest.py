@@ -7,7 +7,9 @@ sys.path.insert(0, "/root/repo")
 
 from eurostat_energy_etl_pipeline_spark.session import get_spark
 
-SF_SMOKE = "/root/testdata/sf0.001"
+# Default is the sf0.001 smoke set; set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+# to run the whole suite (incl. the oracle differential) at the driver's gate scale.
+SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
