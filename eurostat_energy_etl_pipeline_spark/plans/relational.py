@@ -468,6 +468,43 @@ def q40(spark, sf_dir):
     )
 
 
+@query(
+    "q42_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q42(spark, sf_dir):
+    """Statistical-aggregate surface (SURVEY §2.4 notes the reference has
+    only sum/mean/max — corr/covar/regr come free in Spark): per-flag
+    quantity-price correlation, sample covariance, and regression slope.
+    All are single-pass co-moment aggregates with map-side partial combine
+    (the same HashAggregate shape as A2/A3), so the 100 TB cost is one
+    shuffle of 5-double states per group, not a data re-scan per statistic.
+    Identical definitions in both dialects (Pearson corr, ddof=1 covariance,
+    OLS slope) make this oracle-checkable verbatim."""
+    t = load_tables(spark, sf_dir)
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(q, p), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp(q, p), 4).alias("qty_price_covar"),
+            F.round(F.stddev_samp(q), 6).alias("qty_stddev"),
+            F.round(F.regr_slope(p, q), 4).alias("price_per_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query("q41_approx_distinct")
 def q41(spark, sf_dir):
     """HLL approximate distinct counts — the 100 TB dedup-accounting shape
