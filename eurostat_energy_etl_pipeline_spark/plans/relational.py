@@ -505,6 +505,70 @@ def q42(spark, sf_dir):
     )
 
 
+@query(
+    "q43_join_chain",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS balance
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def q43(spark, sf_dir):
+    """Multi-hop dimension chain (TPC-H Q5 shape, snowflaked J1): region ->
+    nation -> customer rollup. Both dimension sides are broadcast — the fact
+    scan never shuffles for the joins, only for the final hash aggregate —
+    which is the plan that survives a 100 TB customer table (region/nation
+    are bounded by geography, never by data volume)."""
+    t = load_tables(spark, sf_dir)
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum(dec).cast("double"), 4).alias("balance"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "q44_like_scan",
+    oracle="""
+    SELECT p_brand, p_type, count(*) AS n,
+           round(avg(p_retailprice), 4) AS avg_price
+    FROM part
+    WHERE p_name LIKE '%ge%'
+    GROUP BY p_brand, p_type
+    ORDER BY p_brand, p_type
+    """,
+)
+def q44(spark, sf_dir):
+    """String-predicate scan over the part dimension: LIKE '%ge%' (substring
+    LIKE semantics are identical across engines) filtered before a two-key
+    rollup. The contains-style predicate evaluates inside the scan's codegen
+    stage — rows drop before the aggregate exchange, so the shuffle carries
+    only qualifying (brand, type) groups."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .where(F.col("p_name").like("%ge%"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("p_brand", "p_type")
+    )
+
+
 @query("q41_approx_distinct")
 def q41(spark, sf_dir):
     """HLL approximate distinct counts — the 100 TB dedup-accounting shape
