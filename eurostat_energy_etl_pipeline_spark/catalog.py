@@ -15,6 +15,8 @@ projection fed to the insights builder
 from __future__ import annotations
 
 import os
+from collections.abc import Mapping
+from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,34 +44,118 @@ def sf_dir_from_env() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
-# Table-handle memo per (SparkContext, sf_dir): resolving 10 parquet footers
-# + schema analysis costs ~0.8 s per call — pure catalog overhead that a real
-# metastore pays once, so we pay it once per session too. The testdata dirs
-# are immutable, so the handles never go stale.
-_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+# Confs that must hold on ANY session that reads the fixtures. The driver's
+# harness supplies its own plain SparkSession (not session.get_spark's), so
+# everything correctness- or performance-critical must also be set at runtime
+# here, on the incoming session. All of these are runtime-settable SQL confs.
+_RUNTIME_CONF: dict[str, str] = {
+    # events.ts is TIMESTAMP(NANOS); without this the parquet reader throws
+    # PARQUET_TYPE_ILLEGAL on the scan (the round-1 all-ERR root cause).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB timestamps are UTC-naive; oracle hash parity must not depend on
+    # the host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting. A
+    # foreign session without these runs 200-task exchanges on tiny inputs.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for the pandas_udf / mapInPandas boundaries.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Lazy parquet scans for every driver table, memoized per session.
-    Column pruning and filter pushdown happen per-query via Catalyst;
-    nothing is materialized here.
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Harden a possibly-foreign session with the runtime confs every query
+    in this engine assumes. Idempotent and cheap (conf reads only after the
+    first call); never raises — a conf an older/newer Spark refuses to set
+    runtime-side is skipped rather than failing the query."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+    try:
+        # At the global default (200) the scheduler floor dominates small
+        # scale factors; size to the session's parallelism and let AQE
+        # coalesce downward. A user-tuned value is left alone.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(int(cores), 8)))
+    except Exception:
+        pass
+
+
+class TableCatalog(Mapping):
+    """Lazy per-table parquet handles. Each table's footer is read on first
+    access (and memoized), so one unreadable file can only fail the queries
+    that actually touch it — an orders-only query never resolves `events`.
 
     `events.ts` is stored as TIMESTAMP(NANOS), which Spark's parquet reader
     rejects; with `spark.sql.legacy.parquet.nanosAsLong` it arrives as long
     nanos and is converted to a microsecond timestamp with exact integer
     arithmetic (`div` — double division would lose sub-microsecond bits)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str) -> None:
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._resolved: dict[str, DataFrame] = {}
+
+    def __getitem__(self, name: str) -> DataFrame:
+        df = self._resolved.get(name)
+        if df is None:
+            if name not in TABLES:
+                raise KeyError(name)
+            try:
+                df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
+                df = _normalize_table(name, df)
+            except KeyError:
+                raise
+            except Exception as exc:  # name the table, keep the cause
+                raise RuntimeError(
+                    f"catalog: failed to resolve table {name!r} from "
+                    f"{self._sf_dir}/{name}.parquet: {exc}"
+                ) from exc
+            self._resolved[name] = df
+        return df
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(TABLES)
+
+    def __len__(self) -> int:
+        return len(TABLES)
+
+
+def _normalize_table(name: str, df: DataFrame) -> DataFrame:
+    """Normalize fixture-schema surprises to the documented dtypes
+    (FIXTURES.md), so downstream plans never see a raw landmine type."""
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong read: long nanos -> exact microsecond timestamp.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# Table-handle memo per (SparkContext, sf_dir): resolving a parquet footer
+# + schema analysis is pure catalog overhead that a real metastore pays
+# once, so we pay it once per session too. The testdata dirs are immutable,
+# so the handles never go stale.
+_TABLE_CACHE: dict[tuple[str, str], TableCatalog] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    """Lazy parquet handles for every driver table, memoized per session.
+    Column pruning and filter pushdown happen per-query via Catalyst;
+    nothing is materialized here. Also hardens the incoming session with
+    the runtime confs the fixtures require (see ensure_session_confs) —
+    the caller may hand us a plain SparkSession."""
+    ensure_session_confs(spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return dict(cached)
-    out = {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLES}
-    ev = out["events"]
-    if dict(ev.dtypes)["ts"] == "bigint":
-        out["events"] = ev.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    _TABLE_CACHE[key] = dict(out)
-    return out
+    if cached is None:
+        cached = TableCatalog(spark, sf_dir)
+        _TABLE_CACHE[key] = cached
+    return cached
 
 
 # Derived-view cache (SURVEY §2.9 T4): the reference caches its warehouse

@@ -28,13 +28,16 @@ MODES = ("append", "truncate", "full-refresh", "merge")
 # a NULL unit survives cleaning (FIXTURES.md §3.3).
 MERGE_KEY = ("dataset_code", "country_code", "indicator_code", "unit_code", "time")
 
-# dropna subset per /root/reference/etl/main.py:137-143 — note unit columns
-# are deliberately NOT in the subset (FIXTURES.md §3.3).
+# dropna subset per /root/reference/etl/main.py:141-144, verbatim — note
+# unit columns and dataset_code are deliberately NOT in the subset
+# (FIXTURES.md §3.3); indicator_label IS (a row whose label failed to
+# resolve is dropped, even though the decode path coalesces labels to
+# codes so this can only matter for non-jsonstat batches).
 DROPNA_SUBSET = (
-    "dataset_code",
     "country_code",
     "country_name",
     "indicator_code",
+    "indicator_label",
     "time",
     "value",
 )
@@ -52,6 +55,53 @@ def stamp(df: DataFrame, load_ts: datetime | None = None) -> DataFrame:
     return df.withColumn("load_timestamp", F.lit(ts).cast("timestamp")).withColumn(
         "id", F.monotonically_increasing_id()
     )
+
+
+def write_warehouse_jdbc(
+    df: DataFrame,
+    url: str,
+    mode: str,
+    table: str = "observations",
+    options: dict[str, str] | None = None,
+) -> None:
+    """K1-K3 against the reference's actual warehouse target: a JDBC
+    database (/root/reference/etl/main.py:167-207 loads Postgres with
+    per-mode DDL). Mode mapping onto Spark's JDBC writer:
+
+    - ``full-refresh`` -> ``mode("overwrite")``: Spark drops and recreates
+      the table — the reference's DROP TABLE + CREATE TABLE branch.
+    - ``truncate``     -> ``mode("overwrite").option("truncate", true)``:
+      Spark issues TRUNCATE TABLE and keeps the DDL — the reference's
+      TRUNCATE branch.
+    - ``append``       -> ``mode("append")``: creates the table if absent,
+      then bulk-inserts — the reference's CREATE IF NOT EXISTS + to_sql.
+
+    ``merge`` has no single-statement JDBC mapping (the reference cannot
+    express it either); upserts against a JDBC warehouse need a staging
+    table + engine-side MERGE, so we refuse loudly rather than fake it.
+
+    At scale the bulk insert parallelizes per partition (one connection
+    per executor task); size `df` partitions to the database's ingest
+    concurrency with `numPartitions` in ``options``.
+    """
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    if mode == "merge":
+        raise NotImplementedError(
+            "merge over JDBC needs a staging table + engine-side MERGE; "
+            "use the parquet warehouse path or stage then MERGE in the DB"
+        )
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .mode("append" if mode == "append" else "overwrite")
+    )
+    if mode == "truncate":
+        writer = writer.option("truncate", "true")
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 def write_warehouse(df: DataFrame, warehouse_dir: str, mode: str) -> None:
