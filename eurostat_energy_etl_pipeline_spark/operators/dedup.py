@@ -188,6 +188,36 @@ def minhash_signatures(
     return agg.select(*cols)
 
 
+# Persisted-signature memo per (session, input plan semantic hash, params):
+# without it every direct minhash_lsh_pairs call pins a fresh copy of the
+# signature table for the life of the session.
+_SIG_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _signature_table(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_k: int
+) -> DataFrame:
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df.semanticHash(),
+            text_col,
+            id_col,
+            num_hashes,
+            shingle_k,
+        )
+    except Exception:
+        key = None  # semanticHash unavailable -> fall back to uncached
+    if key is not None and key in _SIG_CACHE:
+        return _SIG_CACHE[key]
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, keep_shingles=True
+    ).persist()
+    if key is not None:
+        _SIG_CACHE[key] = sig
+    return sig
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -222,10 +252,10 @@ def minhash_lsh_pairs(
     # verification, and recomputing it per consumer would re-tokenize the
     # corpus twice. At warehouse scale this is the signature table you
     # would write to storage before the pair-join step; persist() is the
-    # in-session equivalent (evictable, spills to disk).
-    sig = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, keep_shingles=True
-    ).persist()
+    # in-session equivalent (evictable, spills to disk). Memoized per
+    # (session, input plan, params) so repeated direct calls reuse one
+    # pinned table instead of accumulating storage.
+    sig = _signature_table(df, text_col, id_col, num_hashes, shingle_k)
     # Band buckets carry only (id, band hash) — the shingle sets never
     # enter the explode/self-join shuffles; they are joined back by id for
     # the (much smaller) verification set only.

@@ -117,9 +117,35 @@ def bucket_of(vec_col: Column, planes: np.ndarray) -> Column:
     return out.cast("int")
 
 
+def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding width, read from one row (a LIMIT-1 scan, not a full pass).
+    Raises on an empty corpus rather than guessing."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return int(row["d"])
+
+
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", bits: int = 8, seed: int = 42, dim: int = 64
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
+    """Attach the LSH bucket column. `dim` is inferred from the data when
+    not given; when given it is validated — a mismatched plane width would
+    otherwise zip_with-pad with nulls and silently zero the affected bits,
+    producing wrong buckets with no error."""
+    if dim is None:
+        dim = embedding_dim(df, vec_col)
+    else:
+        actual = embedding_dim(df, vec_col)
+        if actual != dim:
+            raise ValueError(
+                f"embedding dim mismatch: column {vec_col!r} has {actual}, "
+                f"hyperplanes configured for {dim}"
+            )
     return df.withColumn("bucket", bucket_of(F.col(vec_col), hyperplanes(dim, bits, seed)))
 
 
@@ -163,6 +189,12 @@ def lsh_topk(
     ~ sum_{d<=r} C(bits,d) / 2^bits. At rest the table is written
     partitioned by the table-0 bucket, so the first IN-list prunes
     partitions; extra tables filter within the scanned partitions."""
+    actual = embedding_dim(df, vec_col)
+    if actual != len(query_vec):
+        raise ValueError(
+            f"embedding dim mismatch: corpus {vec_col!r} has {actual}, "
+            f"query vector has {len(query_vec)}"
+        )
     table_conds = []
     out = df
     for t in range(num_tables):
@@ -193,7 +225,7 @@ def write_ann_index(
     vec_col: str = "embedding",
     bits: int = 8,
     seed: int = 42,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> None:
     """Materialize the LSH-bucketed corpus partitioned by bucket — the
     at-rest layout that makes probes partition-pruned scans. A query's

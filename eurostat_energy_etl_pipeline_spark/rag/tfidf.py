@@ -51,60 +51,79 @@ def _terms(col) -> F.Column:
 
 def build_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> tuple[DataFrame, int]:
-    """Posting-list index: (id, term, w, norm). Cache it for repeated
+) -> DataFrame:
+    """Posting-list index: (id, term, w, idf, norm). Cache it for repeated
     queries (T4 — the engine-side analog of the reference's lru_cache).
 
-    The tokenization pass is cached after the first aggregate: tf feeds
-    three downstream consumers (df-counts, weights, norms) and re-running
-    the tokenizer expression per consumer would triple the scan cost.
-    Document frequency is attached with a window over `term` instead of a
-    self-join — same shuffle key as the tf aggregate, so Catalyst reuses
-    the exchange rather than shuffling twice."""
+    One fully-lazy plan, no driver-side actions: the corpus size N enters
+    the idf expression as a broadcast 1-row aggregate instead of a separate
+    `df.count()` job (which round-1 profiling showed as a whole extra scan
+    per index build). Document frequency is attached with a window over
+    `term` — same shuffle key as the tf aggregate, so Catalyst reuses the
+    exchange rather than shuffling twice. `idf` rides along per posting so
+    the query side can weight its terms identically without recomputing
+    document frequencies."""
     from pyspark.sql.window import Window
 
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         df.select(F.col(id_col).alias("id"), F.explode(_terms(F.col(text_col))).alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    w = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term"))).select(
-        "id",
-        "term",
-        (
-            F.col("tf")
-            * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0)
-        ).alias("w"),
+    w = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .join(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            (F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + 1.0).alias(
+                "idf"
+            ),
+            "tf",
+        )
+        .withColumn("w", F.col("tf") * F.col("idf"))
     )
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
-    index = w.join(norms, "id")
+    index = w.select("id", "term", "idf", "w").join(norms, "id")
     index.cache()
-    return index, n_docs
+    return index
 
 
 def search(
     index: DataFrame,
-    n_docs: int,
     spark: SparkSession,
     query: str,
     k: int = 5,
 ) -> DataFrame:
-    """Cosine top-k of the query against the posting-list index."""
+    """Cosine top-k of the query against the posting-list index.
+
+    sklearn-parity weighting on BOTH sides (rag_engine.py:29-33): the query
+    vector gets the same smoothed idf as the corpus (joined from the index's
+    per-term idf — terms outside the corpus vocabulary drop out, exactly as
+    a fitted vectorizer ignores them) and is L2-normalized, so scores are
+    true cosines, not dot products against a unit document vector."""
     qdf = spark.createDataFrame([(0, query)], ["qid", "text"])
-    # Query-side weights: same tf*idf recipe, idf from corpus df via join.
     qterms = (
         qdf.select(F.explode(_terms(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("double").alias("qtf"))
     )
-    postings = index.join(F.broadcast(qterms), "term")
+    # Vocabulary idf per query term: tiny distinct over the broadcast-joined
+    # postings of the query's own terms (cost ~ |query terms|).
+    vocab = index.join(F.broadcast(qterms), "term").select("term", "idf", "qtf").distinct()
+    qw = vocab.select("term", (F.col("qtf") * F.col("idf")).alias("qw"))
+    qnorm = qw.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
+    postings = index.join(F.broadcast(qw), "term").join(F.broadcast(qnorm))
     scored = (
-        postings.groupBy("id", "norm")
-        .agg(F.sum(F.col("w") * F.col("qtf")).alias("dot"))
+        postings.groupBy("id", "norm", "qnorm")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
         .select(
             "id",
-            F.when(F.col("norm") > 0, F.col("dot") / F.col("norm"))
+            F.when(
+                (F.col("norm") > 0) & (F.col("qnorm") > 0),
+                F.col("dot") / (F.col("norm") * F.col("qnorm")),
+            )
             .otherwise(F.lit(0.0))
             .alias("score"),
         )
@@ -121,8 +140,8 @@ def semantic_search(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """One-shot build + search (T2+T3), joined back to the source text."""
-    index, n = build_index(corpus, text_col, id_col)
-    hits = search(index, n, spark, query, k)
+    index = build_index(corpus, text_col, id_col)
+    hits = search(index, spark, query, k)
     return (
         hits.join(corpus, hits["id"] == corpus[id_col])
         .select("id", F.round("score", 6).alias("score"), F.col(text_col))
@@ -132,10 +151,10 @@ def semantic_search(
 
 # Index memo per (session, corpus path) — the engine analog of the
 # reference's process-wide lru_cache on get_index (rag_engine.py:14-15).
-_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def documents_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+def documents_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once posting-list index over the documents fixture (T4)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _INDEX_CACHE.get(key)
@@ -149,7 +168,7 @@ def documents_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
 def tfidf_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: fixed query over the documents fixture (rows-only
     driver check; ranking invariants in tests/test_rag.py)."""
-    index, n = documents_index(spark, sf_dir)
-    return search(index, n, spark, "spark shuffle join performance", k=5).select(
+    index = documents_index(spark, sf_dir)
+    return search(index, spark, "spark shuffle join performance", k=5).select(
         "id", F.round("score", 6).alias("score")
     )

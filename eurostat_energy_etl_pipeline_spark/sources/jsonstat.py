@@ -109,7 +109,9 @@ def decode_jsonstat(
     out = cells
     for d, dim in enumerate(dims):
         stride = math.prod(sizes[d + 1 :])
-        coord = (F.col("flat_idx") / F.lit(stride)).cast("long") % sizes[d]
+        # Integer `div`, matching the pure-Python kernel's `//` exactly —
+        # double division loses exactness for flat_idx above 2^53.
+        coord = F.expr(f"flat_idx div {stride}") % sizes[d]
         codes = _codes_by_position(payload, dim)
         labels = payload["dimension"][dim]["category"].get("label", {})
         code_map = F.create_map(

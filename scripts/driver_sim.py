@@ -1,0 +1,89 @@
+"""Simulate the driver's correctness harness with a PLAIN SparkSession.
+
+Round 1 failed 0/50 because the driver's own session lacks the repo's conf
+defaults; this script reproduces that harness faithfully: a bare
+`SparkSession.builder.getOrCreate()` (no repo confs), every `queries()`
+entry executed at sf0.01, oracles run through DuckDB on the same parquet,
+values compared after sorting columns by name (the driver's hash scheme).
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Plain session: deliberately none of the repo's conf defaults.
+    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    import __spark_entry__ as m
+
+    con = duckdb.connect()
+    from eurostat_energy_etl_pipeline_spark.catalog import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries, oracles = m.queries(), m.oracle_sql()
+    results, n_match, n_rows_only, n_fail = {}, 0, 0, 0
+    for name, fn in queries.items():
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            sql = oracles.get(name)
+            if sql is None:
+                results[name] = {"rows": len(sdf), "oracle": None, "ok": True}
+                n_rows_only += 1
+                continue
+            odf = con.execute(sql).df()
+            s, o = norm(sdf), norm(odf)
+            rows_ok = len(s) == len(o)
+            cols_ok = list(s.columns) == list(o.columns)
+            vals_ok = False
+            if rows_ok and cols_ok:
+                try:
+                    pd.testing.assert_frame_equal(
+                        s, o, check_dtype=False, check_exact=False, rtol=1e-8, atol=1e-10
+                    )
+                    vals_ok = True
+                except AssertionError as e:
+                    results[name] = {"diff": str(e).splitlines()[-1]}
+            ok = rows_ok and cols_ok and vals_ok
+            results[name] = {
+                **results.get(name, {}),
+                "rows": len(s),
+                "oracle_rows": len(o),
+                "rows_match": rows_ok,
+                "cols_match": cols_ok,
+                "vals_match": vals_ok,
+                "ok": ok,
+            }
+            n_match += ok
+            n_fail += not ok
+        except Exception as e:
+            results[name] = {"err": repr(e)[:300], "ok": False}
+            n_fail += 1
+    print(json.dumps({"match": n_match, "rows_only": n_rows_only, "fail": n_fail}))
+    for name, r in results.items():
+        if not r.get("ok"):
+            print("FAIL", name, json.dumps(r)[:500])
+    spark.stop()
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,6 +41,46 @@ def test_irrelevant_query_low_overlap(spark, corpus):
     assert len(hits) == 0  # no shared terms -> no postings -> no hits
 
 
+def test_scores_match_sklearn_formula(spark, corpus):
+    """Numeric parity with the reference's TfidfVectorizer semantics
+    (rag_engine.py:29-33): smoothed idf on BOTH document and query vectors,
+    L2 norm on both, cosine = normalized dot. Re-implemented in numpy here
+    (sklearn itself is not in the container)."""
+    import math
+    from collections import Counter
+
+    from eurostat_energy_etl_pipeline_spark.operators.text import ENGLISH_STOPWORDS
+
+    def terms(text):
+        toks = [t for t in text.split() if t and t not in ENGLISH_STOPWORDS]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    docs = {i: Counter(terms(t)) for i, t in CORPUS}
+    n = len(docs)
+    dfreq = Counter(term for c in docs.values() for term in c)
+    idf = {t: math.log((1 + n) / (1 + df)) + 1.0 for t, df in dfreq.items()}
+
+    def vec(counter):
+        v = {t: tf * idf[t] for t, tf in counter.items() if t in idf}
+        norm = math.sqrt(sum(x * x for x in v.values()))
+        return v, norm
+
+    query = "energy consumption trends"
+    qv, qn = vec(Counter(terms(query)))
+    expected = {}
+    for i, c in docs.items():
+        dv, dn = vec(c)
+        dot = sum(w * qv[t] for t, w in dv.items() if t in qv)
+        if dot and dn and qn:
+            expected[i] = dot / (dn * qn)
+
+    hits = semantic_search(spark, corpus, query, k=7).toPandas()
+    got = dict(zip(hits["id"], hits["score"]))
+    assert set(got) == set(expected)
+    for i, s in expected.items():
+        assert abs(got[i] - s) < 1e-6, (i, got[i], s)
+
+
 def test_intent_routing():
     assert route("Which country's GEP is rising fastest?") == "intent"
     assert route("is gross electricity production growing anywhere") == "intent"

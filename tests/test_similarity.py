@@ -117,3 +117,15 @@ def test_ann_index_at_rest_prunes_partitions(vectors, tmp_path):
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:300]
     hits = got.toPandas()
     assert 0 in set(hits["vec_id"]) or 1 in set(hits["vec_id"])
+
+
+def test_dim_mismatch_raises_not_silent_nulls(vectors):
+    """A plane matrix wider/narrower than the embeddings must fail loudly:
+    zip_with would pad with nulls and silently zero the affected bits."""
+    df, base = vectors
+    with pytest.raises(ValueError, match="dim mismatch"):
+        S.with_lsh_bucket(df, dim=DIM + 1)
+    with pytest.raises(ValueError, match="dim mismatch"):
+        S.lsh_topk(df, list(base[0]) + [0.0], k=3)
+    # inferred dim works without declaring it
+    assert "bucket" in S.with_lsh_bucket(df).columns
