@@ -90,6 +90,23 @@ def build_index(
     return index
 
 
+def _query_terms(query: str) -> dict[str, float]:
+    """Driver-side mirror of `_terms` for the query string (it is ONE short
+    string — tokenizing it in Python is not a distribution concern, and it
+    saves a createDataFrame + explode round-trip per search). Mirrors
+    split(trim(lower(s)), '\\s+') + stopword filter + adjacent bigrams."""
+    import re
+    from collections import Counter
+
+    toks = [
+        t
+        for t in re.split(r"\s+", query.strip().lower())
+        if t and t not in ENGLISH_STOPWORDS
+    ]
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return {t: float(c) for t, c in Counter(grams).items()}
+
+
 def search(
     index: DataFrame,
     spark: SparkSession,
@@ -99,25 +116,41 @@ def search(
     """Cosine top-k of the query against the posting-list index.
 
     sklearn-parity weighting on BOTH sides (rag_engine.py:29-33): the query
-    vector gets the same smoothed idf as the corpus (joined from the index's
+    vector gets the same smoothed idf as the corpus (read from the index's
     per-term idf — terms outside the corpus vocabulary drop out, exactly as
     a fitted vectorizer ignores them) and is L2-normalized, so scores are
-    true cosines, not dot products against a unit document vector."""
-    qdf = spark.createDataFrame([(0, query)], ["qid", "text"])
-    qterms = (
-        qdf.select(F.explode(_terms(F.col("text"))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("qtf"))
+    true cosines, not dot products against a unit document vector.
+
+    Plan shape: the query's terms become a literal IN-list on the cached
+    posting lists (cost ~ postings of those terms), one hash aggregate per
+    doc, ordered-limit. The constant query-norm divides the k result rows
+    AFTER the limit — it cannot change the ordering."""
+    qtf = _query_terms(query)
+    if not qtf:
+        return index.select("id").limit(0).withColumn("score", F.lit(0.0))
+    qtf_map = F.create_map(
+        *[x for t, c in qtf.items() for x in (F.lit(t), F.lit(c))]
     )
-    # Vocabulary idf per query term: tiny distinct over the broadcast-joined
-    # postings of the query's own terms (cost ~ |query terms|).
-    vocab = index.join(F.broadcast(qterms), "term").select("term", "idf", "qtf").distinct()
-    qw = vocab.select("term", (F.col("qtf") * F.col("idf")).alias("qw"))
-    qnorm = qw.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
-    postings = index.join(F.broadcast(qw), "term").join(F.broadcast(qnorm))
-    scored = (
-        postings.groupBy("id", "norm", "qnorm")
+    matched = index.where(F.col("term").isin(list(qtf)))
+    # L2 norm of the query vector over the corpus-vocabulary terms it hit.
+    qnorm = (
+        matched.groupBy("term")
+        .agg(F.first("idf").alias("idf"))
+        .agg(
+            F.sqrt(
+                F.sum(F.pow(qtf_map[F.col("term")] * F.col("idf"), F.lit(2.0)))
+            ).alias("qnorm")
+        )
+    )
+    top = (
+        matched.withColumn("qw", qtf_map[F.col("term")] * F.col("idf"))
+        .groupBy("id", "norm")
         .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+        .orderBy(F.desc(F.col("dot") / F.col("norm")), "id")
+        .limit(k)
+    )
+    return (
+        top.join(F.broadcast(qnorm))
         .select(
             "id",
             F.when(
@@ -127,8 +160,8 @@ def search(
             .otherwise(F.lit(0.0))
             .alias("score"),
         )
+        .orderBy(F.desc("score"), "id")
     )
-    return scored.orderBy(F.desc("score"), "id").limit(k)
 
 
 def semantic_search(
