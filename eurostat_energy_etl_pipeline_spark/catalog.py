@@ -62,6 +62,13 @@ _RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the pandas_udf / mapInPandas boundaries.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let AQE re-plan the output partitioning of cached plans. Off (the
+    # default), every stage reading a persisted view inherits the cache's
+    # pre-coalesce 32-partition layout, so small-SF window chains over the
+    # cached observations/series views run 100+ near-empty tasks; measured
+    # at sf0.1 this conf alone cuts the insights chain ~4x (1.03s -> 0.27s,
+    # 136 -> 12 tasks) with identical results (layout-only change).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 

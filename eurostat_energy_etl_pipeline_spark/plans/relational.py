@@ -240,9 +240,20 @@ def q10(spark, sf_dir):
 # --- windows ---------------------------------------------------------------
 
 def _custkey_year_totals(t):
-    """Shared inner aggregate for Q11/Q12: per (custkey, year) exact totals."""
+    """Shared inner aggregate for Q11/Q12: per (custkey, year) exact totals.
+
+    Pre-partitioned on o_custkey so the aggregate AND the downstream
+    per-customer window reuse ONE exchange: HashPartitioning(custkey)
+    satisfies both the groupBy(custkey, yr) clustering and the window's
+    partitionBy(custkey), where the default plan exchanges twice (once per
+    key set). Trade-off: the shuffle carries raw order rows instead of
+    map-side-combined partials — a win here because the (custkey, yr)
+    reduction factor is ~1.4x (orders per customer span few years), so raw
+    N < partials + agged rows; for high-reduction aggregates keep the
+    default combine-first shape instead."""
     return (
         t["orders"]
+        .repartition("o_custkey")
         .groupBy("o_custkey", F.year("o_orderdate").cast("int").alias("yr"))
         .agg(exact_sum("o_totalprice").alias("total"))
     )

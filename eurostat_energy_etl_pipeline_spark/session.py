@@ -32,6 +32,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for toPandas / pandas_udf / applyInPandas boundaries.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE may re-plan cached-plan output partitioning: without this every
+    # consumer of a persisted view is pinned to the cache's pre-coalesce
+    # partition count (see catalog._RUNTIME_CONF for the measured effect).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Non-interactive runs don't need the UI server.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",

@@ -97,3 +97,14 @@ def test_scan_reuses_cached_observations(spark, queries):
     df.write.format("noop").mode("overwrite").save()  # materialize the cache
     plan = plan_of(queries["q_dash_year_range"](spark, SF_DIR))
     assert "InMemoryTableScan" in plan or "Scan In-memory" in plan
+
+
+def test_q11_agg_and_window_share_one_exchange(spark, queries):
+    # _custkey_year_totals pre-partitions on o_custkey so the (custkey, yr)
+    # aggregate AND the per-customer lag window reuse ONE hash exchange;
+    # the only other exchange is the final presentation sort's range
+    # partitioning. Three exchanges means the double-shuffle regressed.
+    # formatted explain prints each node twice (tree + details); count
+    # tree entries only.
+    plan = plan_of(queries["q11_lag"](spark, SF_DIR))
+    assert plan.count("+- Exchange") == 2, plan
