@@ -32,6 +32,12 @@ def test_ensure_session_confs_repairs_foreign_session(spark):
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # Cached-view consumers must not inherit the cache's pre-coalesce
+    # partition count (the 4x insights-chain regression; see BENCHNOTES.md).
+    assert (
+        spark.conf.get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning")
+        == "true"
+    )
 
 
 def test_ensure_session_confs_respects_user_tuned_shuffle_partitions(spark):
