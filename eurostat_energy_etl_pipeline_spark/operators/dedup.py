@@ -377,3 +377,105 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node's strictly-larger neighbors are
+    re-pointed at the minimum of its closed neighborhood."""
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        und.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node and its smaller-or-equal neighbors
+    are re-pointed at the neighborhood minimum."""
+    canon = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        canon.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, component) labeling of the undirected pair graph; the component
+    label is the minimum node id in the component — the canonical document
+    every near-dup cluster keeps.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    standard shuffle-on-key formulation that converges in O(log^2 n) rounds
+    w.h.p. and needs no vertex-indexed state. Naive min-label propagation
+    is O(diameter) rounds, which on chain-shaped near-dup runs (consecutive
+    ids) means hundreds of shuffles; star contraction collapses chains
+    exponentially. The driver-side loop is the fixpoint control only — each
+    round is two shuffles on the (8-byte) node key; `localCheckpoint`
+    truncates the lineage so round N's plan does not replay rounds 1..N-1.
+
+    `nodes` (one column named like ``src_col``'s values, default: both
+    endpoint sets) adds isolated vertices, labeled as their own component.
+
+    Convergence is detected with an order-insensitive edge checksum
+    (count + bit_xor of xxhash64) — stable checksum twice in a row = star
+    graphs reached. Raises RuntimeError if max_iter rounds do not converge
+    (a correctness guard: returning a half-contracted labeling would
+    silently split clusters).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _checksum(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).first()
+        return (row["n"], row["x"])
+
+    edges = edges.localCheckpoint(eager=True)
+    prev = _checksum(edges)
+    converged = False
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # At the fixpoint the edge set is a union of stars (u -> component min);
+    # group defensively in case a node carries edges to several labels.
+    stars = edges.groupBy("u").agg(F.min("v").alias("component"))
+    if nodes is None:
+        nodes = (
+            pairs.select(F.col(src_col).alias("id"))
+            .union(pairs.select(F.col(dst_col).alias("id")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.toDF("id").distinct()
+    return nodes.join(stars.withColumnRenamed("u", "id"), "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )

@@ -435,3 +435,63 @@ def q39(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "q45_dedup_clusters",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CASE WHEN len(a.shingles) + len(b.shingles)
+                             - len(list_intersect(a.shingles, b.shingles)) > 0
+                   THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                        / (len(a.shingles) + len(b.shingles)
+                           - len(list_intersect(a.shingles, b.shingles)))
+                   ELSE 0.0 END, 6) AS jacc
+      FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             CASE WHEN p.jacc >= 0.005 THEN 0 ELSE 1 END AS is_start
+      FROM documents d LEFT JOIN pairs p ON p.id_b = d.doc_id
+    ),
+    grp AS (
+      SELECT doc_id, sum(is_start) OVER (ORDER BY doc_id) AS g FROM flags
+    )
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS cluster_id
+    FROM grp ORDER BY doc_id
+    """,
+)
+def q45(spark, sf_dir):
+    """Near-dup clustering: canonical document per duplicate cluster — the
+    step every dedup pipeline runs after pair generation (keep one doc per
+    connected component of the near-dup graph). The Spark side runs the
+    GENERAL `connected_components` operator (alternating star contraction,
+    works on any pair set — LSH output included); the oracle exploits that
+    this query's edges are consecutive-id Jaccard pairs, so the expected
+    clustering is expressible as a gaps-and-islands window in plain SQL.
+    The differential therefore checks the generic graph algorithm against
+    an independently-derived closed form."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    # Production near-dup threshold is ~0.5; the synthetic corpus has no
+    # true near-dups, so the declared query clusters at the fixture's
+    # observed similarity floor (0.005 keeps ~10% of consecutive pairs) —
+    # otherwise the differential would only ever see singleton components
+    # and the contraction path would go untested.
+    edges = D.ngram_jaccard_pairs(docs, k=3).where(F.col("jacc") >= 0.005)
+    cc = D.connected_components(
+        edges, "id_a", "id_b", nodes=docs.select("doc_id")
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")

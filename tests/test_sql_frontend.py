@@ -25,6 +25,7 @@ DUCKDB_ONLY = {
     "q22_embedding_topk",    # duckdb unnest-with-ordinality idiom
     "q23_dedup_hash_groups", # duckdb sha256()
     "q24_ngram_jaccard",     # duckdb list_transform/list_intersect
+    "q45_dedup_clusters",    # duckdb list_* (same shingle CTE as q24)
     "q27_fingerprint",       # duckdb regexp_replace(..., 'g') flag
     "q28_lang_id",           # duckdb string_split_regex/list_*
     "q29_token_stats",       # duckdb string_split_regex
