@@ -206,3 +206,59 @@ def events_sliding(spark, sf_dir):
         )
         .orderBy("win_start_s")
     )
+
+
+# Deterministic campaign windows for the range-join query: four week-long
+# half-open [start, end) intervals over the fixture's January-2024 span,
+# declared identically as Spark literals and oracle VALUES.
+_CAMPAIGNS = [
+    ("wk1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+    ("wk2", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+    ("mid", "2024-01-10 12:00:00", "2024-01-20 12:00:00"),  # overlaps wk2
+    ("wk4", "2024-01-22 00:00:00", "2024-01-29 00:00:00"),
+]
+
+
+@query(
+    "q46_range_join",
+    oracle="""
+    WITH campaigns(campaign, start_ts, end_ts) AS (VALUES
+      ('wk1', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
+      ('wk2', TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+      ('mid', TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-20 12:00:00'),
+      ('wk4', TIMESTAMP '2024-01-22 00:00:00', TIMESTAMP '2024-01-29 00:00:00'))
+    SELECT campaign, event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+    FROM events e JOIN campaigns c
+      ON e.ts >= c.start_ts AND e.ts < c.end_ts
+    GROUP BY campaign, event_type
+    ORDER BY campaign, event_type
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Interval join: events attributed to overlapping campaign windows via
+    the bucketed `range_join` operator (equi-join on a day-bucket key +
+    exact containment filter) — a hash join that shuffles on an 8-byte key,
+    where the naive `ON ts BETWEEN start AND end` plan is a nested-loop /
+    cartesian at scale. Overlapping windows ('mid' vs 'wk2') double-attribute
+    events by design, as campaign analytics requires."""
+    from eurostat_energy_etl_pipeline_spark.operators.temporal import range_join
+
+    t = load_tables(spark, sf_dir)
+    iv = spark.createDataFrame(_CAMPAIGNS, ["campaign", "start_s", "end_s"]).select(
+        "campaign",
+        F.to_timestamp("start_s").alias("start_ts"),
+        F.to_timestamp("end_s").alias("end_ts"),
+    )
+    joined = range_join(
+        t["events"], iv, ts_col="ts", start_col="start_ts", end_col="end_ts"
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        joined.groupBy("campaign", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec).cast("double"), 4).alias("total"),
+        )
+        .orderBy("campaign", "event_type")
+    )
