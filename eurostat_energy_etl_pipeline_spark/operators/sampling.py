@@ -1,0 +1,73 @@
+"""Deterministic sampling for reproducible training-data subsets.
+
+`df.sample()` is seed-dependent per partition layout, so the same corpus
+sampled on a different cluster (or after a repartition) yields a DIFFERENT
+subset — useless for reproducible dataset releases. The standard fix is
+content-hash sampling: a document is in the sample iff a hash of its key
+falls under a threshold. Properties that matter at 100 TB:
+
+- pure scan-side predicate (no shuffle, no state, trivially parallel);
+- stable under repartitioning, engine version, and cluster size;
+- monotone: raising the rate only ADDS documents (sample(10%) is a subset
+  of sample(20%)), which is what dataset-scaling ablations assume;
+- salt-able: a different salt draws an independent sample.
+
+The threshold is expressed as a hex-string prefix compare (md5 emits
+lowercase hex in every engine; '0'-'9' < 'a'-'f' in ASCII, so string order
+== numeric order) — the predicate runs verbatim in any SQL dialect with
+md5(), which is how the oracle checks it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PREFIX_LEN = 4  # 16 bits of hash -> rate granularity 1/65536
+
+
+def sample_threshold(rate: float) -> str:
+    """Hex prefix threshold for a target rate in (0, 1]: documents whose
+    md5-prefix sorts strictly below it are kept. Granularity is 1/65536
+    (rate 0.2 -> '3333' -> 13107/65536 = 19.9997%)."""
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    return format(min(int(rate * (16**_PREFIX_LEN)), 16**_PREFIX_LEN - 1), "04x")
+
+def sample_predicate(col: Column, rate: float, salt: str = "") -> Column:
+    """Boolean keep/drop column for deterministic hash sampling."""
+    keyed = F.concat(col.cast("string"), F.lit(salt)) if salt else col.cast("string")
+    return F.substring(F.md5(keyed), 1, _PREFIX_LEN) < sample_threshold(rate)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~rate of rows, deterministically by content hash of ``key_col``."""
+    return df.where(sample_predicate(F.col(key_col), rate, salt))
+
+
+def stratified_cap(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    cap: int,
+) -> DataFrame:
+    """At most ``cap`` rows per stratum, chosen deterministically by hash
+    order of ``key_col`` (md5 then key as tiebreak — a stable total order,
+    so the kept set is reproducible anywhere). The balance-the-languages /
+    cap-the-domains step of corpus construction: one window pass partitioned
+    by the stratum, no global sort. Skew note: a stratum's rows shuffle to
+    one partition; for web-scale strata cap-by-hash-THRESHOLD (hash_sample
+    with per-stratum rates) is the two-pass alternative that never
+    concentrates a stratum."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_sc_rn", F.row_number().over(w))
+        .where(F.col("_sc_rn") <= cap)
+        .drop("_sc_rn")
+    )

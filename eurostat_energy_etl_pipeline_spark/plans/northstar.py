@@ -495,3 +495,49 @@ def q45(spark, sf_dir):
     return cc.select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@query(
+    "q47_hash_sample",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE substr(md5(text), 1, 4) < '3333'
+    ORDER BY doc_id
+    """,
+)
+def q47(spark, sf_dir):
+    """Deterministic ~20% corpus sample by content hash — the reproducible
+    subset primitive (same documents selected on any cluster/partitioning;
+    monotone in the rate for scaling ablations). Pure scan-side predicate:
+    no shuffle, no seed, and the oracle runs the identical hex-prefix
+    compare, so the check is exact set equality, not a rate tolerance."""
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import hash_sample
+
+    t = load_tables(spark, sf_dir)
+    return hash_sample(t["documents"], "text", 0.2).select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "q48_stratified_cap",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 30 ORDER BY doc_id
+    """,
+)
+def q48(spark, sf_dir):
+    """Stratified cap: at most 30 documents per language, selected by a
+    stable hash order — the balance-the-languages step of corpus
+    construction. One window pass partitioned by the stratum; the kept set
+    is reproducible on any engine, which the oracle checks exactly."""
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import stratified_cap
+
+    t = load_tables(spark, sf_dir)
+    return (
+        stratified_cap(t["documents"], "lang", "doc_id", cap=30)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

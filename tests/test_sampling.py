@@ -1,0 +1,74 @@
+"""Deterministic sampling operators: the properties that make them usable
+for reproducible dataset releases — partitioning-invariance, monotone
+rates, salt independence, exact per-stratum caps with a stable kept-set."""
+
+import pyspark.sql.functions as F
+
+from eurostat_energy_etl_pipeline_spark.catalog import load_tables
+from eurostat_energy_etl_pipeline_spark.operators.sampling import (
+    hash_sample,
+    sample_threshold,
+    stratified_cap,
+)
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_threshold_encoding():
+    assert sample_threshold(0.2) == "3333"
+    assert sample_threshold(1.0) == "ffff"
+    assert sample_threshold(1 / 65536) == "0001"
+
+
+def test_sample_is_partitioning_invariant(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = _ids(hash_sample(docs, "text", 0.3))
+    b = _ids(hash_sample(docs.repartition(13, "lang"), "text", 0.3))
+    assert a == b and a
+
+
+def test_sample_rate_is_monotone(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    small = _ids(hash_sample(docs, "text", 0.1))
+    big = _ids(hash_sample(docs, "text", 0.4))
+    assert small < big  # strict subset: more rate only adds documents
+
+
+def test_salt_draws_a_different_sample(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = _ids(hash_sample(docs, "text", 0.3))
+    b = _ids(hash_sample(docs, "text", 0.3, salt="v2"))
+    assert a != b
+    # independent draws at rate .3 overlap ~.09 of corpus, not ~.3
+    n = docs.count()
+    assert len(a & b) < 0.2 * n
+
+
+def test_sample_rate_is_approximately_honored(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = docs.count()
+    k = hash_sample(docs, "text", 0.5).count()
+    assert abs(k / n - 0.5) < 0.1
+
+
+def test_stratified_cap_exact_and_stable(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    capped = stratified_cap(docs, "lang", "doc_id", cap=10)
+    per = {r["lang"]: r["n"] for r in capped.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per and all(v <= 10 for v in per.values())
+    # stable under repartitioning
+    again = stratified_cap(docs.repartition(7), "lang", "doc_id", cap=10)
+    assert _ids(capped) == _ids(again)
+
+
+def test_stratified_cap_keeps_small_strata_whole(spark):
+    df = spark.createDataFrame(
+        [(i, "x" if i < 3 else "y") for i in range(20)], ["doc_id", "lang"]
+    )
+    out = stratified_cap(df, "lang", "doc_id", cap=5)
+    got = {r["lang"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["lang"]] += 1
+    assert got == {"x": 3, "y": 5}
