@@ -541,3 +541,44 @@ def q48(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q49_sequence_pack",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, nt,
+             COALESCE(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM tok
+    )
+    SELECT lang, CAST(floor(prev / 2048.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY lang, bin_id ORDER BY lang, bin_id
+    """,
+)
+def q49(spark, sf_dir):
+    """Sequence packing: per-language greedy fill of 2048-token training
+    bins (`operators/packing.pack_sequences` — running-sum window
+    partitioned by the shard, so no global sort), rolled up to per-bin
+    document/token counts. The oracle recomputes the same greedy fill as a
+    windowed cumsum, so bin assignment is checked exactly."""
+    from eurostat_energy_etl_pipeline_spark.operators.packing import pack_sequences
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang", T.token_count(F.col("text")).alias("nt"))
+    packed = pack_sequences(docs, F.col("nt"), budget=2048, shard_col="lang", order_col="doc_id")
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin_id")
+    )

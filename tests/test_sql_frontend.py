@@ -29,6 +29,7 @@ DUCKDB_ONLY = {
     "q27_fingerprint",       # duckdb regexp_replace(..., 'g') flag
     "q28_lang_id",           # duckdb string_split_regex/list_*
     "q29_token_stats",       # duckdb string_split_regex
+    "q49_sequence_pack",     # duckdb string_split_regex (same token idiom)
     "q30_quality_buckets",   # duckdb string_split_regex/list_*
     "q31_embedding_neardup", # duckdb list_* vector arithmetic
 }
