@@ -479,3 +479,45 @@ def connected_components(
     return nodes.join(stars.withColumnRenamed("u", "id"), "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: ids of corpus documents sharing at least
+    one k-token shingle with any benchmark document — the standard
+    eval-set-overlap filter run before training-corpus release.
+
+    Shape at scale: both sides reduce to DISTINCT 64-bit shingle keys
+    (md5 prefix — engine-portable, so the oracle can mirror it) BEFORE the
+    join, so the join carries |distinct grams|, never |docs x grams|; the
+    benchmark side (eval sets are small) is broadcast by default, making the
+    whole check a scan + broadcast semi-join with a final distinct on ids.
+    With a large benchmark, set broadcast_benchmark=False and AQE plans the
+    distinct-key equi-join as a regular shuffle join.
+    """
+    gram_key = F.substring(F.md5(F.col("_gram")), 1, 16)
+    corpus_grams = (
+        corpus.select(
+            F.col(id_col), F.explode(token_shingles(F.col(text_col), k)).alias("_gram")
+        )
+        .select(id_col, gram_key.alias("_g"))
+        .dropDuplicates([id_col, "_g"])
+    )
+    bench_grams = (
+        benchmark.select(F.explode(token_shingles(F.col(text_col), k)).alias("_gram"))
+        .select(gram_key.alias("_g"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    return (
+        corpus_grams.join(bench_grams, "_g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

@@ -383,3 +383,51 @@ def embedding_near_dup_pairs(
         .where(F.col("cos") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def label_cohesion(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding-cluster statistics: member count, mean L2 norm,
+    and mean cosine of each member to its label centroid — the
+    cluster-quality / outlier-rate readout of an embedding-partitioned
+    corpus (IVF cell balance, label purity audits).
+
+    Shape at scale: everything runs in exploded (label, dim) space — one
+    shuffle keyed by (label, pos) to average the centroid (cardinality =
+    |labels| x dim, tiny), broadcast the centroids back, then one shuffle
+    keyed by id for the per-vector dot/norm partial aggregation and a final
+    per-label rollup. The vectors themselves are never shuffled whole; only
+    (id, label, pos, val) tuples move, so skewed labels spread across
+    partitions instead of hot-keying one reducer.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("_rid"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    centroids = exploded.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    per_vec = (
+        exploded.join(F.broadcast(centroids), ["label", "pos"])
+        .groupBy("label", "_rid")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot_c"),
+            F.sum(F.col("val") * F.col("val")).alias("n2"),
+            F.sum(F.col("c") * F.col("c")).alias("c2"),
+        )
+    )
+    cos = F.when(
+        (F.col("n2") > 0) & (F.col("c2") > 0),
+        F.col("dot_c") / (F.sqrt("n2") * F.sqrt("c2")),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.sqrt("n2")).alias("avg_norm"),
+            F.avg(cos).alias("avg_cos_centroid"),
+        )
+    )

@@ -126,6 +126,29 @@ def rolling_hash(col: Column, base: int = 1000003) -> Column:
     )
 
 
+# PII-ish patterns, engine-portable regex subset (Java regex ∩ RE2 — no
+# backrefs, no lookaround). Non-overlapping leftmost-longest extraction is
+# identical in both engines, so counts are oracle-mirrorable exactly.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_PATTERN = "https?://[^\\s]+"
+NUMSEQ_PATTERN = "[0-9]{2,}"  # digit runs: ids, phones, card fragments
+
+
+def pattern_count(col: Column, pattern: str) -> Column:
+    """Non-overlapping match count of `pattern` (JVM regexp_count — codegen,
+    no Python)."""
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails/URLs/digit-runs with typed placeholders — the
+    write-side scrub of a PII pipeline. Order matters: emails before digit
+    runs (an email may contain digits), URLs before digit runs likewise."""
+    out = F.regexp_replace(col, EMAIL_PATTERN, "[EMAIL]")
+    out = F.regexp_replace(out, URL_PATTERN, "[URL]")
+    return F.regexp_replace(out, NUMSEQ_PATTERN, "[NUM]")
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature set — one projection, zero shuffles."""
     c = F.col(text_col)

@@ -66,4 +66,5 @@ def load_all() -> None:
         analytics,
         northstar,
         events,
+        corpus,
     )

@@ -1,0 +1,291 @@
+"""Corpus-construction queries: chunking, PII scanning, benchmark
+decontamination, quality stratification, percentile budgeting, embedding
+cluster audits, tombstone deletes, and mixture weighting — the
+training-data-pipeline surface beyond dedup/similarity (SURVEY.md §2.9
+north-star scope). Every query here is deterministic and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eurostat_energy_etl_pipeline_spark.catalog import load_tables
+from eurostat_energy_etl_pipeline_spark.operators import text as T
+from eurostat_energy_etl_pipeline_spark.operators.chunking import chunk_documents
+from eurostat_energy_etl_pipeline_spark.operators.dedup import contaminated_ids
+from eurostat_energy_etl_pipeline_spark.operators.similarity import label_cohesion
+from eurostat_energy_etl_pipeline_spark.plans import query
+
+
+@query(
+    "q50_doc_chunks",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
+             greatest(CAST(ceil(CAST(len(string_split_regex(trim(lower(text)), '\s+')) - 64
+                  AS DOUBLE) / 48) AS INT), 0) + 1 AS nc
+      FROM documents
+    )
+    SELECT doc_id, i - 1 AS chunk_id,
+           CAST(len(toks[(i-1)*48+1:(i-1)*48+64]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(toks[(i-1)*48+1:(i-1)*48+64], ' ')) AS chunk_hash
+    FROM tok, unnest(generate_series(1, nc)) AS t(i)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q50(spark, sf_dir):
+    """Overlapping 64-token / stride-48 chunking of every document, checked
+    content-exactly via per-chunk md5. Scan-side explode only — no shuffle
+    (`operators/chunking.py`)."""
+    t = load_tables(spark, sf_dir)
+    chunks = chunk_documents(t["documents"], chunk_tokens=64, stride=48)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q51_pii_scan",
+    oracle=r"""
+    SELECT event_type,
+           CAST(sum(len(regexp_extract_all(props, '[0-9]{2,}'))) AS BIGINT) AS numseqs,
+           CAST(sum(len(regexp_extract_all(props,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+           CAST(sum(len(regexp_extract_all(props, 'https?://[^\s]+'))) AS BIGINT) AS urls,
+           count(DISTINCT regexp_replace(regexp_replace(regexp_replace(props,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                'https?://[^\s]+', '[URL]', 'g'),
+                '[0-9]{2,}', '[NUM]', 'g')) AS distinct_redacted
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q51(spark, sf_dir):
+    """PII scan + redaction audit over the event payloads: per-type counts
+    of digit-runs / emails / URLs and the distinct payload count AFTER
+    redaction (how much cardinality the scrub collapses). Pure codegen
+    regex — the portable Java∩RE2 subset, mirrored exactly by the oracle."""
+    t = load_tables(spark, sf_dir)
+    p = F.col("props")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.sum(T.pattern_count(p, T.NUMSEQ_PATTERN)).alias("numseqs"),
+            F.sum(T.pattern_count(p, T.EMAIL_PATTERN)).alias("emails"),
+            F.sum(T.pattern_count(p, T.URL_PATTERN)).alias("urls"),
+            F.countDistinct(T.redact_pii(p)).alias("distinct_redacted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q52_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, substr(md5(g), 1, 16) AS g
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(tk) < 4 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(generate_series(1, len(tk) - 3),
+                         i -> array_to_string(tk[i:i+3], ' ')) END) AS g
+        FROM toks)
+    )
+    SELECT DISTINCT c.doc_id FROM grams c
+    WHERE c.doc_id % 97 != 0
+      AND c.g IN (SELECT g FROM grams WHERE doc_id % 97 = 0)
+    ORDER BY doc_id
+    """,
+)
+def q52(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 97 != 0) sharing
+    any 4-token shingle with the held-out benchmark subset (doc_id % 97 =
+    0). Both sides reduce to distinct 64-bit gram keys before a broadcast
+    semi-join (`operators/dedup.contaminated_ids`); the oracle mirrors the
+    md5-prefix key exactly, so the contaminated set is checked as an exact
+    set."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return contaminated_ids(corpus, bench, k=4).orderBy("doc_id")
+
+
+@query(
+    "q53_quality_deciles",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             (least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+              + least(CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       t -> list_contains(['the','and','of','is','to','in','that','with',
+                                           'a','an','for','on','as','are','it'], t))) AS DOUBLE)
+                       / len(string_split_regex(trim(lower(text)), '\s+')) END * 4.0, 1.0) * 0.3
+              + (1.0 - least(CASE WHEN len(text) > 0
+                  THEN CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / len(text) ELSE 0.0 END * 5.0, 1.0)) * 0.2) AS quality
+      FROM documents
+    )
+    SELECT decile, count(*) AS docs, round(avg(quality), 4) AS avg_quality
+    FROM (SELECT doc_id, quality,
+                 ntile(10) OVER (ORDER BY quality, doc_id) AS decile FROM q)
+    GROUP BY decile ORDER BY decile
+    """,
+)
+def q53(spark, sf_dir):
+    """Quality-decile stratification (curriculum/filtering readout): ntile
+    over the composite quality score with a deterministic doc_id tie-break,
+    rolled up per decile. Single window + single aggregate."""
+    t = load_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q54_token_percentiles",
+    oracle=r"""
+    SELECT lang,
+           round(quantile_cont(nt, 0.5), 4) AS p50,
+           round(quantile_cont(nt, 0.9), 4) AS p90,
+           round(quantile_cont(nt, 0.99), 4) AS p99
+    FROM (SELECT lang, CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS nt
+          FROM documents)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q54(spark, sf_dir):
+    """Exact interpolated token-count percentiles per language (sequence-
+    length budgeting for packing/truncation decisions). Spark `percentile`
+    and DuckDB `quantile_cont` share the linear-interpolation definition,
+    so values match to the rounded digit."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("lang", T.token_count(F.col("text")).alias("nt"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.percentile("nt", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("nt", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("nt", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q55_label_cohesion",
+    oracle=r"""
+    WITH e AS (
+      SELECT label, vec_id, (u)[1] AS val, (u)[2] AS pos
+      FROM (SELECT label, vec_id,
+                   unnest(list_zip(CAST(embedding AS DOUBLE[]),
+                                   generate_series(1, len(embedding)))) AS u
+            FROM embeddings)
+    ),
+    cent AS (SELECT label, pos, avg(val) AS c FROM e GROUP BY label, pos),
+    per_vec AS (
+      SELECT e.label, e.vec_id,
+             sum(e.val * cent.c) AS dot_c,
+             sum(e.val * e.val) AS n2,
+             sum(cent.c * cent.c) AS c2
+      FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+      GROUP BY e.label, e.vec_id
+    )
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(n2)), 4) AS avg_norm,
+           round(avg(CASE WHEN n2 > 0 AND c2 > 0
+                     THEN dot_c / (sqrt(n2) * sqrt(c2)) ELSE 0.0 END), 4)
+             AS avg_cos_centroid
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def q55(spark, sf_dir):
+    """Embedding cluster audit: per-label member count, mean norm, and mean
+    cosine-to-centroid (`operators/similarity.label_cohesion`) — IVF cell
+    balance / label purity in one pass over exploded (label, dim) space."""
+    t = load_tables(spark, sf_dir)
+    out = label_cohesion(t["embeddings"])
+    return out.select(
+        "label",
+        "n",
+        F.round("avg_norm", 4).alias("avg_norm"),
+        F.round("avg_cos_centroid", 4).alias("avg_cos_centroid"),
+    ).orderBy("label")
+
+
+@query(
+    "q56_tombstone_delete",
+    oracle=r"""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q56(spark, sf_dir):
+    """Right-to-erasure pass: drop every event of the tombstoned users
+    (user_id % 13 = 0) via a broadcast anti-join against the deletion list,
+    then account what survives. The anti-join (not a rewritten predicate)
+    is the real shape: at scale the deletion list is an external table, and
+    broadcasting it keeps the fact scan shuffle-free."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    tombstones = ev.where(F.col("user_id") % 13 == 0).select("user_id").distinct()
+    return (
+        ev.join(F.broadcast(tombstones), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q57_mixture_weights",
+    oracle=r"""
+    WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT lang, n_docs,
+           round(pow(n_docs, 0.7) / sum(pow(n_docs, 0.7)) OVER (), 6) AS weight,
+           CAST(floor(pow(n_docs, 0.7) / sum(pow(n_docs, 0.7)) OVER () * 100000)
+                AS BIGINT) AS alloc_100k
+    FROM n ORDER BY lang
+    """,
+)
+def q57(spark, sf_dir):
+    """Temperature-scaled mixture weights (alpha = 0.7) per language and the
+    integer document allocation out of a 100k budget — the sampling-ratio
+    step of multi-source corpus blending. One aggregate + one unpartitioned
+    window over |languages| rows (the window input is already tiny)."""
+    t = load_tables(spark, sf_dir)
+    n = t["documents"].groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    raw = F.pow("n_docs", 0.7)
+    weight = raw / F.sum(raw).over(w_all)
+    return n.select(
+        "lang",
+        "n_docs",
+        F.round(weight, 6).alias("weight"),
+        F.floor(weight * 100000).cast("long").alias("alloc_100k"),
+    ).orderBy("lang")
