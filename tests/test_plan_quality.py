@@ -108,3 +108,33 @@ def test_q11_agg_and_window_share_one_exchange(spark, queries):
     # tree entries only.
     plan = plan_of(queries["q11_lag"](spark, SF_DIR))
     assert plan.count("+- Exchange") == 2, plan
+
+
+def test_q50_chunking_is_shuffle_free(spark, queries):
+    # Chunking is scan-side Generate (explode) + projections; the only
+    # exchange allowed is the presentation sort's range partitioning.
+    plan = plan_of(queries["q50_doc_chunks"](spark, SF_DIR))
+    assert "Generate" in plan
+    assert plan.count("+- Exchange") <= 1, plan
+
+
+def test_q52_decontamination_broadcasts_benchmark(spark, queries):
+    # The benchmark gram side must broadcast; the corpus grams must never
+    # sort-merge (that would shuffle |corpus grams| rows by gram key).
+    plan = plan_of(queries["q52_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q55_cohesion_broadcasts_centroids(spark, queries):
+    # Centroids are |labels| x dim rows — broadcast back to the exploded
+    # vectors rather than shuffling the vector side a second time.
+    plan = plan_of(queries["q55_label_cohesion"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q56_tombstone_anti_join_broadcasts(spark, queries):
+    plan = plan_of(queries["q56_tombstone_delete"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
