@@ -158,3 +158,52 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> Dat
     which Spark re-plans per batch, so a broadcast-sized dim never shuffles
     the stream. No watermark needed (static side is unbounded-lifetime)."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def attribution_join(
+    events: DataFrame,
+    trigger_type: str = "click",
+    outcome_type: str = "purchase",
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: attribute each
+    outcome event to trigger events by the same user within `horizon`
+    BEFORE it (the streaming twin of the batch as-of/range join in
+    plans/events.py). Both sides carry watermarks plus a time-range join
+    condition, so Spark can bound the buffered state on each side and GC
+    rows older than watermark + horizon — without the range condition the
+    state would grow forever. Join keys: equi on user_id (state is
+    hash-partitioned by user) + the range predicate evaluated in-partition.
+    """
+    trig = (
+        events.where(F.col("event_type") == trigger_type)
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("t_ts"),
+            F.col("event_id").alias("trigger_id"),
+        )
+        .withWatermark("t_ts", "10 minutes")
+    )
+    out = (
+        events.where(F.col("event_type") == outcome_type)
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("ts").alias("o_ts"),
+            F.col("event_id").alias("outcome_id"),
+            F.col("value").alias("outcome_value"),
+        )
+        .withWatermark("o_ts", "10 minutes")
+    )
+    return trig.join(
+        out,
+        (F.col("t_user") == F.col("o_user"))
+        & (F.col("o_ts") >= F.col("t_ts"))
+        & (F.col("o_ts") <= F.col("t_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("t_user").alias("user_id"),
+        "trigger_id",
+        "outcome_id",
+        F.col("t_ts").alias("trigger_ts"),
+        F.col("o_ts").alias("outcome_ts"),
+        "outcome_value",
+    )

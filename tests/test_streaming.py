@@ -97,3 +97,41 @@ def test_enrich_stream_static_join(spark, stream, sf_dir):
         assert matched == got.where(F.col("user_id") < 50).count()
     finally:
         q.stop()
+
+
+def test_attribution_join_matches_batch(spark, sf_dir, stream):
+    from eurostat_energy_etl_pipeline_spark.streaming.events import attribution_join
+
+    q = run_to_memory(attribution_join(stream), "t_attrib", "append")
+    try:
+        got = spark.sql(
+            "SELECT trigger_id, outcome_id FROM t_attrib ORDER BY trigger_id, outcome_id"
+        ).toPandas()
+    finally:
+        q.stop()
+    ev = load_tables(spark, sf_dir)["events"]
+    import pyspark.sql.functions as F
+
+    trig = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("trigger_id"),
+    )
+    out = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("o_user"), F.col("ts").alias("o_ts"),
+        F.col("event_id").alias("outcome_id"),
+    )
+    batch = (
+        trig.join(
+            out,
+            (F.col("t_user") == F.col("o_user"))
+            & (F.col("o_ts") >= F.col("t_ts"))
+            & (F.col("o_ts") <= F.col("t_ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select("trigger_id", "outcome_id")
+        .orderBy("trigger_id", "outcome_id")
+        .toPandas()
+    )
+    # The single-file source delivers everything in one micro-batch, so no
+    # row is ever late: streaming output must equal the batch join exactly.
+    assert len(got) > 0
+    assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
