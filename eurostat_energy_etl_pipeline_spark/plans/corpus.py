@@ -289,3 +289,85 @@ def q57(spark, sf_dir):
         F.round(weight, 6).alias("weight"),
         F.floor(weight * 100000).cast("long").alias("alloc_100k"),
     ).orderBy("lang")
+
+
+@query(
+    "q58_repetition_ratio",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(generate_series(1, len(tk) - 2),
+                       i -> array_to_string(tk[i:i+2], ' ')) END AS grams
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\s+') AS tk
+            FROM documents)
+    )
+    SELECT lang,
+           round(avg(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)), 4)
+             AS avg_repetition,
+           CAST(sum(CASE WHEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                              / len(grams) > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+    FROM sh GROUP BY lang ORDER BY lang
+    """,
+)
+def q58(spark, sf_dir):
+    """Within-document self-repetition (Gopher-style quality rule): the
+    fraction of a document's 3-gram instances that are duplicates of an
+    earlier gram, averaged per language, plus the count of docs above a
+    0.2 repetition threshold. Array expressions per row — no explode, no
+    shuffle beyond the final tiny aggregate."""
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import token_shingles
+
+    t = load_tables(spark, sf_dir)
+    grams = token_shingles(F.col("text"), 3)
+    rep = 1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+    return (
+        t["documents"]
+        .select("lang", rep.alias("rep"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("rep"), 4).alias("avg_repetition"),
+            F.sum(F.when(F.col("rep") > 0.2, 1).otherwise(0)).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q59_cross_source_overlap",
+    oracle=r"""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(array_to_string((string_split_regex(trim(lower(text)), '\s+'))[1:4],
+                 ' ')) AS f
+      FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_signatures
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """,
+)
+def q59(spark, sf_dir):
+    """Cross-source boilerplate/overlap matrix: for every source pair, how
+    many document *prefix signatures* (md5 of the first 4 tokens — the
+    cheap shared-template/header detector) both contain. The
+    provenance-overlap audit run before mixing crawl snapshots; with exact
+    fingerprints the same plan yields full-duplicate provenance. Joins
+    DISTINCT (source, signature) tuples only, never text; the `<`
+    predicate halves the output and drops self-pairs."""
+    t = load_tables(spark, sf_dir)
+    sig = F.md5(
+        F.array_join(F.slice(T.whitespace_tokens(F.col("text")), 1, 4), " ")
+    )
+    fp = t["documents"].select("source", sig.alias("f")).distinct()
+    a = fp.select(F.col("source").alias("src_a"), "f")
+    b = fp.select(F.col("source").alias("src_b"), "f")
+    return (
+        a.join(b, "f")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_signatures"))
+        .orderBy("src_a", "src_b")
+    )

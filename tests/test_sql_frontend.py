@@ -32,6 +32,14 @@ DUCKDB_ONLY = {
     "q49_sequence_pack",     # duckdb string_split_regex (same token idiom)
     "q30_quality_buckets",   # duckdb string_split_regex/list_*
     "q31_embedding_neardup", # duckdb list_* vector arithmetic
+    "q50_doc_chunks",        # duckdb list slicing + lateral generate_series
+    "q51_pii_scan",          # duckdb regexp_extract_all/len + 'g' flag
+    "q52_decontaminate",     # duckdb string_split_regex/list_transform
+    "q53_quality_deciles",   # duckdb string_split_regex/list_*
+    "q54_token_percentiles", # duckdb quantile_cont (Spark: percentile)
+    "q55_label_cohesion",    # duckdb list_zip + generate_series-as-list
+    "q58_repetition_ratio",  # duckdb string_split_regex/list_*
+    "q59_cross_source_overlap",  # duckdb string_split_regex slicing
 }
 
 
