@@ -502,15 +502,21 @@ def contaminated_ids(
     distinct-key equi-join as a regular shuffle join.
     """
     gram_key = F.substring(F.md5(F.col("_gram")), 1, 16)
-    corpus_grams = (
-        corpus.select(
-            F.col(id_col), F.explode(token_shingles(F.col(text_col), k)).alias("_gram")
-        )
-        .select(id_col, gram_key.alias("_g"))
-        .dropDuplicates([id_col, "_g"])
-    )
+    # No per-doc gram dedup before the join: a left-semi probe emits each
+    # left row at most once and the final distinct() reduces to ids, so a
+    # dropDuplicates([id, gram]) here would add a full shuffle of the gram
+    # stream for nothing. array_distinct BEFORE the explode trims repeated
+    # grams row-locally (free, no shuffle).
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_shingles(F.col(text_col), k))).alias("_gram"),
+    ).select(id_col, gram_key.alias("_g"))
     bench_grams = (
-        benchmark.select(F.explode(token_shingles(F.col(text_col), k)).alias("_gram"))
+        benchmark.select(
+            F.explode(F.array_distinct(token_shingles(F.col(text_col), k))).alias(
+                "_gram"
+            )
+        )
         .select(gram_key.alias("_g"))
         .distinct()
     )
