@@ -1,0 +1,117 @@
+"""Distributed global ranking: row_number / ntile over a TOTAL order
+without a single-partition window.
+
+`Window.orderBy(...)` with no partition key moves EVERY row to one task
+(Spark even warns: "No Partition Defined for Window operation"), which is
+a non-starter at corpus scale. The classic fix (TeraSort-style) is:
+
+1. range-partition the input on the order key, so partition p holds a
+   contiguous, disjoint key range and partitions are mutually ordered;
+2. count rows per partition — a tiny aggregate (one row per partition)
+   collected to the driver, exactly like a sort's boundary sample;
+3. broadcast the cumulative offsets back and add them to a PARTITIONED
+   window's local row_number: global_rank = offset[p] + local_rank.
+
+Every step is a narrow scan or a partitioned window; the only driver-side
+data is #partitions integers. The total order must be unique (pass a
+tie-break column) or ranks within a tie are partition-layout-dependent.
+
+ntile(k) is then pure arithmetic on the global rank: with N rows, the
+first N % k buckets get ceil(N/k) rows and the rest floor(N/k) — the
+exact semantics of SQL NTILE, reproduced from the rank so the result is
+hash-identical to a single-partition NTILE while scaling linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ranked_with_total(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Shared kernel: (globally ranked DataFrame, total row count). The
+    total falls out of the per-partition offsets pass for free, so callers
+    that need N (ntile) never schedule a separate count() job."""
+    cols = [F.col(c) for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("__part", F.spark_partition_id())
+        # Sortedness inside each range partition gives the local window a
+        # pre-ordered input; the window below re-states the order for
+        # correctness (sortWithinPartitions is an optimization, not load-
+        # bearing).
+        .sortWithinPartitions(*cols)
+    )
+    # One row per partition: (partition id, row count). Collecting P rows
+    # to the driver is the same cost class as a global sort's range-bound
+    # sample — O(#partitions), independent of data size.
+    counts = {
+        r["__part"]: r["n"]
+        for r in ranged.groupBy("__part").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    offset_expr = F.element_at(
+        F.create_map(
+            *[x for p in sorted(offsets) for x in (F.lit(p), F.lit(offsets[p]))]
+        ),
+        F.col("__part"),
+    )
+    local = Window.partitionBy("__part").orderBy(*cols)
+    ranked = ranged.withColumn(
+        out_col, F.row_number().over(local) + offset_expr
+    ).drop("__part")
+    return ranked, acc
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based global rank over ``order_cols`` (must be a unique
+    total order) using range partitioning + per-partition offsets. Adds a
+    `__part` shuffle + one P-row collect; never a single-partition window.
+    """
+    ranked, _ = _ranked_with_total(df, order_cols, out_col, num_partitions)
+    return ranked
+
+
+def ntile_from_rank(rank: Column, n_rows: int, k: int) -> Column:
+    """Exact SQL NTILE(k) bucket from a 1-based global rank over ``n_rows``
+    rows: the first n_rows % k buckets take ceil(n_rows/k) rows each."""
+    big = n_rows % k
+    size_hi = n_rows // k + 1
+    size_lo = max(n_rows // k, 1)
+    boundary = big * size_hi
+    return (
+        F.when(rank <= F.lit(boundary), F.floor((rank - 1) / F.lit(size_hi)) + 1)
+        .otherwise(F.floor((rank - 1 - boundary) / F.lit(size_lo)) + big + 1)
+        .cast("int")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """NTILE(k) over a global total order, computed distributively. Result
+    is row-identical to `ntile(k) OVER (ORDER BY ...)` (proven by the q53
+    oracle hash) with no single-partition stage."""
+    ranked, n_rows = _ranked_with_total(df, order_cols, "__rank", num_partitions)
+    return ranked.withColumn(
+        out_col, ntile_from_rank(F.col("__rank"), max(n_rows, 1), k)
+    ).drop("__rank")

@@ -14,6 +14,7 @@ from eurostat_energy_etl_pipeline_spark.catalog import load_tables
 from eurostat_energy_etl_pipeline_spark.operators import text as T
 from eurostat_energy_etl_pipeline_spark.operators.chunking import chunk_documents
 from eurostat_energy_etl_pipeline_spark.operators.dedup import contaminated_ids
+from eurostat_energy_etl_pipeline_spark.operators.ranking import global_ntile
 from eurostat_energy_etl_pipeline_spark.operators.similarity import label_cohesion
 from eurostat_energy_etl_pipeline_spark.plans import query
 
@@ -143,14 +144,16 @@ def q52(spark, sf_dir):
 def q53(spark, sf_dir):
     """Quality-decile stratification (curriculum/filtering readout): ntile
     over the composite quality score with a deterministic doc_id tie-break,
-    rolled up per decile. Single window + single aggregate."""
+    rolled up per decile. Uses the distributed TeraSort-style global ntile
+    (`operators/ranking.global_ntile`: range partition + per-partition
+    offsets) instead of `ntile OVER (ORDER BY ...)`, which would move every
+    row through one task — row-identical by construction, scales linearly."""
     t = load_tables(spark, sf_dir)
     scored = t["documents"].select(
         "doc_id", T.quality_score(F.col("text")).alias("quality")
     )
-    w = Window.orderBy("quality", "doc_id")
     return (
-        scored.withColumn("decile", F.ntile(10).over(w))
+        global_ntile(scored, ["quality", "doc_id"], 10, "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("docs"),

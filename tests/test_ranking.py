@@ -1,0 +1,78 @@
+"""Distributed global ranking (operators/ranking.py): row-identical to the
+single-partition `row_number()/ntile() OVER (ORDER BY ...)` builtins, with
+no single-partition window stage in the plan."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+    global_ntile,
+    global_row_number,
+    ntile_from_rank,
+)
+
+
+def _df(spark, n=237, parts=7):
+    # Non-monotonic values + unique id tie-break; deliberately unsorted
+    # layout across several input partitions.
+    return spark.range(n, numPartitions=parts).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 11).alias("v"),
+    )
+
+
+class TestGlobalRowNumber:
+    def test_matches_single_partition_window(self, spark):
+        df = _df(spark)
+        got = {
+            (r.id, r.rank)
+            for r in global_row_number(df, ["v", "id"], "rank").collect()
+        }
+        want = {
+            (r.id, r.rank)
+            for r in df.withColumn(
+                "rank", F.row_number().over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want
+
+    def test_rank_is_dense_permutation(self, spark):
+        ranks = [
+            r.rank
+            for r in global_row_number(_df(spark, 50), ["v", "id"]).collect()
+        ]
+        assert sorted(ranks) == list(range(1, 51))
+
+    def test_no_single_partition_window(self, spark):
+        plan = global_row_number(_df(spark), ["v", "id"])._jdf.queryExecution().executedPlan().toString()
+        # The window must be keyed by the range-partition id, never empty.
+        assert "windowspecdefinition(__part" in plan.replace(" ", "").lower() or "__part" in plan
+
+
+class TestGlobalNtile:
+    @pytest.mark.parametrize("n,k", [(237, 10), (40, 7), (10, 10), (3, 10), (1, 4)])
+    def test_matches_builtin_ntile(self, spark, n, k):
+        df = _df(spark, n)
+        got = {
+            (r.id, r.bucket)
+            for r in global_ntile(df, ["v", "id"], k).collect()
+        }
+        want = {
+            (r.id, r.b)
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want
+
+    def test_ntile_from_rank_formula(self, spark):
+        # 10 rows, k=4 -> bucket sizes 3,3,2,2 exactly like SQL NTILE.
+        df = spark.range(1, 11).select(F.col("id").alias("rank"))
+        out = df.select(
+            "rank", ntile_from_rank(F.col("rank"), 10, 4).alias("b")
+        ).collect()
+        sizes = {}
+        for r in out:
+            sizes[r.b] = sizes.get(r.b, 0) + 1
+        assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
