@@ -138,3 +138,14 @@ def test_q56_tombstone_anti_join_broadcasts(spark, queries):
     plan = plan_of(queries["q56_tombstone_delete"](spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q53_global_ntile_never_single_partition(spark, queries):
+    # NTILE over a total order must come from the range-partition +
+    # per-partition-offset kernel (operators/ranking.py), never from a
+    # single-partition window: every row through one task is the canonical
+    # 100 TB scale-killer.
+    plan = plan_of(queries["q53_quality_deciles"](spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning(quality" in plan  # TeraSort-style layout
+    assert "windowspecdefinition(__part" in plan  # window is partitioned
