@@ -374,3 +374,37 @@ def q59(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("shared_signatures"))
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "q60_global_ids",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT) AS gid
+      FROM documents
+    )
+    SELECT doc_id, gid, CAST(floor((gid - 1) / 256.0) AS INT) AS shard_id
+    FROM r ORDER BY gid
+    """,
+)
+def q60(spark, sf_dir):
+    """Shard-manifest construction: a stable, contiguous global index per
+    document (ordered by (lang, doc_id) so same-language docs land in the
+    same shards) plus the 256-docs-per-shard assignment. This is the
+    "assign every training example a global position" step of corpus
+    serialization. Uses `operators/ranking.global_row_number` (range
+    partition + per-partition offsets) — identical output to
+    `row_number() OVER (ORDER BY ...)` with no single-partition stage."""
+    from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ranked = global_row_number(
+        t["documents"].select("doc_id", "lang"), ["lang", "doc_id"], "gid"
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("gid").cast("long").alias("gid"),
+        F.expr("(gid - 1) div 256").cast("int").alias("shard_id"),
+    ).orderBy("gid")
