@@ -60,15 +60,22 @@ def _ranked_with_total(
     for p in sorted(counts):
         offsets[p] = acc
         acc += counts[p]
+    # Offsets are pinned to LongType: a Python int literal under 2^31 turns
+    # into IntegerType, so at >2^31 rows the map would mix Integer and Long
+    # values (type error) — and the rank itself must be 64-bit anyway.
     offset_expr = F.element_at(
         F.create_map(
-            *[x for p in sorted(offsets) for x in (F.lit(p), F.lit(offsets[p]))]
+            *[
+                x
+                for p in sorted(offsets)
+                for x in (F.lit(p), F.lit(offsets[p]).cast("long"))
+            ]
         ),
         F.col("__part"),
     )
     local = Window.partitionBy("__part").orderBy(*cols)
     ranked = ranged.withColumn(
-        out_col, F.row_number().over(local) + offset_expr
+        out_col, F.row_number().over(local).cast("long") + offset_expr
     ).drop("__part")
     return ranked, acc
 
@@ -89,7 +96,10 @@ def global_row_number(
 
 def ntile_from_rank(rank: Column, n_rows: int, k: int) -> Column:
     """Exact SQL NTILE(k) bucket from a 1-based global rank over ``n_rows``
-    rows: the first n_rows % k buckets take ceil(n_rows/k) rows each."""
+    rows: the first n_rows % k buckets take ceil(n_rows/k) rows each.
+
+    The floor-of-division runs in double precision, exact for ranks below
+    2^53 (~9e15 rows — far past any corpus; 100 TB of 1 KB docs is ~1e11)."""
     big = n_rows % k
     size_hi = n_rows // k + 1
     size_lo = max(n_rows // k, 1)
