@@ -137,9 +137,17 @@ class TableCatalog(Mapping):
 def _normalize_table(name: str, df: DataFrame) -> DataFrame:
     """Normalize fixture-schema surprises to the documented dtypes
     (FIXTURES.md), so downstream plans never see a raw landmine type."""
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong read: long nanos -> exact microsecond timestamp.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanosAsLong read of a TIMESTAMP(NANOS) fixture: long nanos ->
+            # exact microsecond timestamp.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture: arrives as
+            # timestamp_ntz; with session TZ pinned to UTC the cast is the
+            # identity wall-clock DuckDB's naive TIMESTAMP sees.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

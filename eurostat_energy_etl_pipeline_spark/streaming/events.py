@@ -29,13 +29,14 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # stored as TIMESTAMP(NANOS) -> long
+        StructField("ts", TimestampNTZType()),  # TIMESTAMP(MICROS, ntz) fixture
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -48,16 +49,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events parquet (one file = one
     micro-batch; production swaps in kafka with the same downstream plan).
     File streams require a directory path, so the sf dir is used with a
-    glob filter selecting only the events table. ts arrives as long nanos
-    (see catalog.load_tables) and is converted with exact integer
-    arithmetic."""
+    glob filter selecting only the events table. ts is stored ntz and cast
+    to session-TZ timestamp (UTC per catalog.ensure_session_confs), the same
+    normalization the batch catalog applies."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast(TimestampType()))
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:

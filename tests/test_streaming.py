@@ -68,7 +68,7 @@ def test_dedup_stream_drops_duplicates(spark, stream, sf_dir):
         from pyspark.sql import functions as F
 
         exp = (
-            batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            batch.withColumn("ts", F.col("ts").cast("timestamp"))
             .withColumn("content_key", F.xxhash64("event_type", "value", "props"))
             .dropDuplicates(["content_key", "ts"])
             .count()
