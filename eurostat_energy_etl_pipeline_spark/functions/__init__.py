@@ -12,10 +12,14 @@ from eurostat_energy_etl_pipeline_spark.functions.domain import (
     insight_text,
     trend_label,
 )
+from eurostat_energy_etl_pipeline_spark.functions.presentation import (
+    presentation_sort,
+)
 
 __all__ = [
     "exact_avg",
     "exact_sum",
+    "presentation_sort",
     "rolling_mean_min_periods",
     "rolling_std_min_periods",
     "growth_pct",

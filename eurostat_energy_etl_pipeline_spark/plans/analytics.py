@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from eurostat_energy_etl_pipeline_spark.catalog import observations_view, with_cte
-from eurostat_energy_etl_pipeline_spark.functions import exact_avg
+from eurostat_energy_etl_pipeline_spark.functions import exact_avg, presentation_sort
 from eurostat_energy_etl_pipeline_spark.plans import query
 
 
@@ -87,7 +87,9 @@ def dash_domains(spark, sf_dir):
     """Tab2 selector domain: sorted distinct countries
     (/root/reference/app/streamlit_app.py:138-139)."""
     obs = observations_view(spark, sf_dir)
-    return obs.select(F.col("country_code").alias("geo")).distinct().orderBy("geo")
+    return presentation_sort(
+        obs.select(F.col("country_code").alias("geo")).distinct(), "geo"
+    )
 
 
 @query(
@@ -160,7 +162,7 @@ def dash_heatmap(spark, sf_dir):
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
             ).alias("total")
         )
-        .orderBy("country_code", "yr")
+        .transform(presentation_sort, "country_code", "yr")
     )
 
 
@@ -199,7 +201,7 @@ def dash_pivot_types(spark, sf_dir):
         .pivot("dataset_code", ["nrg_cb_e", "ten00124"])
         .agg(F.round(F.sum("v").cast("double") / F.count("v"), 4))
     )
-    return piv.orderBy("yr")
+    return presentation_sort(piv, "yr")
 
 
 @query(

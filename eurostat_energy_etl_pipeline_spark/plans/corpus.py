@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
+from eurostat_energy_etl_pipeline_spark.functions import presentation_sort
 from eurostat_energy_etl_pipeline_spark.operators import text as T
 from eurostat_energy_etl_pipeline_spark.operators.chunking import chunk_documents
 from eurostat_energy_etl_pipeline_spark.operators.dedup import contaminated_ids
@@ -80,7 +81,7 @@ def q51(spark, sf_dir):
             F.sum(T.pattern_count(p, T.URL_PATTERN)).alias("urls"),
             F.countDistinct(T.redact_pii(p)).alias("distinct_redacted"),
         )
-        .orderBy("event_type")
+        .transform(presentation_sort, "event_type")
     )
 
 
@@ -159,7 +160,7 @@ def q53(spark, sf_dir):
             F.count(F.lit(1)).alias("docs"),
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
-        .orderBy("decile")
+        .transform(presentation_sort, "decile")
     )
 
 
@@ -190,7 +191,7 @@ def q54(spark, sf_dir):
             F.round(F.percentile("nt", F.lit(0.9)), 4).alias("p90"),
             F.round(F.percentile("nt", F.lit(0.99)), 4).alias("p99"),
         )
-        .orderBy("lang")
+        .transform(presentation_sort, "lang")
     )
 
 
@@ -232,7 +233,7 @@ def q55(spark, sf_dir):
         "n",
         F.round("avg_norm", 4).alias("avg_norm"),
         F.round("avg_cos_centroid", 4).alias("avg_cos_centroid"),
-    ).orderBy("label")
+    ).transform(presentation_sort, "label")
 
 
 @query(
@@ -261,7 +262,7 @@ def q56(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .orderBy("event_type")
+        .transform(presentation_sort, "event_type")
     )
 
 
@@ -291,7 +292,7 @@ def q57(spark, sf_dir):
         "n_docs",
         F.round(weight, 6).alias("weight"),
         F.floor(weight * 100000).cast("long").alias("alloc_100k"),
-    ).orderBy("lang")
+    ).transform(presentation_sort, "lang")
 
 
 @query(
@@ -334,7 +335,7 @@ def q58(spark, sf_dir):
             F.round(F.avg("rep"), 4).alias("avg_repetition"),
             F.sum(F.when(F.col("rep") > 0.2, 1).otherwise(0)).alias("n_repetitive"),
         )
-        .orderBy("lang")
+        .transform(presentation_sort, "lang")
     )
 
 
@@ -372,7 +373,7 @@ def q59(spark, sf_dir):
         .where(F.col("src_a") < F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("shared_signatures"))
-        .orderBy("src_a", "src_b")
+        .transform(presentation_sort, "src_a", "src_b")
     )
 
 

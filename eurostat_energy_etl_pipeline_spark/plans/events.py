@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
-from eurostat_energy_etl_pipeline_spark.functions import exact_sum
+from eurostat_energy_etl_pipeline_spark.functions import exact_sum, presentation_sort
 from eurostat_energy_etl_pipeline_spark.plans import query
 
 SESSION_GAP_S = 1800.0  # 30-minute inactivity gap
@@ -70,7 +70,7 @@ def events_type_stats(spark, sf_dir):
                 exact_sum("value") / F.count(F.lit(1)), 6
             ).alias("avg_value"),
         )
-        .orderBy("event_type")
+        .transform(presentation_sort, "event_type")
     )
 
 
@@ -260,5 +260,5 @@ def events_range_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(dec).cast("double"), 4).alias("total"),
         )
-        .orderBy("campaign", "event_type")
+        .transform(presentation_sort, "campaign", "event_type")
     )

@@ -22,6 +22,7 @@ from eurostat_energy_etl_pipeline_spark.catalog import (
 from eurostat_energy_etl_pipeline_spark.functions import (
     exact_avg,
     growth_pct,
+    presentation_sort,
     indicator_display_name,
     insight_text,
     trend_label,
@@ -131,7 +132,7 @@ def q17(spark, sf_dir):
             F.round("slope", 6).alias("slope_per_year"),
             trend_label(F.col("slope")).alias("trend"),
         )
-        .orderBy("geo", "indicator")
+        .transform(presentation_sort, "geo", "indicator")
     )
 
 
@@ -209,7 +210,7 @@ def q17b(spark, sf_dir):
             ),
             trend_label(F.col("slope")).alias("trend_label"),
         )
-        .orderBy("geo", "indicator")
+        .transform(presentation_sort, "geo", "indicator")
     )
 
 

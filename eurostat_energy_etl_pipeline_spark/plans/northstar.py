@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
+from eurostat_energy_etl_pipeline_spark.functions import presentation_sort
 from eurostat_energy_etl_pipeline_spark.operators import dedup as D
 from eurostat_energy_etl_pipeline_spark.operators import similarity as S
 from eurostat_energy_etl_pipeline_spark.operators import text as T
@@ -56,7 +57,7 @@ def q20(spark, sf_dir):
                 F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
             ).alias("avg_chars"),
         )
-        .orderBy("lang")
+        .transform(presentation_sort, "lang")
     )
 
 
@@ -232,7 +233,7 @@ def q28(spark, sf_dir):
         .select(T.lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("docs"))
-        .orderBy("lang_pred")
+        .transform(presentation_sort, "lang_pred")
     )
 
 
@@ -261,7 +262,7 @@ def q29(spark, sf_dir):
             F.sum("nt").alias("total_tokens"),
             F.sum("nb").alias("total_bpe_tokens"),
         )
-        .orderBy("lang")
+        .transform(presentation_sort, "lang")
     )
 
 
@@ -300,7 +301,7 @@ def q30(spark, sf_dir):
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("docs"))
-        .orderBy("bucket")
+        .transform(presentation_sort, "bucket")
     )
 
 
@@ -404,7 +405,7 @@ def q34(spark, sf_dir):
         media_table(t["documents"])
         .groupBy("media_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("total_bytes"))
-        .orderBy("media_type")
+        .transform(presentation_sort, "media_type")
     )
 
 

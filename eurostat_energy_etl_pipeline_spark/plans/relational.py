@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
-from eurostat_energy_etl_pipeline_spark.functions import exact_avg, exact_sum
+from eurostat_energy_etl_pipeline_spark.functions import (
+    exact_avg,
+    exact_sum,
+    presentation_sort,
+)
 from eurostat_energy_etl_pipeline_spark.plans import query
 
 
@@ -72,12 +76,13 @@ def q02(spark, sf_dir):
 def q03(spark, sf_dir):
     """P10 not-null + A5 distinct (/root/reference/etl/main.py:132-143)."""
     t = load_tables(spark, sf_dir)
-    return (
+    return presentation_sort(
         t["orders"]
         .where(F.col("o_totalprice").isNotNull())
         .select("o_orderstatus", "o_orderpriority")
-        .distinct()
-        .orderBy("o_orderstatus", "o_orderpriority")
+        .distinct(),
+        "o_orderstatus",
+        "o_orderpriority",
     )
 
 
@@ -355,12 +360,13 @@ def q14(spark, sf_dir):
     """J1: dimension lookup as broadcast hash join
     (/root/reference/etl/main.py:118-122)."""
     t = load_tables(spark, sf_dir)
-    return (
+    return presentation_sort(
         t["customer"]
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "n_name")
+        .agg(F.count(F.lit(1)).alias("n")),
+        F.desc("n"),
+        "n_name",
     )
 
 
@@ -475,7 +481,7 @@ def q40(spark, sf_dir):
             "n",
             "total",
         )
-        .orderBy("status", "priority")
+        .transform(presentation_sort, "status", "priority")
     )
 
 
@@ -512,7 +518,7 @@ def q42(spark, sf_dir):
             F.round(F.stddev_samp(q), 6).alias("qty_stddev"),
             F.round(F.regr_slope(p, q), 4).alias("price_per_qty"),
         )
-        .orderBy("l_returnflag")
+        .transform(presentation_sort, "l_returnflag")
     )
 
 
@@ -546,7 +552,7 @@ def q43(spark, sf_dir):
             F.count(F.lit(1)).alias("customers"),
             F.round(F.sum(dec).cast("double"), 4).alias("balance"),
         )
-        .orderBy("r_name", "n_name")
+        .transform(presentation_sort, "r_name", "n_name")
     )
 
 
@@ -576,7 +582,7 @@ def q44(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
         )
-        .orderBy("p_brand", "p_type")
+        .transform(presentation_sort, "p_brand", "p_type")
     )
 
 
