@@ -12,6 +12,9 @@ from eurostat_energy_etl_pipeline_spark.functions.domain import (
     insight_text,
     trend_label,
 )
+from eurostat_energy_etl_pipeline_spark.functions.parallelism import (
+    widen_if_narrow,
+)
 from eurostat_energy_etl_pipeline_spark.functions.presentation import (
     presentation_sort,
 )
@@ -22,6 +25,7 @@ __all__ = [
     "presentation_sort",
     "rolling_mean_min_periods",
     "rolling_std_min_periods",
+    "widen_if_narrow",
     "growth_pct",
     "indicator_display_name",
     "insight_text",

@@ -1,0 +1,37 @@
+"""Scan-width guard for compute-bound stages.
+
+Spark sizes file-scan partitions by BYTES (`spark.sql.files.maxPartitionBytes`),
+which is right when cost scales with I/O but wrong for operators whose cost
+per row dwarfs their bytes: shingling, MinHash/SimHash signatures, n-gram
+language ID, per-series model fits. A small parquet file (or one with a
+single row group — row groups are parquet's split unit) arrives as ONE scan
+partition, and the whole corpus's compute then runs on one core while the
+rest of the executor idles.
+
+`widen_if_narrow` inserts a round-robin repartition ONLY when the input has
+fewer partitions than the session's parallelism. The probe reads the
+physical plan's partitioning (no job runs); the exchange it may add costs
+one pass over the input — trivial next to the per-row compute it unlocks.
+At warehouse scale the input is already hundreds of partitions wide and the
+guard is a no-op, so this never adds a shuffle to the 100 TB plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition `df` to `target` partitions (default: the session's
+    defaultParallelism) iff it currently has fewer — a planning-time probe,
+    not an action. Use at the entry of compute-bound operators."""
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df  # un-probe-able plan (e.g. streaming): leave it alone
+    if current < target:
+        return df.repartition(target)
+    return df

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from eurostat_energy_etl_pipeline_spark.functions.parallelism import widen_if_narrow
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -126,7 +128,9 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
 
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    # Decode cost is per-payload, not per-byte: widen a narrow scan so the
+    # Arrow batches spread across cores (no-op on an already-wide input).
+    return widen_if_narrow(media).mapInPandas(run, FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:

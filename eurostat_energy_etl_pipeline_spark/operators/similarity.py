@@ -22,6 +22,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from eurostat_energy_etl_pipeline_spark.functions.parallelism import widen_if_narrow
+
 
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")

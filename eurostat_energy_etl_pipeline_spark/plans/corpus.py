@@ -11,7 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
-from eurostat_energy_etl_pipeline_spark.functions import presentation_sort
+from eurostat_energy_etl_pipeline_spark.functions import presentation_sort, widen_if_narrow
 from eurostat_energy_etl_pipeline_spark.operators import text as T
 from eurostat_energy_etl_pipeline_spark.operators.chunking import chunk_documents
 from eurostat_energy_etl_pipeline_spark.operators.dedup import contaminated_ids
@@ -73,7 +73,7 @@ def q51(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     p = F.col("props")
     return (
-        t["events"]
+        widen_if_narrow(t["events"])
         .groupBy("event_type")
         .agg(
             F.sum(T.pattern_count(p, T.NUMSEQ_PATTERN)).alias("numseqs"),
@@ -150,7 +150,7 @@ def q53(spark, sf_dir):
     offsets) instead of `ntile OVER (ORDER BY ...)`, which would move every
     row through one task — row-identical by construction, scales linearly."""
     t = load_tables(spark, sf_dir)
-    scored = t["documents"].select(
+    scored = widen_if_narrow(t["documents"]).select(
         "doc_id", T.quality_score(F.col("text")).alias("quality")
     )
     return (
@@ -328,7 +328,7 @@ def q58(spark, sf_dir):
     grams = token_shingles(F.col("text"), 3)
     rep = 1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
     return (
-        t["documents"]
+        widen_if_narrow(t["documents"])
         .select("lang", rep.alias("rep"))
         .groupBy("lang")
         .agg(

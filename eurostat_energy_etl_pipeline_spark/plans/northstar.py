@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
-from eurostat_energy_etl_pipeline_spark.functions import presentation_sort
+from eurostat_energy_etl_pipeline_spark.functions import presentation_sort, widen_if_narrow
 from eurostat_energy_etl_pipeline_spark.operators import dedup as D
 from eurostat_energy_etl_pipeline_spark.operators import similarity as S
 from eurostat_energy_etl_pipeline_spark.operators import text as T
@@ -229,7 +229,7 @@ def q28(spark, sf_dir):
     fixed tie-break order)."""
     t = load_tables(spark, sf_dir)
     return (
-        t["documents"]
+        widen_if_narrow(t["documents"])
         .select(T.lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("docs"))
@@ -255,7 +255,7 @@ def q29(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     c = F.col("text")
     return (
-        t["documents"]
+        widen_if_narrow(t["documents"])
         .select("lang", T.token_count(c).alias("nt"), T.bpe_ish_token_count(c).alias("nb"))
         .groupBy("lang")
         .agg(
@@ -295,7 +295,7 @@ def q30(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     score = T.quality_score(F.col("text"))
     return (
-        t["documents"]
+        widen_if_narrow(t["documents"])
         .select(
             F.round(F.floor(score * 10).cast("double") / 10, 1).alias("bucket")
         )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eurostat_energy_etl_pipeline_spark.functions.parallelism import widen_if_narrow
 from eurostat_energy_etl_pipeline_spark.operators.text import (
     ENGLISH_STOPWORDS,
     whitespace_tokens,
@@ -67,7 +68,8 @@ def build_index(
 
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
-        df.select(F.col(id_col).alias("id"), F.explode(_terms(F.col(text_col))).alias("term"))
+        widen_if_narrow(df)
+        .select(F.col(id_col).alias("id"), F.explode(_terms(F.col(text_col))).alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
