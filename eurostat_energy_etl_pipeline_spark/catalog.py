@@ -134,20 +134,36 @@ class TableCatalog(Mapping):
         return len(TABLES)
 
 
+# Documented timestamp columns per FIXTURES.md §1. The driver has already
+# regenerated the fixtures with a different physical timestamp encoding
+# between rounds (TIMESTAMP(NANOS) -> TIMESTAMP(MICROS, ntz)), so every
+# timestamp column is normalized defensively, not just the one that broke.
+_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
 def _normalize_table(name: str, df: DataFrame) -> DataFrame:
     """Normalize fixture-schema surprises to the documented dtypes
-    (FIXTURES.md), so downstream plans never see a raw landmine type."""
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # nanosAsLong read of a TIMESTAMP(NANOS) fixture: long nanos ->
-            # exact microsecond timestamp.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture: arrives as
-            # timestamp_ntz; with session TZ pinned to UTC the cast is the
-            # identity wall-clock DuckDB's naive TIMESTAMP sees.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    (FIXTURES.md), so downstream plans never see a raw landmine type.
+
+    Handles every physical encoding a timestamp fixture has shipped with:
+    - long nanos (TIMESTAMP(NANOS) under nanosAsLong) -> exact integer
+      `div 1000` to microseconds;
+    - timestamp_ntz (TIMESTAMP MICROS/MILLIS, isAdjustedToUTC=false) ->
+      cast to session-TZ timestamp (identity wall-clock; the session TZ is
+      pinned to UTC by ensure_session_confs, matching DuckDB's naive read);
+    - timestamp (already the documented type) -> untouched.
+    """
+    dtypes = dict(df.dtypes)
+    for col in _TIMESTAMP_COLS.get(name, ()):
+        t = dtypes.get(col)
+        if t == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif t == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
