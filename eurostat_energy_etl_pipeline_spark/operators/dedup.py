@@ -260,17 +260,7 @@ def minhash_lsh_pairs(
     # Band buckets carry only (id, band hash) — the shingle sets never
     # enter the explode/self-join shuffles; they are joined back by id for
     # the (much smaller) verification set only.
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = _band_table(sig, bands, rows)
     # Degenerate-bucket guard as a window count, not groupBy+join-back: the
     # window partitions on exactly the band key, so the filter and the
     # self-join below all reuse ONE exchange of the (id, band hash) rows
@@ -303,6 +293,109 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jacc") >= threshold)
         .orderBy("id_a", "id_b")
+    )
+
+
+def _band_table(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band_idx, band_hash) from a signature table: each band hashes
+    `rows` adjacent signature slots into one 8-byte key."""
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Materialize the at-rest near-dup index of a corpus: `{path}/bands`
+    (id, band_idx, band_hash — the LSH probe side) and `{path}/shingles`
+    (id, shset — the exact-Jaccard verification side).
+
+    This is the amortization point of incremental dedup: the corpus is
+    shingled/hashed ONCE at ingest; every later batch probes the stored
+    index (`match_against_index`) without touching corpus text again. The
+    two tables are exactly the intermediates `minhash_lsh_pairs` builds
+    in-session, written with the same geometry so thresholds transfer."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, keep_shingles=True
+    ).persist()
+    try:
+        _band_table(sig, bands, rows).write.mode("overwrite").parquet(f"{path}/bands")
+        sig.select("id", "shset").write.mode("overwrite").parquet(f"{path}/shingles")
+    finally:
+        sig.unpersist()
+
+
+def match_against_index(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-dup matches of an incoming batch against a stored corpus index:
+    (new_id, corpus_id, jacc >= threshold).
+
+    The nightly-ingest shape: the increment is small relative to the
+    corpus, so its banded signatures are BROADCAST against the at-rest
+    bands table — the big side streams through a broadcast-hash join with
+    no shuffle and no corpus re-shingling. Verification joins the (tiny)
+    candidate list back to the stored shingle sets by id. For a bulk
+    backfill where the increment rivals the corpus, pass
+    broadcast_new=False and AQE plans a regular shuffle join instead."""
+    rows = num_hashes // bands
+    new_sig = minhash_signatures(
+        new_df, text_col, id_col, num_hashes, shingle_k, keep_shingles=True
+    ).persist()
+    new_banded = _band_table(new_sig, bands, rows).select(
+        F.col("id").alias("new_id"), "band_idx", "band_hash"
+    )
+    if broadcast_new:
+        new_banded = F.broadcast(new_banded)
+    idx_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col("id").alias("corpus_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        idx_bands.join(new_banded, ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    corpus_sh = spark.read.parquet(f"{path}/shingles").select(
+        F.col("id").alias("corpus_id"), F.col("shset").alias("sh_c")
+    )
+    new_sh = new_sig.select(F.col("id").alias("new_id"), F.col("shset").alias("sh_n"))
+    if broadcast_new:
+        new_sh = F.broadcast(new_sh)
+    return (
+        cand.join(corpus_sh, "corpus_id")
+        .join(new_sh, "new_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(jaccard(F.col("sh_n"), F.col("sh_c")), 6).alias("jacc"),
+        )
+        .where(F.col("jacc") >= threshold)
+        .orderBy("new_id", "corpus_id")
     )
 
 

@@ -409,3 +409,162 @@ def q60(spark, sf_dir):
         F.col("gid").cast("long").alias("gid"),
         F.expr("(gid - 1) div 256").cast("int").alias("shard_id"),
     ).orderBy("gid")
+
+
+@query(
+    "q61_canonical_docs",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INT) AS bucket,
+             (least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+              + least(CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       t -> list_contains(['the','and','of','is','to','in','that','with',
+                                           'a','an','for','on','as','are','it'], t))) AS DOUBLE)
+                       / len(string_split_regex(trim(lower(text)), '\s+')) END * 4.0, 1.0) * 0.3
+              + (1.0 - least(CASE WHEN len(text) > 0
+                  THEN CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / len(text) ELSE 0.0 END * 5.0, 1.0)) * 0.2) AS quality
+      FROM documents
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang, bucket
+                                       ORDER BY quality DESC, doc_id) AS rn
+          FROM q)
+    SELECT lang, bucket, doc_id AS canonical_id,
+           CAST((SELECT count(*) FROM q q2
+                 WHERE q2.lang = r.lang AND q2.bucket = r.bucket) AS BIGINT) AS n_docs,
+           round(quality, 4) AS best_quality
+    FROM r WHERE rn = 1 ORDER BY lang, bucket
+    """,
+)
+def q61(spark, sf_dir):
+    """Canonical-document selection: within each near-dup cluster keep the
+    highest-quality member (ties broken by doc_id) — the "pick the best
+    copy" step after dedup clustering. Cluster key here is the
+    deterministic (lang, 100-char length bucket) so the oracle can mirror
+    it; with real clusters the same plan runs keyed by `component` from
+    `near_dup_components`. One windowed rank per cluster (partitioned —
+    parallel at any scale) plus a count aggregate reusing the same
+    exchange."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    scored = widen_if_narrow(t["documents"]).select(
+        "doc_id",
+        "lang",
+        F.expr("floor(n_chars / 100.0)").cast("int").alias("bucket"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("lang", "bucket")
+    ranked = scored.select(
+        "lang",
+        "bucket",
+        "doc_id",
+        "quality",
+        F.row_number()
+        .over(w.orderBy(F.desc("quality"), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_docs"),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "lang",
+            "bucket",
+            F.col("doc_id").alias("canonical_id"),
+            "n_docs",
+            F.round("quality", 4).alias("best_quality"),
+        )
+        .transform(presentation_sort, "lang", "bucket")
+    )
+
+
+@query(
+    "q62_json_props",
+    oracle=r"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max,
+           CAST(count(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                      THEN 1 END) AS BIGINT) AS k_missing
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q62(spark, sf_dir):
+    """Semi-structured payload analytics: extract a typed field from the
+    JSON event payload (`get_json_object` — JVM codegen, no Python) and
+    aggregate per event type. The extraction happens scan-side before the
+    single hash-aggregate exchange, so only (event_type, k) longs shuffle —
+    the JSON strings never leave the scan stage."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+            F.max("k").alias("k_max"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("k_missing"),
+        )
+        .transform(presentation_sort, "event_type")
+    )
+
+
+# At-rest near-dup index memo per (session, sf_dir): the index write is the
+# amortized once-per-corpus ingest step; queries probe it read-only.
+_ND_INDEX: dict[tuple[str, str], str] = {}
+
+
+def _neardup_index_path(spark, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        write_minhash_index,
+    )
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    path = _ND_INDEX.get(key)
+    if path is None:
+        tag = hashlib.md5(f"{app}:{sf_dir}".encode()).hexdigest()[:12]
+        path = f"{tempfile.gettempdir()}/spark_graft_nd_index_{tag}"
+        t = load_tables(spark, sf_dir)
+        corpus = t["documents"].where(F.col("doc_id") % 5 != 0)
+        write_minhash_index(corpus, path)
+        _ND_INDEX[key] = path
+    return path
+
+
+@query("q63_incremental_dedup")
+def q63(spark, sf_dir):
+    """Incremental near-dup screening: an incoming batch (the held-out 20%
+    of documents plus re-ingested exact copies of corpus members, new ids)
+    probed against the persisted corpus MinHash index — the nightly-ingest
+    dedup shape where the corpus is shingled once at ingest and never
+    re-read. The re-ingested copies are guaranteed catches (Jaccard 1.0);
+    the held-out docs are all-unique text and verify the precision side.
+    Approximate by construction -> rows-only driver check; semantics pinned
+    by tests/test_dedup.py::test_incremental_index_probe."""
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        match_against_index,
+    )
+
+    idx = _neardup_index_path(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    held_out = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    reingested = docs.where(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 0)
+    ).select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    batch = held_out.unionByName(reingested)
+    return match_against_index(spark, batch, idx, threshold=0.5)

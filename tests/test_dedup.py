@@ -85,3 +85,37 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([Row(doc_id=0, text="one two")])
     sh = df.select(D.token_shingles(F.col("text"), 3).alias("s")).first()["s"]
     assert sh == ["one two"]  # whole-doc shingle when shorter than k
+
+
+def test_incremental_index_probe(spark, tmp_path, docs):
+    """write_minhash_index + match_against_index: a new batch containing an
+    exact copy and a near-dup of corpus text must match; novel text must
+    not. The probe never re-reads corpus text."""
+    from pyspark.sql import Row
+
+    idx = str(tmp_path / "nd_index")
+    D.write_minhash_index(docs, idx)
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=BASE),  # exact copy of corpus 0/1
+            Row(doc_id=101, text=NEAR.replace("cat", "kitten")),  # near dup
+            Row(doc_id=102, text="novel text about watermarked state stores"),
+        ]
+    )
+    hits = D.match_against_index(spark, batch, idx, threshold=0.5).toPandas()
+    matched_new = set(hits["new_id"])
+    assert 100 in matched_new  # exact copy always collides and verifies
+    assert 102 not in matched_new  # novel content stays clean
+    assert (hits["jacc"] >= 0.5).all()
+    exact = hits[(hits["new_id"] == 100) & (hits["corpus_id"] == 0)]
+    assert len(exact) == 1 and exact["jacc"].iloc[0] == 1.0
+
+
+def test_incremental_probe_clean_batch_empty(spark, tmp_path, docs):
+    idx = str(tmp_path / "nd_index2")
+    D.write_minhash_index(docs, idx)
+    clean = spark.createDataFrame(
+        [(200, "entirely fresh sentence with zero overlap tokens qqq www eee")],
+        ["doc_id", "text"],
+    )
+    assert D.match_against_index(spark, clean, idx).count() == 0

@@ -40,6 +40,8 @@ DUCKDB_ONLY = {
     "q55_label_cohesion",    # duckdb list_zip + generate_series-as-list
     "q58_repetition_ratio",  # duckdb string_split_regex/list_*
     "q59_cross_source_overlap",  # duckdb string_split_regex slicing
+    "q61_canonical_docs",    # duckdb string_split_regex/list_* + correlated count
+    "q62_json_props",        # duckdb json_extract_string (Spark: get_json_object)
 }
 
 
