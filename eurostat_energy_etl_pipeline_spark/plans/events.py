@@ -262,3 +262,140 @@ def events_range_join(spark, sf_dir):
         )
         .transform(presentation_sort, "campaign", "event_type")
     )
+
+
+@query(
+    "q64_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase,
+           round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 6)
+             AS click_rate,
+           round((SELECT count(*) FROM p) * 1.0
+                 / greatest((SELECT count(*) FROM c), 1), 6) AS purchase_rate
+    """,
+)
+def q64(spark, sf_dir):
+    """Staged conversion funnel view -> click -> purchase: each stage's
+    entry time is the user's FIRST qualifying event strictly after the
+    previous stage (not a loose min-per-type ordering). Three hash
+    aggregates all keyed by user_id — the stage joins reuse the same
+    hash partitioning, so the chain costs one logical user-keyed shuffle
+    lineage, and only (user_id, ts) pairs ever move. The final stage
+    counts collapse to single rows cross-joined together (no data
+    movement; each is a 1-row aggregate)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "event_type")
+
+    def first_after(prev, etype, out):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col("prev_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("prev_ts"))
+    )
+    c = first_after(v, "click", "t1").withColumnRenamed("t1", "prev_ts")
+    p = first_after(c, "purchase", "t2")
+    n_v = v.agg(F.count(F.lit(1)).alias("n_view"))
+    n_c = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    n_p = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return (
+        n_v.crossJoin(n_c)
+        .crossJoin(n_p)
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            F.round(F.col("n_view_click") / F.col("n_view"), 6).alias("click_rate"),
+            F.round(
+                F.col("n_view_click_purchase")
+                / F.greatest(F.col("n_view_click"), F.lit(1)),
+                6,
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+@query(
+    "q65_retention",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_d
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id, s.cohort_d,
+             CAST(floor(date_diff('day', s.cohort_d,
+                  CAST(date_trunc('day', e.ts) AS DATE)) / 7.0) AS INT)
+               AS week_offset
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.ts >= CAST(s.cohort_d AS TIMESTAMP)
+    )
+    SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort, week_offset,
+           count(*) AS active_users
+    FROM a GROUP BY cohort_d, week_offset ORDER BY cohort, week_offset
+    """,
+)
+def q65(spark, sf_dir):
+    """Weekly signup-cohort retention: users bucketed by the week of their
+    first signup event, then counted distinct per (cohort, weeks-since-
+    cohort) across ALL their activity. The cohort table is user-keyed and
+    joins the event scan on user_id (same key as the signup aggregate —
+    one shuffle lineage); the retention matrix is |weeks|^2 / 2 rows,
+    dimension-bounded. The DuckDB oracle uses date_diff (its dialect);
+    the Spark side computes the same integer week offset with datediff.
+    The cohort is emitted as an ISO date STRING so both engines' client
+    representations are identical (date columns round-trip differently:
+    datetime.date objects vs datetime64)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "event_type")
+    cohorts = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort"))
+    )
+    active = (
+        ev.join(cohorts, "user_id")
+        .where(F.col("ts") >= F.col("cohort").cast("timestamp"))
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("day", F.col("ts")).cast("date"), F.col("cohort"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "week_offset",
+            "active_users",
+        )
+        .transform(presentation_sort, "cohort", "week_offset")
+    )

@@ -42,6 +42,7 @@ DUCKDB_ONLY = {
     "q59_cross_source_overlap",  # duckdb string_split_regex slicing
     "q61_canonical_docs",    # duckdb string_split_regex/list_* + correlated count
     "q62_json_props",        # duckdb json_extract_string (Spark: get_json_object)
+    "q65_retention",         # duckdb date_diff/strftime (Spark: datediff/date_format)
 }
 
 
