@@ -426,6 +426,35 @@ def simhash(col: Column, bits: int = 64) -> Column:
     return _vote(hashes)
 
 
+# SimHash signature memo per (session, input plan, columns) — the signature
+# feeds BOTH sides of the band self-join, and an unpersisted plan would
+# re-tokenize and re-vote the whole corpus once per side (measured ~2x the
+# query's runtime at sf0.1). Mirrors _signature_table for MinHash.
+_SIMHASH_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df.semanticHash(),
+            text_col,
+            id_col,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _SIMHASH_CACHE:
+        return _SIMHASH_CACHE[key]
+    sigs = (
+        widen_if_narrow(df)
+        .select(F.col(id_col), simhash(F.col(text_col)).alias("sig"))
+        .persist()
+    )
+    if key is not None:
+        _SIMHASH_CACHE[key] = sigs
+    return sigs
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -438,7 +467,7 @@ def simhash_near_dup_pairs(
     exact band (pigeonhole). Bucket-join per band, then verify the true
     hamming distance with bit_count(xor)."""
     n_bands = 64 // band_bits
-    sigs = widen_if_narrow(df).select(F.col(id_col), simhash(F.col(text_col)).alias("sig"))
+    sigs = _simhash_table(df, text_col, id_col)
     banded = sigs.select(
         id_col,
         "sig",
