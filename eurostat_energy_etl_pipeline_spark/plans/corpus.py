@@ -568,3 +568,62 @@ def q63(spark, sf_dir):
     ).select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
     batch = held_out.unionByName(reingested)
     return match_against_index(spark, batch, idx, threshold=0.5)
+
+
+@query(
+    "q66_rare_word_filter",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tk
+      FROM documents
+    ),
+    freq AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+    docscore AS (
+      SELECT t.doc_id, t.lang,
+             avg(CASE WHEN f.c < 5 THEN 1.0 ELSE 0.0 END) AS rare_ratio
+      FROM tok t JOIN freq f USING (tk) GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang, round(avg(rare_ratio), 4) AS avg_rare_ratio,
+           CAST(sum(CASE WHEN rare_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM docscore GROUP BY lang ORDER BY lang
+    """,
+)
+def q66(spark, sf_dir):
+    """Corpus-statistical quality filter (the CCNet/KenLM-filter shape with
+    the corpus itself as the language model): build the corpus token
+    frequency table, score every document by the fraction of its token
+    INSTANCES that are corpus-rare (count < 5), and roll up per language
+    with a >0.2 flag count. The token stream is exploded once and shuffled
+    once on the token key — the frequency aggregate and the score join hash
+    on the same key, so Catalyst reuses the exchange; per-doc reduction is
+    a second narrow-keyed aggregate. At 100 TB the frequency table is
+    corpus-sized metadata (|vocab| rows), never broadcast, and no text
+    moves after the explode."""
+    from eurostat_energy_etl_pipeline_spark.operators.text import (
+        whitespace_tokens,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tok = widen_if_narrow(t["documents"]).select(
+        "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("tk")
+    )
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    docscore = (
+        tok.join(freq, "tk")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.avg(F.when(F.col("c") < 5, 1.0).otherwise(0.0)).alias("rare_ratio")
+        )
+    )
+    return (
+        docscore.groupBy("lang")
+        .agg(
+            F.round(F.avg("rare_ratio"), 4).alias("avg_rare_ratio"),
+            F.sum(F.when(F.col("rare_ratio") > 0.2, 1).otherwise(0)).alias(
+                "n_flagged"
+            ),
+        )
+        .transform(presentation_sort, "lang")
+    )

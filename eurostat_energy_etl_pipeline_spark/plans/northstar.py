@@ -583,3 +583,87 @@ def q49(spark, sf_dir):
         )
         .orderBy("lang", "bin_id")
     )
+
+
+@query(
+    "q67_cluster_canonical",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CASE WHEN len(a.shingles) + len(b.shingles)
+                             - len(list_intersect(a.shingles, b.shingles)) > 0
+                   THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                        / (len(a.shingles) + len(b.shingles)
+                           - len(list_intersect(a.shingles, b.shingles)))
+                   ELSE 0.0 END, 6) AS jacc
+      FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+    ),
+    flags AS (
+      SELECT d.doc_id, d.n_chars,
+             CASE WHEN p.jacc >= 0.005 THEN 0 ELSE 1 END AS is_start
+      FROM documents d LEFT JOIN pairs p ON p.id_b = d.doc_id
+    ),
+    grp AS (
+      SELECT doc_id, n_chars, sum(is_start) OVER (ORDER BY doc_id) AS g
+      FROM flags
+    ),
+    clustered AS (
+      SELECT doc_id, n_chars, min(doc_id) OVER (PARTITION BY g) AS cluster_id
+      FROM grp
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM clustered
+    )
+    SELECT cluster_id, doc_id AS kept_id, CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+    """,
+)
+def q67(spark, sf_dir):
+    """End-to-end dedup keep-policy: connected components over the near-dup
+    graph (q45's edges), then ONE representative per cluster — the longest
+    member, ties to the smallest id ("keep the most complete copy"). This
+    is the step that actually shrinks a training corpus; the output is the
+    keep-list manifest (cluster, kept doc, members, dropped). Same
+    independent-oracle trick as q45: the generic star-contraction + window
+    rank on the Spark side vs a gaps-and-islands closed form in SQL."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    edges = D.ngram_jaccard_pairs(docs, k=3).where(F.col("jacc") >= 0.005)
+    cc = D.connected_components(edges, "id_a", "id_b", nodes=docs.select("doc_id"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id")
+    members = cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    ranked = members.select(
+        "cluster_id",
+        "doc_id",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -43,6 +43,8 @@ DUCKDB_ONLY = {
     "q61_canonical_docs",    # duckdb string_split_regex/list_* + correlated count
     "q62_json_props",        # duckdb json_extract_string (Spark: get_json_object)
     "q65_retention",         # duckdb date_diff/strftime (Spark: datediff/date_format)
+    "q66_rare_word_filter",  # duckdb string_split_regex/unnest
+    "q67_cluster_canonical", # duckdb list_* (same shingle CTE as q45)
 }
 
 
