@@ -86,6 +86,36 @@ def shingle_hashes(col: Column, k: int = 3) -> Column:
     return F.when(n < k, F.array(whole)).otherwise(out)
 
 
+def minhash_signature_col(
+    col: Column, num_hashes: int = 32, shingle_k: int = 3
+) -> Column:
+    """Per-ROW MinHash signature (array<long>) as one `aggregate` fold over
+    the shingle-hash array — no explode, no shuffle, pure codegen.
+
+    Same permutation family and output as `minhash_signatures` (asserted
+    equal in tests), but computed entirely row-side: the fold carries all
+    `num_hashes` running minima through one pass over the shingles, so the
+    tokenize+shingle expression is evaluated exactly once per document.
+    This is the formulation STREAMING paths need — a signature built by
+    groupBy would be a stateful aggregate, and Spark forbids a second
+    stateful operator downstream of it (the batch path keeps the explode +
+    aggregate shape, whose partial mins combine map-side)."""
+    coeffs = _perm_coeffs(num_hashes)
+    m = F.lit(_MERSENNE_31).cast("long")
+    init = F.array(*[m for _ in range(num_hashes)])
+
+    def step(acc: Column, h: Column) -> Column:
+        perms = F.array(
+            *[
+                F.pmod(F.lit(a).cast("long") * h + F.lit(b).cast("long"), m)
+                for a, b in coeffs
+            ]
+        )
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
+
+    return F.aggregate(shingle_hashes(col, shingle_k), init, step)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Set Jaccard over two string arrays (distinct-ified), as double."""
     da, db = F.array_distinct(a), F.array_distinct(b)

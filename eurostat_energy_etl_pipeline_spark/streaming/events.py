@@ -208,3 +208,53 @@ def attribution_join(
         F.col("o_ts").alias("outcome_ts"),
         "outcome_value",
     )
+
+
+def screen_stream_against_index(
+    docs_stream: DataFrame,
+    spark: SparkSession,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming near-dup screening: every micro-batch of incoming
+    documents is MinHash-banded scan-side and joined against the at-rest
+    corpus index written by `operators.dedup.write_minhash_index` — the
+    firehose twin of `match_against_index`, giving each arriving document
+    its LSH candidate count against the historical corpus.
+
+    Stream-static join semantics do the heavy lifting: the bands table is
+    a static parquet source re-planned per micro-batch, the join is equi
+    on the 8-byte (band_idx, band_hash) key, and only (id, band hash)
+    tuples from the CURRENT batch ever enter the join — corpus text is
+    never re-read, stream state is empty (no watermark needed; the static
+    side has unbounded lifetime). The output is one row per (incoming doc,
+    corpus candidate) with the shared-band count — the collision strength
+    LSH theory maps to similarity. Exact-Jaccard verification stays a
+    batch concern (`match_against_index`); streaming aggregation rules
+    also make the pair-grain the right output (a per-doc DISTINCT
+    candidate count is not a supported streaming aggregate)."""
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        _band_table,
+        minhash_signature_col,
+    )
+
+    rows = num_hashes // bands
+    # Per-row signature fold (no aggregate): keeps the plan's ONLY stateful
+    # operator the final pair-count, which streaming requires.
+    sig = docs_stream.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_col(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    )
+    banded = _band_table(sig, bands, rows)
+    idx = spark.read.parquet(f"{index_path}/bands").select(
+        F.col("id").alias("corpus_id"), "band_idx", "band_hash"
+    )
+    return (
+        banded.join(idx, ["band_idx", "band_hash"])
+        .groupBy(F.col("id").alias(id_col), F.col("corpus_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

@@ -119,3 +119,20 @@ def test_incremental_probe_clean_batch_empty(spark, tmp_path, docs):
         ["doc_id", "text"],
     )
     assert D.match_against_index(spark, clean, idx).count() == 0
+
+
+def test_row_fold_signature_equals_aggregate_signature(spark, docs):
+    """minhash_signature_col (streaming-safe per-row fold) must produce
+    bit-identical signatures to minhash_signatures (batch explode+agg)."""
+    agg = D.minhash_signatures(docs).toPandas().set_index("id")["sig"]
+    fold = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            D.minhash_signature_col(F.col("text")).alias("sig"),
+        )
+        .toPandas()
+        .set_index("id")["sig"]
+    )
+    assert set(agg.index) == set(fold.index)
+    for i in agg.index:
+        assert list(agg[i]) == list(fold[i]), f"doc {i} signatures diverge"

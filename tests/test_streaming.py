@@ -135,3 +135,55 @@ def test_attribution_join_matches_batch(spark, sf_dir, stream):
     # row is ever late: streaming output must equal the batch join exactly.
     assert len(got) > 0
     assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
+
+
+def test_screen_stream_against_index(spark, sf_dir, tmp_path):
+    """Streaming near-dup screen: docs streamed over the same corpus the
+    index was built from must each hit their own banded signatures (a doc
+    always collides with itself), and candidate counts must be >= 1."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from eurostat_energy_etl_pipeline_spark.catalog import load_tables
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        write_minhash_index,
+    )
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        run_to_memory,
+        screen_stream_against_index,
+    )
+
+    idx = str(tmp_path / "stream_idx")
+    docs = load_tables(spark, sf_dir)["documents"]
+    write_minhash_index(docs, idx)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = run_to_memory(
+        screen_stream_against_index(stream, spark, idx), "t_screen", "complete"
+    )
+    try:
+        pdf = spark.table("t_screen").toPandas()
+    finally:
+        q.stop()
+    n_docs = docs.count()
+    self_pairs = pdf[pdf["doc_id"] == pdf["corpus_id"]]
+    assert len(self_pairs) == n_docs  # every streamed doc collides with itself
+    assert (self_pairs["n_shared_bands"] == 16).all()  # all bands agree
+    assert (pdf["n_shared_bands"] >= 1).all()
