@@ -627,3 +627,40 @@ def q66(spark, sf_dir):
         )
         .transform(presentation_sort, "lang")
     )
+
+
+@query(
+    "q68_topk_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 3 ORDER BY lang, rk
+    """,
+)
+def q68(spark, sf_dir):
+    """Top-k per group (k=3 longest documents per language) — the grouped
+    analog of the global top-k (A4), and the pattern behind "best N
+    examples per source/topic" curation steps. One partitioned window
+    rank: the shuffle is keyed by the group column, ranking runs in
+    parallel per group, and the k<=3 filter drops rows before anything
+    else moves. The oracle SQL runs verbatim on both engines."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        t["documents"]
+        .select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+        .transform(presentation_sort, "lang", "rk")
+    )
