@@ -291,21 +291,30 @@ def minhash_lsh_pairs(
     # enter the explode/self-join shuffles; they are joined back by id for
     # the (much smaller) verification set only.
     banded = _band_table(sig, bands, rows)
-    # Degenerate-bucket guard as a window count, not groupBy+join-back: the
-    # window partitions on exactly the band key, so the filter and the
-    # self-join below all reuse ONE exchange of the (id, band hash) rows
-    # (groupBy+join costs two more exchanges of the same data).
-    from pyspark.sql.window import Window
-
-    banded = banded.withColumn(
-        "bn", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
-    ).where(F.col("bn") <= max_bucket)
-    a = banded.select("band_idx", "band_hash", F.col("id").alias("id_a"))
-    b = banded.select("band_idx", "band_hash", F.col("id").alias("id_b"))
+    # Candidate enumeration as ONE aggregate: collect each bucket's id list
+    # (bounded by max_bucket — the degenerate-bucket guard doubles as the
+    # collect_list bound) and enumerate ordered pairs from the sorted array
+    # row-side. This replaces the window-count + self-join shape: one
+    # exchange of (id, band hash) instead of the same exchange plus a
+    # join's sort/probe machinery, with identical candidate output —
+    # C(bucket,2) pairs either way.
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.array_sort("ids").alias("ids"))
+    )
     cand = (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verification reads the persisted numeric shingle sets — no second
