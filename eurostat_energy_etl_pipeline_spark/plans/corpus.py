@@ -595,12 +595,15 @@ def q66(spark, sf_dir):
     the corpus itself as the language model): build the corpus token
     frequency table, score every document by the fraction of its token
     INSTANCES that are corpus-rare (count < 5), and roll up per language
-    with a >0.2 flag count. The token stream is exploded once and shuffled
-    once on the token key — the frequency aggregate and the score join hash
-    on the same key, so Catalyst reuses the exchange; per-doc reduction is
-    a second narrow-keyed aggregate. At 100 TB the frequency table is
-    corpus-sized metadata (|vocab| rows), never broadcast, and no text
-    moves after the explode."""
+    with a >0.2 flag count. The corpus-frequency attach is a WINDOW over
+    the token key, not a groupBy + self-join — the join formulation scans
+    and tokenizes the corpus twice (the two subplans prune different
+    columns, so Catalyst gets no reusable exchange), while the window
+    tokenizes once and shuffles once (the same shape rag/tfidf.build_index
+    uses for document frequency). Per-doc reduction is a second
+    narrow-keyed aggregate; no text moves after the explode."""
+    from pyspark.sql.window import Window
+
     from eurostat_energy_etl_pipeline_spark.operators.text import (
         whitespace_tokens,
     )
@@ -609,13 +612,11 @@ def q66(spark, sf_dir):
     tok = widen_if_narrow(t["documents"]).select(
         "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("tk")
     )
-    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
-    docscore = (
-        tok.join(freq, "tk")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.avg(F.when(F.col("c") < 5, 1.0).otherwise(0.0)).alias("rare_ratio")
-        )
+    scored = tok.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("tk"))
+    )
+    docscore = scored.groupBy("doc_id", "lang").agg(
+        F.avg(F.when(F.col("c") < 5, 1.0).otherwise(0.0)).alias("rare_ratio")
     )
     return (
         docscore.groupBy("lang")

@@ -149,3 +149,52 @@ def test_q53_global_ntile_never_single_partition(spark, queries):
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning(quality" in plan  # TeraSort-style layout
     assert "windowspecdefinition(__part" in plan  # window is partitioned
+
+
+def test_q62_json_extraction_stays_scan_side(spark, queries):
+    plan = plan_of(queries["q62_json_props"](spark, SF_DIR))
+    # Only the two needed columns are read; the JSON strings never survive
+    # past the partial aggregate (no props column above the scan project).
+    assert "ReadSchema: struct<event_type:string,props:string>" in plan
+    assert "partial_" in plan  # map-side combine before the exchange
+
+
+def test_q66_tokenizes_corpus_once(spark, queries):
+    plan = plan_of(queries["q66_rare_word_filter"](spark, SF_DIR))
+    # The window-over-token formulation must scan documents exactly once;
+    # a groupBy+join frequency attach scans (and tokenizes) twice.
+    assert plan.count(") Scan parquet") == 1
+    assert ") Window" in plan
+
+
+def test_q64_funnel_single_user_keyed_lineage(spark, queries):
+    plan = plan_of(queries["q64_funnel"](spark, SF_DIR))
+    # Stage joins must not broadcast the event scan side as a whole and the
+    # final stage counts are 1-row cross joins (no exchange for them).
+    assert "CartesianProduct" not in plan  # 1-row joins plan as BNLJ
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q68_grouped_topk_single_window_pass(spark, queries):
+    plan = plan_of(queries["q68_topk_per_group"](spark, SF_DIR))
+    # One lang-keyed exchange for the window; the rank filter must not
+    # introduce a second shuffle (presentation sort is a coalesce), and
+    # Spark's WindowGroupLimit must push the rk<=3 bound below the sort so
+    # each partition keeps only k rows per group before ranking.
+    assert plan.count(") Exchange") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_q61_canonical_rank_and_count_share_window_exchange(spark, queries):
+    plan = plan_of(queries["q61_canonical_docs"](spark, SF_DIR))
+    # row_number and the member count partition identically — exactly two
+    # exchanges total: the narrow-scan widening round-robin plus ONE
+    # (lang, bucket) hash exchange shared by both window functions.
+    assert plan.count(") Exchange") == 2
+
+
+def test_q63_incremental_probe_broadcasts_the_batch(spark, queries):
+    plan = plan_of(queries["q63_incremental_dedup"](spark, SF_DIR))
+    # The corpus index side must stream through broadcast joins; the big
+    # side is never exchanged for the candidate join.
+    assert "BroadcastHashJoin" in plan
