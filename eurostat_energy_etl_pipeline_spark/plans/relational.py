@@ -597,3 +597,42 @@ def q41(spark, sf_dir):
         F.count(F.lit(1)).alias("total"),
         F.approx_count_distinct("text", 0.02).alias("approx_distinct_texts"),
     )
+
+
+@query(
+    "q69_salted_join_agg",
+    oracle="""
+    SELECT s_name, count(*) AS n,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name ORDER BY s_name
+    """,
+)
+def q69(spark, sf_dir):
+    """Hot-key-safe fact⋈dim rollup through the explicit salting operator
+    (`functions/skew.salted_join`): the fact side gets a uniform salt, the
+    supplier dim is replicated across the salt buckets, and the join key
+    becomes (suppkey, salt) so one hot supplier fans out over 16 reducers
+    instead of hot-keying one. Salting is correctness-neutral — the oracle
+    is the PLAIN join SQL, so the driver's hash compare proves row-level
+    equivalence of the salted plan, which is the property that makes the
+    operator safe to reach for when AQE skew-splitting isn't available
+    (e.g. feeding a streaming stage)."""
+    from eurostat_energy_etl_pipeline_spark.functions.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    joined = salted_join(
+        t["lineitem"].select("l_suppkey", "l_extendedprice"),
+        t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"), "s_name"),
+        on=["l_suppkey"],
+    )
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec).cast("double"), 4).alias("revenue"),
+        )
+        .transform(presentation_sort, "s_name")
+    )
