@@ -71,3 +71,33 @@ def stratified_cap(
         .where(F.col("_sc_rn") <= cap)
         .drop("_sc_rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash — the
+    dataset-split primitive with the reproducibility guarantees ML needs:
+    the same row lands in the same split on any cluster, any partitioning,
+    any day (no seed, no shuffle, no state). Growing a split keeps its
+    existing members (the hex-threshold intervals are nested), so an 80/10/10
+    split refined to 85/10/5 never leaks old test rows into train.
+
+    Scan-side only: one md5 over the key, two interval compares — the split
+    column costs the same as any projected expression at 100 TB."""
+    f_train, f_val, f_test = fractions
+    if abs(f_train + f_val + f_test - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    h = F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8)
+    t1 = format(int(f_train * 0xFFFFFFFF), "08x")
+    t2 = format(int((f_train + f_val) * 0xFFFFFFFF), "08x")
+    return df.withColumn(
+        out_col,
+        F.when(h < t1, F.lit("train")).when(h < t2, F.lit("val")).otherwise(
+            F.lit("test")
+        ),
+    )

@@ -665,3 +665,38 @@ def q68(spark, sf_dir):
         .where(F.col("rk") <= 3)
         .transform(presentation_sort, "lang", "rk")
     )
+
+
+@query(
+    "q70_dataset_split",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(text AS VARCHAR)), 1, 8) < 'cccccccc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(text AS VARCHAR)), 1, 8) < 'e6666665'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n
+    FROM s GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def q70(spark, sf_dir):
+    """Train/val/test manifest: deterministic 80/10/10 assignment by
+    content hash (`operators/sampling.hash_split`) rolled up per
+    (language, split). Hash intervals are nested, so growing a split never
+    leaks held-out rows into train; assignment is a scan-side expression —
+    no shuffle, no seed, identical on any cluster. The oracle runs the
+    same md5 hex-interval compare, so the check is exact assignment
+    equality, not a rate tolerance."""
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import hash_split
+
+    t = load_tables(spark, sf_dir)
+    return (
+        hash_split(t["documents"], "text")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(presentation_sort, "lang", "split")
+    )

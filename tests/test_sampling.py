@@ -72,3 +72,49 @@ def test_stratified_cap_keeps_small_strata_whole(spark):
     for r in out.collect():
         got[r["lang"]] += 1
     assert got == {"x": 3, "y": 5}
+
+
+def test_hash_split_partitioning_invariant(spark, sf_dir):
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = hash_split(docs, "text").select("doc_id", "split").toPandas()
+    b = (
+        hash_split(docs.repartition(13), "text")
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True)
+    )
+    counts = a["split"].value_counts(normalize=True)
+    assert 0.7 < counts.get("train", 0) < 0.9  # ~80/10/10 at this SF
+
+
+def test_hash_split_growing_train_keeps_members(spark, sf_dir):
+    """Nested intervals: every row that was 'train' at 70% is 'train' at
+    85%, and no former test row enters train when test shrinks."""
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    small = hash_split(docs, "text", (0.7, 0.15, 0.15)).select("doc_id", "split")
+    big = hash_split(docs, "text", (0.85, 0.1, 0.05)).select("doc_id", "split")
+    j = (
+        small.withColumnRenamed("split", "s_small")
+        .join(big.withColumnRenamed("split", "s_big"), "doc_id")
+        .toPandas()
+    )
+    was_train = j[j["s_small"] == "train"]
+    assert (was_train["s_big"] == "train").all()
+    now_train = j[j["s_big"] == "train"]
+    assert (now_train["s_small"] != "test").all()  # no test->train leakage
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import hash_split
+
+    df = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    with _pytest.raises(ValueError):
+        hash_split(df, "k", (0.5, 0.2, 0.2))
