@@ -433,3 +433,66 @@ def label_cohesion(
             F.avg(cos).alias("avg_cos_centroid"),
         )
     )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize the IVF index at rest: corpus rows written
+    `partitionBy(cell)` (probes become partition-pruned scans, exactly
+    like the LSH index) plus the trained centroid matrix stored alongside
+    as a tiny parquet (`{path}_centroids`) so ANY later session can probe
+    without retraining or recomputing cells. Returns the centroids."""
+    cents = train_ivf_centroids(df, vec_col, nlist, seed)
+    assigned = df.withColumn("cell", ivf_cell_of(F.col(vec_col), cents))
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}_centroids")
+    return cents
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a written IVF index from a cold session: load the
+    stored centroid matrix (nlist rows — a driver-side read of metadata
+    scale), pick the `nprobe` nearest cells, and scan only those
+    partitions with an exact cosine rerank inside. The cell IN-list is a
+    planning-time partition filter; ~nprobe/nlist of the corpus is read."""
+    cent_rows = (
+        spark.read.parquet(f"{path}_centroids").orderBy("cell").collect()
+    )
+    cents = np.array([r.centroid for r in cent_rows])
+    q = np.asarray(query_vec, dtype=float)
+    scores = cents @ q - 0.5 * (cents * cents).sum(axis=1)
+    probes = [int(i) for i in np.argsort(-scores)[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qcol), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )

@@ -129,3 +129,38 @@ def test_dim_mismatch_raises_not_silent_nulls(vectors):
         S.lsh_topk(df, list(base[0]) + [0.0], k=3)
     # inferred dim works without declaring it
     assert "bucket" in S.with_lsh_bucket(df).columns
+
+
+def test_ivf_index_at_rest_cold_session_probe(vectors, tmp_path):
+    """write_ivf_index + ivf_index_topk: the stored centroid matrix must
+    reproduce the in-session assignment, the probe must prune partitions
+    (cell is a partition column), and the query vector's own row must rank
+    first with cosine 1.0."""
+    import contextlib
+    import io
+
+    df, base = vectors
+    path = str(tmp_path / "ivf")
+    cents = S.write_ivf_index(df, path, nlist=4, seed=42)
+    spark = df.sparkSession
+    stored = (
+        spark.read.parquet(f"{path}_centroids").orderBy("cell").toPandas()
+    )
+    assert len(stored) == 4
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.array([list(c) for c in stored["centroid"]]), cents
+    )
+
+    q = list(base[0])
+    got = S.ivf_index_topk(spark, path, q, k=3, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:300]
+    hits = got.toPandas()
+    assert hits.iloc[0]["vec_id"] == 0  # the query's own row
+    assert abs(hits.iloc[0]["cos"] - 1.0) < 1e-6
