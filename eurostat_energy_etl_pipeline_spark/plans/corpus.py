@@ -672,10 +672,8 @@ def q68(spark, sf_dir):
     oracle="""
     WITH s AS (
       SELECT lang,
-             CASE WHEN substr(md5(CAST(text AS VARCHAR)), 1, 8) < 'cccccccc'
-                    THEN 'train'
-                  WHEN substr(md5(CAST(text AS VARCHAR)), 1, 8) < 'e6666665'
-                    THEN 'val'
+             CASE WHEN substr(md5(text), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(text), 1, 8) < 'e6666665' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
     )
