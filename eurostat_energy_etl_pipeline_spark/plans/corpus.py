@@ -698,3 +698,42 @@ def q70(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .transform(presentation_sort, "lang", "split")
     )
+
+
+@query(
+    "q71_jsonstat_decode",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('GEP', 'DE', 'Germany', '2022-01-01', 100.5),
+      ('GEP', 'DE', 'Germany', '2023-01-01', 101.0),
+      ('GEP', 'FR', 'France', '2022-01-01', 200.0),
+      ('GEP', 'FR', 'France', '2023-01-01', 201.5),
+      ('GEP', 'ZZ', 'ZZ', '2022-01-01', 300.0)
+    ) AS t(indicator_code, country_code, country_name, time_iso, value)
+    ORDER BY country_code, time_iso
+    """,
+)
+def q71(spark, sf_dir):
+    """The ingest path itself under the oracle gate: decode the frozen
+    §3.1 JSON-stat golden cube (S1-S5 — validation, dense-cube unravel,
+    label resolution with code fallback, indicator allow-list) and emit
+    the observation rows. The oracle is the literal expected relation, so
+    the driver's hash compare pins the full decode semantics, not just
+    row counts. sf_dir is unused — the payload is the fixture."""
+    from eurostat_energy_etl_pipeline_spark.sources.jsonstat import (
+        GOLDEN_FIXTURE,
+        decode_jsonstat,
+    )
+
+    decoded = decode_jsonstat(spark, GOLDEN_FIXTURE, "nrg_cb_e")
+    return presentation_sort(
+        decoded.select(
+            "indicator_code",
+            "country_code",
+            "country_name",
+            F.date_format("time", "yyyy-MM-dd").alias("time_iso"),
+            "value",
+        ),
+        "country_code",
+        "time_iso",
+    )

@@ -168,3 +168,44 @@ def _out_schema() -> StructType:
         for c in OBSERVATION_COLUMNS
     ]
     return StructType(fields)
+
+
+# Frozen §3.1 golden payload (FIXTURES.md) — a 2x3x2 dense cube with a sparse
+# value map, an out-of-allowlist indicator ('XXX'), and a geo ('ZZ') whose
+# label is absent (exercising the label->code fallback). This is the payload
+# the declared query q71 decodes under the driver's oracle gate; tests pin
+# the same rows independently (tests/test_jsonstat.py).
+GOLDEN_FIXTURE: dict = {
+    "id": ["nrg_bal", "geo", "time"],
+    "size": [2, 3, 2],
+    "dimension": {
+        "nrg_bal": {
+            "category": {
+                "index": {"GEP": 0, "XXX": 1},
+                "label": {"GEP": "Gross electricity production", "XXX": "Other"},
+            }
+        },
+        "geo": {
+            "category": {
+                "index": {"DE": 0, "FR": 1, "ZZ": 2},
+                "label": {"DE": "Germany", "FR": "France"},
+            }
+        },
+        "time": {
+            "category": {
+                "index": {"2022": 0, "2023": 1},
+                "label": {"2022": "2022", "2023": "2023"},
+            }
+        },
+    },
+    "value": {
+        "0": 100.5,
+        "1": 101.0,
+        "2": 200.0,
+        "3": 201.5,
+        "4": 300.0,
+        "6": 999.0,
+        "7": 998.0,
+        "10": 42.0,
+    },
+}
