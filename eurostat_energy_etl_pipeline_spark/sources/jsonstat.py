@@ -100,8 +100,16 @@ def decode_jsonstat(
 
     dims: list[str] = payload["id"]
     sizes: list[int] = payload["size"]
+    data = [(int(k), float(v)) for k, v in payload["value"].items()]
+    # Size the Python-side slice count to the data, not defaultParallelism:
+    # a plain createDataFrame pickles the rows into one RDD partition PER
+    # CORE, and every partition costs a Python-worker round-trip at each
+    # execution — a 8-row cube sliced 32 ways costs 32 round-trips (~5 s
+    # when a downstream coalesce serializes them into one task). ~50k rows
+    # per slice keeps big cubes parallel and small ones single-slice.
+    n_slices = max(1, min(len(data) // 50_000 + 1, 32))
     cells = spark.createDataFrame(
-        [(int(k), float(v)) for k, v in payload["value"].items()], schema
+        spark.sparkContext.parallelize(data, n_slices), schema
     )
 
     # Row-major unravel, last dim fastest (/root/reference/etl/main.py:97-102):
