@@ -737,3 +737,35 @@ def q71(spark, sf_dir):
         "country_code",
         "time_iso",
     )
+
+
+@query(
+    "q72_source_audit",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q72(spark, sf_dir):
+    """Per-source ingest audit: document count, exact-duplicate count (by
+    content hash — the dedup telemetry every multi-source corpus tracks
+    per feed), language spread, and total character volume. One hash
+    aggregate; the distinct counts shuffle 16-byte hashes and 2-byte lang
+    codes, never text. The oracle runs verbatim on both engines."""
+    t = load_tables(spark, sf_dir)
+    return (
+        widen_if_narrow(t["documents"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias(
+                "n_exact_dups"
+            ),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .transform(presentation_sort, "source")
+    )
