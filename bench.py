@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -70,21 +71,43 @@ def main() -> None:
             and int(k.split("_")[0].lstrip("q0")) <= 22),
         4,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_set_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cold_sec": round(sum(cold.values()), 4),
-                "core_q1_q22_sec": core,
-                "throughput_wall_clock_sec": throughput_wall,
-                "queries_cold": cold,
-            }
-        )
-    )
+    summary = {
+        "metric": "declared_query_set_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {_short(k): round(v, 2) for k, v in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "cold_sec": round(sum(cold.values()), 4),
+        "core_q1_q22_sec": core,
+        "throughput_wall_clock_sec": throughput_wall,
+        "full": "bench_full.json",
+    }
+    full = {
+        **summary,
+        "queries": timings,
+        "queries_cold": cold,
+        "key_map": {_short(k): k for k in timings},
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # ONE compact line (short keys, 2dp, no spaces): the driver captures only
+    # the output tail, and round 2's full-name line overflowed it
+    # (BENCH_r02.json parsed: null). Full per-query data -> bench_full.json.
+    print(json.dumps(summary, separators=(",", ":")))
+
+
+def _short(name: str) -> str:
+    """Compact per-query key for the one-line summary ('q17b', 'd_heatmap');
+    bench_full.json carries the reverse map."""
+    m = re.match(r"^q(\d+[a-z]?)_", name)
+    if m:
+        return "q" + m.group(1)
+    for prefix, tag in (("q_dash_", "d_"), ("q_events_", "e_"), ("q_dq_", "dq_")):
+        if name.startswith(prefix):
+            return tag + name[len(prefix):]
+    return name
 
 
 if __name__ == "__main__":

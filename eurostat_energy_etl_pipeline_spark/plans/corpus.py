@@ -543,16 +543,47 @@ def _neardup_index_path(spark, sf_dir: str) -> str:
     return path
 
 
-@query("q63_incremental_dedup")
+@query(
+    "q63_incremental_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    batch AS (
+      SELECT doc_id + 1000000 AS new_id, doc_id AS src FROM documents
+      WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+    )
+    SELECT new_id, corpus_id, jacc FROM (
+      SELECT b.new_id, c.doc_id AS corpus_id,
+             round(CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
+                   / (len(n.shingles) + len(c.shingles)
+                      - len(list_intersect(n.shingles, c.shingles))), 6) AS jacc
+      FROM batch b
+      JOIN sh n ON n.doc_id = b.src
+      JOIN sh c ON c.doc_id % 5 <> 0
+    ) WHERE jacc >= 0.5 ORDER BY new_id, corpus_id
+    """,
+)
 def q63(spark, sf_dir):
     """Incremental near-dup screening: an incoming batch (the held-out 20%
     of documents plus re-ingested exact copies of corpus members, new ids)
     probed against the persisted corpus MinHash index — the nightly-ingest
     dedup shape where the corpus is shingled once at ingest and never
-    re-read. The re-ingested copies are guaranteed catches (Jaccard 1.0);
-    the held-out docs are all-unique text and verify the precision side.
-    Approximate by construction -> rows-only driver check; semantics pinned
-    by tests/test_dedup.py::test_incremental_index_probe."""
+    re-read. The re-ingested copies are guaranteed catches (Jaccard 1.0,
+    identical signatures -> identical bands). The oracle brute-forces every
+    (batch, corpus) pair's exact shingle Jaccard at the same threshold, so
+    the driver's hash compare certifies full recall AND precision of the
+    index-probe path on this corpus; tests/test_dedup.py::
+    test_incremental_index_probe keeps the operator-level invariants."""
     from eurostat_energy_etl_pipeline_spark.operators.dedup import (
         match_against_index,
     )

@@ -152,11 +152,39 @@ def q24(spark, sf_dir):
     return D.ngram_jaccard_pairs(t["documents"], k=3).orderBy("id_a")
 
 
-@query("q25_minhash_lsh_pairs")
+@query(
+    "q25_minhash_lsh_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT id_a, id_b, jacc FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles))), 6) AS jacc
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jacc >= 0.5 ORDER BY id_a, id_b
+    """,
+)
 def q25(spark, sf_dir):
-    """MinHash(32)+LSH(8 bands) near-dup pairs, exact-Jaccard verified at
-    >=0.5. Approximate by construction -> rows-only driver check; semantics
-    pinned by tests/test_dedup.py planted-duplicate fixtures."""
+    """MinHash(32)+LSH(16 bands) near-dup pairs, exact-Jaccard verified at
+    >=0.5. The oracle is the ALL-PAIRS exact Jaccard at the same threshold
+    — brute force the bucketed plan must never run at scale, but exactly
+    the ground truth a 500-doc differential can afford. The hash compare
+    therefore certifies 100% recall AND precision of the LSH path on this
+    corpus (16 bands x 2 rows puts the S-curve knee at ~0.25, so J>=0.5
+    pairs collide w.h.p.; the exact-Jaccard verification pass removes every
+    false candidate). Spark computes Jaccard over 31-bit hashed shingles,
+    the oracle over shingle strings — the equality also witnesses that the
+    numeric-shingle space is collision-free here. Probabilistic-recall
+    planted-pair tests stay in tests/test_dedup.py."""
     t = load_tables(spark, sf_dir)
     return D.minhash_lsh_pairs(t["documents"], threshold=0.5)
 
@@ -336,51 +364,119 @@ def q31(spark, sf_dir):
     )
 
 
+def _query_vec(e, query_id: int = 0) -> list[float]:
+    """The query embedding as a driver-side literal (one k-float row)."""
+    return [
+        r[0]
+        for r in e.where(F.col("vec_id") == query_id)
+        .select(F.explode("embedding"))
+        .collect()
+    ]
+
+
+def _certify_ann(ann, exact, k: int = 5):
+    """Join an ANN top-k against the exact top-k so the result rows carry
+    their own quality readout: `in_exact_topk` marks true neighbors,
+    `recall_at_k` is their fraction. The exact side is a k-row broadcast;
+    at test scale it is a second corpus scan, at 100 TB the certification
+    columns are simply dropped (the ANN plan is unchanged by them)."""
+    exact_ids = exact.select(F.col("vec_id").alias("_x_id"))
+    flagged = ann.join(
+        F.broadcast(exact_ids), ann["vec_id"] == F.col("_x_id"), "left"
+    ).select(
+        "vec_id",
+        "cos",
+        F.col("_x_id").isNotNull().cast("int").alias("in_exact_topk"),
+    )
+    recall = flagged.agg(
+        (F.sum("in_exact_topk") / float(k)).alias("recall_at_k")
+    )
+    return (
+        flagged.join(F.broadcast(recall))
+        .orderBy(F.desc("cos"), "vec_id")
+    )
+
+
 @query("q32_lsh_ann")
 def q32(spark, sf_dir):
     """Approximate NN: random-hyperplane LSH bucket probe + exact rerank
-    against the vec_id=0 query. Rows-only check; recall-vs-bruteforce pinned
-    in tests/test_similarity.py."""
+    against the vec_id=0 query. Approximate by construction (the probe set
+    is ~|hamming<=2 buckets|/2^8 of the corpus), so no SQL oracle — but the
+    rows are self-certifying: each carries `in_exact_topk` (verified
+    against the brute-force top-k in the same plan) and the constant
+    `recall_at_k`, so the driver's recorded rows themselves state the
+    achieved recall rather than an unauditable id list.
+    Recall-vs-bruteforce floors pinned in tests/test_similarity.py."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
-    return S.lsh_topk(e, qvec, k=5)
+    qvec = _query_vec(e)
+    return _certify_ann(
+        S.lsh_topk(e, qvec, k=5), S.cosine_topk(e, qvec, k=5), k=5
+    )
+
+
+# At-rest IVF index memo per (session, sf_dir): built once by
+# write_ivf_index (cell-partitioned corpus + stored centroids), probed by
+# every later q37 call — the build-once-probe-many shape of q63.
+_IVF_INDEX: dict[tuple[str, str], str] = {}
+
+
+def _ivf_index_path(spark, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    path = _IVF_INDEX.get(key)
+    if path is None:
+        tag = hashlib.md5(f"{app}:{sf_dir}".encode()).hexdigest()[:12]
+        path = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
+        t = load_tables(spark, sf_dir)
+        S.write_ivf_index(t["embeddings"], path, nlist=16)
+        _IVF_INDEX[key] = path
+    return path
 
 
 @query("q37_ivf_ann")
 def q37(spark, sf_dir):
-    """IVF approximate NN: k-means coarse quantizer (trained once per
-    corpus, cached like any derived view), nprobe-cell scan + exact rerank
-    against the vec_id=0 query. Rows-only check; recall-vs-bruteforce pinned
-    in tests/test_similarity.py."""
-    from eurostat_energy_etl_pipeline_spark.catalog import cached_view
-
+    """IVF approximate NN against the AT-REST index: `write_ivf_index`
+    builds the cell-partitioned corpus + stored centroid matrix once per
+    (session, corpus); the query is then a partition-pruned probe of the
+    nprobe nearest cells with exact rerank (`ivf_index_topk`) — reading
+    ~nprobe/nlist of the data, the same build-once-probe-many shape as the
+    q63 dedup index. Approximate by construction -> no SQL oracle, but the
+    rows self-certify exactly like q32: `in_exact_topk` + `recall_at_k`
+    computed against the brute-force top-k in the same plan."""
+    idx = _ivf_index_path(spark, sf_dir)
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    qvec = [
-        r[0]
-        for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()
-    ]
-    # centroids are tiny; piggyback the view cache with a 1-row DF holding
-    # them so training runs once per (session, sf_dir)
-    cent_df = cached_view(
-        "ivf_centroids",
-        spark,
-        sf_dir,
-        lambda: spark.createDataFrame(
-            [(S.train_ivf_centroids(e, nlist=16).flatten().tolist(),)], ["c"]
-        ),
+    qvec = _query_vec(e)
+    return _certify_ann(
+        S.ivf_index_topk(spark, idx, qvec, k=5, nprobe=4),
+        S.cosine_topk(e, qvec, k=5),
+        k=5,
     )
-    import numpy as np
-
-    centroids = np.array(cent_df.first()["c"]).reshape(16, -1)
-    return S.ivf_topk(e, qvec, centroids, k=5, nprobe=4)
 
 
-@query("q33_multimodal_features")
+@query(
+    "q33_multimodal_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS INT) AS height
+    FROM documents ORDER BY media_id
+    """,
+)
 def q33(spark, sf_dir):
     """Multimodal plumbing: binary payload table -> mapInPandas feature
-    extraction (stub decoder). Rows-only check; schema/batch invariants in
+    extraction. The decode step is the documented deterministic stub
+    (width/height derived from payload length — operators/multimodal.py),
+    so the whole mapInPandas path has a closed-form oracle: the driver now
+    hash-checks that the Arrow batch plumbing preserves ids, types and
+    byte counts exactly. Batch-shape invariants stay in
     tests/test_multimodal.py."""
     t = load_tables(spark, sf_dir)
     feats = extract_features(media_table(t["documents"]))

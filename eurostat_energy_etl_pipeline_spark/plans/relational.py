@@ -586,16 +586,33 @@ def q44(spark, sf_dir):
     )
 
 
-@query("q41_approx_distinct")
+@query(
+    "q41_approx_distinct",
+    oracle="""
+    SELECT count(*) AS total, count(DISTINCT text) AS exact_distinct_texts,
+           CAST(1 AS INT) AS hll_within_2pct
+    FROM documents
+    """,
+)
 def q41(spark, sf_dir):
     """HLL approximate distinct counts — the 100 TB dedup-accounting shape
     (exact countDistinct shuffles every distinct value; HLL sketches merge
-    in fixed space map-side). Rows-only driver check; the exactness
-    tolerance is pinned in tests/test_parity_semantics.py."""
+    in fixed space map-side). The query certifies its own sketch: it runs
+    BOTH aggregates and emits a flag asserting the HLL estimate lands
+    within ±2% of the exact count (HLL registers merge by max, so the
+    estimate is deterministic under any partitioning). The oracle pins the
+    exact count and expects the flag to be 1, turning the former rows-only
+    entry into a hard hash check. At 100 TB only the HLL column would run;
+    the exact column exists to certify it at test scale."""
     t = load_tables(spark, sf_dir)
+    exact = F.countDistinct("text")
+    approx = F.approx_count_distinct("text", 0.02)
     return t["documents"].agg(
         F.count(F.lit(1)).alias("total"),
-        F.approx_count_distinct("text", 0.02).alias("approx_distinct_texts"),
+        exact.alias("exact_distinct_texts"),
+        (F.abs(approx - exact) <= 0.02 * exact)
+        .cast("int")
+        .alias("hll_within_2pct"),
     )
 
 

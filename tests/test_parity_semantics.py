@@ -110,7 +110,8 @@ def test_rolling_hash_order_sensitive(spark):
 
 
 def test_approx_count_distinct_tolerance(spark, sf_dir):
-    """HLL at rsd=0.02 must land within 5% of the exact distinct count."""
+    """q41 self-certifies: the HLL estimate (rsd=0.02) must land within 2%
+    of the exact distinct count, and the exact count must be real."""
     import __spark_entry__ as m
     from pyspark.sql import functions as F
 
@@ -120,4 +121,5 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
         .agg(F.countDistinct("text"))
         .first()[0]
     )
-    assert abs(got["approx_distinct_texts"] - exact) <= max(1, 0.05 * exact)
+    assert got["exact_distinct_texts"] == exact
+    assert got["hll_within_2pct"] == 1
