@@ -45,4 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
-    return dict(ORACLE)
+    from eurostat_energy_etl_pipeline_spark.rag.tfidf import tfidf_oracle_sql
+
+    out = dict(ORACLE)
+    out["q36_tfidf_search"] = tfidf_oracle_sql()
+    return out

@@ -219,33 +219,69 @@ def minhash_signatures(
     return agg.select(*cols)
 
 
-# Persisted-signature memo per (session, input plan semantic hash, params):
-# without it every direct minhash_lsh_pairs call pins a fresh copy of the
-# signature table for the life of the session.
-_SIG_CACHE: dict[tuple, DataFrame] = {}
+class _PersistedPlanCache:
+    """LRU memo for persisted signature DataFrames. Bounded: evicting an
+    entry unpersists it, so a long session probing many distinct corpora
+    cannot grow executor storage without limit (the unbounded-dict version
+    leaked one pinned table per distinct input). Keys include the schema
+    string as a cheap plan fingerprint alongside the 32-bit semanticHash —
+    a semanticHash collision between different inputs would otherwise
+    silently serve another plan's signatures."""
+
+    def __init__(self, maxsize: int = 8) -> None:
+        from collections import OrderedDict
+
+        self._d: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._maxsize = maxsize
+
+    @staticmethod
+    def key_of(df: DataFrame, *parts) -> tuple | None:
+        try:
+            return (
+                df.sparkSession.sparkContext.applicationId,
+                df.semanticHash(),
+                df.schema.simpleString(),
+                *parts,
+            )
+        except Exception:
+            return None  # semanticHash unavailable -> caller runs uncached
+
+    def get(self, key: tuple) -> DataFrame | None:
+        hit = self._d.get(key)
+        if hit is not None:
+            self._d.move_to_end(key)
+        return hit
+
+    def put(self, key: tuple, df: DataFrame) -> None:
+        self._d[key] = df
+        self._d.move_to_end(key)
+        while len(self._d) > self._maxsize:
+            _, evicted = self._d.popitem(last=False)
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass  # session already stopped; nothing to release
+
+
+# Persisted-signature memo per (session, input plan, params): without it
+# every direct minhash_lsh_pairs call pins a fresh copy of the signature
+# table for the life of the session.
+_SIG_CACHE = _PersistedPlanCache()
 
 
 def _signature_table(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_k: int
 ) -> DataFrame:
-    try:
-        key = (
-            df.sparkSession.sparkContext.applicationId,
-            df.semanticHash(),
-            text_col,
-            id_col,
-            num_hashes,
-            shingle_k,
-        )
-    except Exception:
-        key = None  # semanticHash unavailable -> fall back to uncached
-    if key is not None and key in _SIG_CACHE:
-        return _SIG_CACHE[key]
+    key = _PersistedPlanCache.key_of(df, text_col, id_col, num_hashes, shingle_k)
+    if key is not None:
+        hit = _SIG_CACHE.get(key)
+        if hit is not None:
+            return hit
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, keep_shingles=True
     ).persist()
     if key is not None:
-        _SIG_CACHE[key] = sig
+        _SIG_CACHE.put(key, sig)
     return sig
 
 
@@ -291,17 +327,25 @@ def minhash_lsh_pairs(
     # enter the explode/self-join shuffles; they are joined back by id for
     # the (much smaller) verification set only.
     banded = _band_table(sig, bands, rows)
-    # Candidate enumeration as ONE aggregate: collect each bucket's id list
-    # (bounded by max_bucket — the degenerate-bucket guard doubles as the
-    # collect_list bound) and enumerate ordered pairs from the sorted array
-    # row-side. This replaces the window-count + self-join shape: one
-    # exchange of (id, band hash) instead of the same exchange plus a
-    # join's sort/probe machinery, with identical candidate output —
-    # C(bucket,2) pairs either way.
+    # Candidate enumeration: window-count FIRST (sort-based window, spills
+    # to disk), THEN collect_list only for surviving buckets — so the
+    # non-spillable aggregation buffer is bounded by max_bucket ids even
+    # when a degenerate bucket (boilerplate/empty docs sharing a band hash)
+    # holds millions of members. A bare collect_list-then-filter would
+    # materialize the whole bucket in one task's memory before the size
+    # guard could apply. The window and the aggregate share the
+    # (band_idx, band_hash) partitioning, so this is still one exchange;
+    # pairs are then enumerated row-side from the sorted array —
+    # C(bucket,2) per bucket, identical candidates to a self-join without
+    # its second sort/probe pass.
+    from pyspark.sql.window import Window
+
+    w_bucket = Window.partitionBy("band_idx", "band_hash")
     buckets = (
-        banded.groupBy("band_idx", "band_hash")
+        banded.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .groupBy("band_idx", "band_hash")
         .agg(F.collect_list("id").alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         .select(F.array_sort("ids").alias("ids"))
     )
     cand = (
@@ -438,18 +482,36 @@ def match_against_index(
     )
 
 
-def simhash(col: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens, as a long.
+PORTABLE_SIMHASH_BITS = 60
 
-    Hybrid split for speed: token hashing stays JVM-side (`xxhash64` inside
-    `transform` — codegen), then the per-bit majority vote runs in a
-    vectorized pandas_udf over the hash arrays (numpy bit arithmetic on the
-    Arrow batch). A pure-expression formulation (64 whens per token) works
-    but compiles a multi-MB codegen unit that dominates runtime; the bit
-    math is exactly what numpy is fast at, and the Arrow transfer carries
-    only the int64 hash arrays, never the text."""
+
+def portable_token_hash(t: Column) -> Column:
+    """60-bit token hash both engines can compute identically: the first 15
+    hex chars of md5, parsed base-16 (Spark `conv`; DuckDB
+    `('0x' || substr(md5(t),1,15))::BIGINT`). 60 bits keeps the value
+    positive in a signed int64 on both sides. Used by the portable SimHash
+    so the declared query has a cross-engine oracle; the default path keeps
+    xxhash64 (faster, JVM-native) for production corpora."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash(col: Column, bits: int = 64, portable: bool = False) -> Column:
+    """SimHash over whitespace tokens, as a long (64-bit default; 60-bit
+    md5-derived when `portable` — see `portable_token_hash`).
+
+    Hybrid split for speed: token hashing stays JVM-side (`xxhash64` or
+    md5+conv inside `transform` — codegen), then the per-bit majority vote
+    runs in a vectorized pandas_udf over the hash arrays (numpy bit
+    arithmetic on the Arrow batch). A pure-expression formulation (64 whens
+    per token) works but compiles a multi-MB codegen unit that dominates
+    runtime; the bit math is exactly what numpy is fast at, and the Arrow
+    transfer carries only the int64 hash arrays, never the text."""
     toks = whitespace_tokens(col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if portable:
+        bits = PORTABLE_SIMHASH_BITS
+        hashes = F.transform(toks, portable_token_hash)
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     @F.pandas_udf("long")
     def _vote(hash_arrays: pd.Series) -> pd.Series:
@@ -468,29 +530,26 @@ def simhash(col: Column, bits: int = 64) -> Column:
 # SimHash signature memo per (session, input plan, columns) — the signature
 # feeds BOTH sides of the band self-join, and an unpersisted plan would
 # re-tokenize and re-vote the whole corpus once per side (measured ~2x the
-# query's runtime at sf0.1). Mirrors _signature_table for MinHash.
-_SIMHASH_CACHE: dict[tuple, DataFrame] = {}
+# query's runtime at sf0.1). Mirrors _SIG_CACHE (bounded, unpersists on
+# eviction).
+_SIMHASH_CACHE = _PersistedPlanCache()
 
 
-def _simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    try:
-        key = (
-            df.sparkSession.sparkContext.applicationId,
-            df.semanticHash(),
-            text_col,
-            id_col,
-        )
-    except Exception:
-        key = None
-    if key is not None and key in _SIMHASH_CACHE:
-        return _SIMHASH_CACHE[key]
+def _simhash_table(
+    df: DataFrame, text_col: str, id_col: str, portable: bool = False
+) -> DataFrame:
+    key = _PersistedPlanCache.key_of(df, text_col, id_col, portable)
+    if key is not None:
+        hit = _SIMHASH_CACHE.get(key)
+        if hit is not None:
+            return hit
     sigs = (
         widen_if_narrow(df)
-        .select(F.col(id_col), simhash(F.col(text_col)).alias("sig"))
+        .select(F.col(id_col), simhash(F.col(text_col), portable=portable).alias("sig"))
         .persist()
     )
     if key is not None:
-        _SIMHASH_CACHE[key] = sigs
+        _SIMHASH_CACHE.put(key, sigs)
     return sigs
 
 
@@ -500,13 +559,17 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     band_bits: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup candidates: split the 64-bit signature into 4
-    16-bit bands; any pair within hamming distance 3 shares at least one
-    exact band (pigeonhole). Bucket-join per band, then verify the true
-    hamming distance with bit_count(xor)."""
-    n_bands = 64 // band_bits
-    sigs = _simhash_table(df, text_col, id_col)
+    """SimHash near-dup candidates: split the signature into
+    `sig_bits/band_bits` bands; any pair within hamming distance
+    `n_bands-1` shares at least one exact band (pigeonhole). Bucket-join
+    per band, then verify the true hamming distance with bit_count(xor).
+    `portable=True` switches to the 60-bit md5-derived signature (4x15-bit
+    bands) that DuckDB can recompute — the declared query's oracle mode."""
+    sig_bits = PORTABLE_SIMHASH_BITS if portable else 64
+    n_bands = sig_bits // band_bits
+    sigs = _simhash_table(df, text_col, id_col, portable=portable)
     banded = sigs.select(
         id_col,
         "sig",

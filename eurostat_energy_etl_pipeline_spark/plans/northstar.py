@@ -189,12 +189,61 @@ def q25(spark, sf_dir):
     return D.minhash_lsh_pairs(t["documents"], threshold=0.5)
 
 
-@query("q26_simhash_pairs")
+# DuckDB recomputation of the portable 60-bit SimHash: per-bit majority
+# vote as 60 conditional sums, generated here (the same construction the
+# lang-ID oracle uses for its marker scores).
+_SIMHASH_VOTE_SQL = ",\n".join(
+    f"         sum((h >> {b}) & 1) AS s{b}" for b in range(D.PORTABLE_SIMHASH_BITS)
+)
+_SIMHASH_SIG_SQL = "\n           + ".join(
+    f"(CASE WHEN 2 * s{b} > n THEN (1::BIGINT << {b}) ELSE 0 END)"
+    for b in range(D.PORTABLE_SIMHASH_BITS)
+)
+
+
+@query(
+    "q26_simhash_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+    v AS (
+      SELECT doc_id, count(*) AS n,
+{_SIMHASH_VOTE_SQL}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_SIMHASH_SIG_SQL} AS sig
+      FROM v
+    ),
+    bands AS (
+      SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 AS key
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+             bit_count(xor(a.sig, b2.sig)) AS hamming
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """,
+)
 def q26(spark, sf_dir):
-    """SimHash-64 near-dup candidates at hamming<=3 via 16-bit band
-    pigeonhole. Rows-only check (no cross-engine hash function)."""
+    """SimHash near-dup candidates at hamming<=3 via 15-bit band
+    pigeonhole, in PORTABLE mode: the 60-bit md5-derived token hash
+    (operators/dedup.portable_token_hash) is computable bit-for-bit in
+    DuckDB, so the oracle independently recomputes signatures, bands and
+    hamming distances in SQL and the driver hash-compares the full pair
+    set — no cross-engine hash gap. The xxhash64 default stays the
+    production path (faster); both run the identical vote/band/verify
+    plan."""
     t = load_tables(spark, sf_dir)
-    return D.simhash_near_dup_pairs(t["documents"])
+    return D.simhash_near_dup_pairs(t["documents"], band_bits=15, portable=True)
 
 
 @query(

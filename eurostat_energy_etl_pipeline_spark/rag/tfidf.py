@@ -200,10 +200,68 @@ def documents_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit
 
 
+SEARCH_QUERY = "spark shuffle join performance"
+
+
 def tfidf_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """queries() entry: fixed query over the documents fixture (rows-only
-    driver check; ranking invariants in tests/test_rag.py)."""
+    """queries() entry: fixed query over the documents fixture. TF-IDF is
+    deterministic algebra, so it has a full SQL oracle
+    (`tfidf_oracle_sql`) — the driver hash-compares the top-k ids AND
+    cosine scores against an independent DuckDB recomputation of the
+    sklearn-parity weighting. Ranking invariants stay in tests/test_rag.py."""
     index = documents_index(spark, sf_dir)
-    return search(index, spark, "spark shuffle join performance", k=5).select(
+    return search(index, spark, SEARCH_QUERY, k=5).select(
         "id", F.round("score", 6).alias("score")
     )
+
+
+def tfidf_oracle_sql(query: str = SEARCH_QUERY, k: int = 5) -> str:
+    """DuckDB recomputation of the whole TF-IDF pipeline: tokenize +
+    stopword-filter + uni/bigrams, tf, windowed df, smoothed idf
+    (ln((1+N)/(1+df))+1), L2 norms, query-side idf weighting and the final
+    cosine — mirroring `build_index`/`search` construct for construct. The
+    query's term counts are inlined from the same `_query_terms` the engine
+    uses, so both sides weight the query identically."""
+    stop_sql = "[" + ", ".join(f"'{s}'" for s in sorted(ENGLISH_STOPWORDS)) + "]"
+    qterms = _query_terms(query)
+    qt_values = ", ".join(f"('{t}', {c})" for t, c in sorted(qterms.items()))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             x -> x <> '' AND NOT list_contains({stop_sql}, x)) AS tk
+      FROM documents
+    ),
+    terms AS (
+      SELECT doc_id, unnest(tk || CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+             ELSE list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1]) END) AS term
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM terms GROUP BY doc_id, term),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    wv AS (
+      SELECT doc_id, term, tf,
+             ln((1 + n_docs)
+                / (1 + CAST(count(*) OVER (PARTITION BY term) AS DOUBLE))) + 1
+               AS idf,
+             tf * (ln((1 + n_docs)
+                / (1 + CAST(count(*) OVER (PARTITION BY term) AS DOUBLE))) + 1)
+               AS w
+      FROM tf CROSS JOIN nd
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM wv GROUP BY doc_id),
+    qt AS (SELECT * FROM (VALUES {qt_values}) AS q(term, qc)),
+    matched AS (SELECT wv.doc_id, wv.term, wv.w, wv.idf, qt.qc
+                FROM wv JOIN qt USING (term)),
+    qn AS (SELECT sqrt(sum(power(qc * idf, 2))) AS qnorm
+           FROM (SELECT term, any_value(idf) AS idf, any_value(qc) AS qc
+                 FROM matched GROUP BY term)),
+    dots AS (SELECT doc_id, sum(w * qc * idf) AS dot FROM matched GROUP BY doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS id,
+           round(CASE WHEN n.norm > 0 AND q.qnorm > 0
+                 THEN d.dot / (n.norm * q.qnorm) ELSE 0.0 END, 6) AS score
+    FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn q
+    ORDER BY d.dot / n.norm DESC, d.doc_id
+    LIMIT {k}
+    """
