@@ -23,8 +23,17 @@ from pyspark.sql import DataFrame
 
 def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition `df` to `target` partitions (default: the session's
-    defaultParallelism) iff it currently has fewer — a planning-time probe,
-    not an action. Use at the entry of compute-bound operators."""
+    defaultParallelism) iff it currently has fewer.
+
+    Contract: call this on SCAN-SIDE inputs only (a bare table read plus
+    narrow projections/filters) — which is how every call site in this
+    repo uses it. There the `df.rdd.getNumPartitions()` probe is pure
+    planning (file listing / split arithmetic, no job). On a plan that
+    already contains a shuffle, converting to an RDD under AQE can force
+    materialization of upstream query stages, and the probed partition
+    count may differ from the AQE-coalesced final partitioning — so this
+    is NOT a general-purpose width guard for arbitrary mid-plan
+    DataFrames."""
     sc = df.sparkSession.sparkContext
     if target is None:
         target = sc.defaultParallelism

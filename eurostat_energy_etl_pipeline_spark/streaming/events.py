@@ -33,32 +33,58 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampNTZType()),  # TIMESTAMP(MICROS, ntz) fixture
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# Declared schema for the current fixture generation (TIMESTAMP(MICROS,
+# ntz)); read_events_stream probes the actual footer and falls back to the
+# long-nanos variant when the fixture reverts (round 1 shipped
+# TIMESTAMP(NANOS), read as bigint under nanosAsLong).
+EVENTS_SCHEMA = _events_schema(TimestampNTZType())
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events parquet (one file = one
     micro-batch; production swaps in kafka with the same downstream plan).
     File streams require a directory path, so the sf dir is used with a
-    glob filter selecting only the events table. ts is stored ntz and cast
-    to session-TZ timestamp (UTC per catalog.ensure_session_confs), the same
-    normalization the batch catalog applies."""
+    glob filter selecting only the events table.
+
+    The stream schema must be declared up front, so the parquet footer is
+    probed first (a batch metadata read, no data scan) and the declared ts
+    type + conversion mirror catalog._normalize_table's dual handling:
+    long nanos -> integer `div 1000` -> timestamp_micros; ntz -> cast to
+    session-TZ timestamp (UTC per ensure_session_confs). A hardcoded ntz
+    schema would break with nulls/schema-mismatch if the fixture reverts
+    to TIMESTAMP(NANOS)-as-long."""
+    ts_dtype = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    ).get("ts")
+    if ts_dtype == "bigint":
+        schema = _events_schema(LongType())
+        convert = F.timestamp_micros(F.expr("ts div 1000"))
+    elif ts_dtype == "timestamp_ntz":
+        schema = _events_schema(TimestampNTZType())
+        convert = F.col("ts").cast(TimestampType())
+    else:  # already session-TZ timestamp
+        schema = _events_schema(TimestampType())
+        convert = F.col("ts")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return raw.withColumn("ts", convert)
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
@@ -230,13 +256,21 @@ def screen_stream_against_index(
     a static parquet source re-planned per micro-batch, the join is equi
     on the 8-byte (band_idx, band_hash) key, and only (id, band hash)
     tuples from the CURRENT batch ever enter the join — corpus text is
-    never re-read, stream state is empty (no watermark needed; the static
-    side has unbounded lifetime). The output is one row per (incoming doc,
-    corpus candidate) with the shared-band count — the collision strength
-    LSH theory maps to similarity. Exact-Jaccard verification stays a
-    batch concern (`match_against_index`); streaming aggregation rules
-    also make the pair-grain the right output (a per-doc DISTINCT
-    candidate count is not a supported streaming aggregate)."""
+    never re-read and the join itself holds no state (the static side has
+    unbounded lifetime). The final shared-band count, however, IS a
+    stateful aggregate with no watermark: it runs only in update/complete
+    output mode (append is rejected), and its state grows with the number
+    of distinct (doc_id, corpus_id) candidate pairs seen over the life of
+    the query. That is the right contract for a bounded screening run
+    (tests, backfills); a production firehose should instead wrap the
+    JOIN-only plan in `foreachBatch` and aggregate within each batch —
+    documents arrive exactly once, so per-batch counts are already
+    complete, and no cross-batch state accumulates. The output is one row
+    per (incoming doc, corpus candidate) with the shared-band count — the
+    collision strength LSH theory maps to similarity. Exact-Jaccard
+    verification stays a batch concern (`match_against_index`); streaming
+    aggregation rules also make the pair-grain the right output (a per-doc
+    DISTINCT candidate count is not a supported streaming aggregate)."""
     from eurostat_energy_etl_pipeline_spark.operators.dedup import (
         _band_table,
         minhash_signature_col,

@@ -60,6 +60,51 @@ def test_cli_dataset_route_end_to_end(spark, monkeypatch, tmp_path, capsys):
     assert "load_timestamp" in out.columns
 
 
+def test_cli_from_dir_route_end_to_end(spark, monkeypatch, tmp_path, capsys):
+    """`etl.job.main --from-dir <dir>` on a frozen response directory: every
+    saved JSON-stat document becomes one datasource partition, decodes
+    executor-side, and lands in the partitioned warehouse — the full
+    recorded-extract round trip (S1 -> S3 -> K1) with no HTTP at all. A
+    second append run over the same directory doubles the row count,
+    proving the CLI's mode flag reaches the writer."""
+    import json
+
+    resp_dir = tmp_path / "responses"
+    resp_dir.mkdir()
+    # file stem = dataset_code (the datasource default): two datasets, the
+    # same frozen payload
+    for code in ("nrg_cb_e", "ten00124"):
+        (resp_dir / f"{code}.json").write_text(json.dumps(FIXTURE))
+    wh = str(tmp_path / "obs")
+    monkeypatch.setattr(
+        sys, "argv", ["job", "--from-dir", str(resp_dir), "--warehouse", wh]
+    )
+    main()
+    assert "Loaded 10 rows" in capsys.readouterr().out
+
+    out = read_warehouse(spark, wh)
+    assert out.count() == 10
+    assert {r["dataset_code"] for r in out.collect()} == {"nrg_cb_e", "ten00124"}
+    # K1 layout: physically partitioned by dataset_code + year
+    part_dirs = {p.name for p in (tmp_path / "obs").iterdir() if p.is_dir()}
+    assert part_dirs == {"dataset_code=nrg_cb_e", "dataset_code=ten00124"}
+    year_dirs = [
+        p.name
+        for p in (tmp_path / "obs" / "dataset_code=nrg_cb_e").iterdir()
+        if p.is_dir()
+    ]
+    assert year_dirs and all(d.startswith("year=") for d in year_dirs)
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["job", "--from-dir", str(resp_dir), "--warehouse", wh, "--mode", "append"],
+    )
+    main()
+    assert "Loaded 10 rows" in capsys.readouterr().out
+    assert read_warehouse(spark, wh).count() == 20
+
+
 def test_cli_requires_a_source(monkeypatch):
     monkeypatch.setattr(sys, "argv", ["job"])
     with pytest.raises(SystemExit, match="no --dataset"):
