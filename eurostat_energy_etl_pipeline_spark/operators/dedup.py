@@ -117,10 +117,12 @@ def minhash_signature_col(
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Set Jaccard over two string arrays (distinct-ified), as double."""
+    """Set Jaccard over two string arrays (distinct-ified), as double:
+    |A∩B| / (|A|+|B|-|A∩B|), with the intersection expression built once
+    so codegen need not rely on subexpression elimination."""
     da, db = F.array_distinct(a), F.array_distinct(b)
     inter = F.size(F.array_intersect(da, db)).cast("double")
-    union = F.size(da) + F.size(db) - F.size(F.array_intersect(da, db))
+    union = F.size(da) + F.size(db) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 

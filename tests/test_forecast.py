@@ -60,6 +60,27 @@ def test_type_and_model_domains(result):
     }
 
 
+def test_backend_slots_track_installed_libraries(result):
+    """Extras check: when the environment ships the reference's real model
+    libraries, the auto-activating slots (ml/forecast.py:39-51) must be the
+    ones that actually ran — the invariants above then cover real xgboost /
+    statsmodels numerics, not just the deterministic fallbacks. In the
+    fallback environment the candidate names must be the documented
+    stand-ins (the model column self-describes either way)."""
+    import importlib.util
+
+    from eurostat_energy_etl_pipeline_spark.ml import forecast as fc
+
+    have_xgb = importlib.util.find_spec("xgboost") is not None
+    have_sm = importlib.util.find_spec("statsmodels") is not None
+    assert fc.HAVE_XGB == have_xgb
+    assert fc.HAVE_STATSMODELS == have_sm
+    models = set(result["model"])
+    allowed_ar = {"XGBoost"} if have_xgb else {"LeastSquaresAR"}
+    allowed_es = {"ExponentialSmoothing"} if have_sm else {"HoltLinear"}
+    assert models <= allowed_ar | allowed_es
+
+
 def test_linear_series_forecast_continues_trend(result):
     """On a perfectly linear series every sane model extrapolates upward."""
     hist_last = result[result["type"] == "historical"]["value"].iloc[-1]

@@ -45,6 +45,11 @@ DUCKDB_ONLY = {
     "q65_retention",         # duckdb date_diff/strftime (Spark: datediff/date_format)
     "q66_rare_word_filter",  # duckdb string_split_regex/unnest
     "q67_cluster_canonical", # duckdb list_* (same shingle CTE as q45)
+    "q25_minhash_lsh_pairs", # duckdb list_* (same shingle CTE as q24)
+    "q26_simhash_pairs",     # duckdb hex-cast/xor + string_split_regex
+    "q33_multimodal_features",  # duckdb encode()
+    "q36_tfidf_search",      # duckdb list_filter/string_split_regex
+    "q63_incremental_dedup", # duckdb list_* (same shingle CTE as q24)
 }
 
 
