@@ -291,17 +291,48 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     nlist: int = 16,
     seed: int = 42,
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    max_iter: int = 25,
 ) -> np.ndarray:
-    """IVF coarse quantizer: k-means over the corpus (pyspark.ml, one
-    distributed training job), returning the (nlist x dim) centroid matrix.
-    Train once, store with the index — the analog of the LSH plane matrix,
-    but data-adapted."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """IVF coarse quantizer: seeded Lloyd's k-means on a DETERMINISTIC
+    corpus sample, returning the (nlist x dim) centroid matrix.
 
-    feat = df.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
-    model = KMeans(k=nlist, seed=seed, initMode="k-means||").fit(feat)
-    return np.array([np.asarray(c) for c in model.clusterCenters()])
+    This is the standard IVF training recipe (FAISS trains its quantizer
+    on ~a few hundred vectors per cell, not the corpus): the sample is the
+    `sample_size` rows with the smallest xxhash64(id) — one
+    TakeOrderedAndProject scan, identical on any partitioning — and the
+    Lloyd iterations run in numpy on the driver (sample_size x dim, a few
+    MB). Training cost is O(sample), not O(corpus), which is what makes
+    retraining viable at 100 TB; a distributed KMeans over the full corpus
+    (the pyspark.ml route) pays tens of scheduler jobs to average numbers
+    a sample already pins down. Deterministic by construction: hash-picked
+    sample, seeded init, fixed iteration count."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=float)
+    if len(x) < nlist:
+        raise ValueError(f"corpus smaller than nlist ({len(x)} < {nlist})")
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=nlist, replace=False)]
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.empty_like(cents)
+        for c in range(nlist):
+            members = x[assign == c]
+            # re-seed empty cells from a random sample point (standard
+            # Lloyd's fix; deterministic under the seeded rng)
+            new[c] = members.mean(axis=0) if len(members) else x[rng.randint(len(x))]
+        if np.allclose(new, cents, rtol=0, atol=1e-9):
+            cents = new
+            break
+        cents = new
+    return cents
 
 
 def ivf_cell_of(vec_col: Column, centroids: np.ndarray) -> Column:

@@ -561,15 +561,21 @@ def _neardup_index_path(spark, sf_dir: str) -> str:
       UNION ALL
       SELECT doc_id + 2000000, doc_id FROM documents
       WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
-    )
+    ),
+    bex AS (SELECT b.new_id, b.src, unnest(n.shingles) AS g
+            FROM batch b JOIN sh n ON n.doc_id = b.src),
+    cex AS (SELECT doc_id AS corpus_id, unnest(shingles) AS g
+            FROM sh WHERE doc_id % 5 <> 0),
+    cand AS (SELECT DISTINCT bex.new_id, bex.src, cex.corpus_id
+             FROM bex JOIN cex USING (g))
     SELECT new_id, corpus_id, jacc FROM (
-      SELECT b.new_id, c.doc_id AS corpus_id,
+      SELECT cd.new_id, cd.corpus_id,
              round(CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
                    / (len(n.shingles) + len(c.shingles)
                       - len(list_intersect(n.shingles, c.shingles))), 6) AS jacc
-      FROM batch b
-      JOIN sh n ON n.doc_id = b.src
-      JOIN sh c ON c.doc_id % 5 <> 0
+      FROM cand cd
+      JOIN sh n ON n.doc_id = cd.src
+      JOIN sh c ON c.doc_id = cd.corpus_id
     ) WHERE jacc >= 0.5 ORDER BY new_id, corpus_id
     """,
 )
@@ -579,11 +585,13 @@ def q63(spark, sf_dir):
     probed against the persisted corpus MinHash index — the nightly-ingest
     dedup shape where the corpus is shingled once at ingest and never
     re-read. The re-ingested copies are guaranteed catches (Jaccard 1.0,
-    identical signatures -> identical bands). The oracle brute-forces every
-    (batch, corpus) pair's exact shingle Jaccard at the same threshold, so
-    the driver's hash compare certifies full recall AND precision of the
-    index-probe path on this corpus; tests/test_dedup.py::
-    test_incremental_index_probe keeps the operator-level invariants."""
+    identical signatures -> identical bands). The oracle is exhaustive
+    ground truth: an inverted shingle index enumerates every (batch,
+    corpus) pair sharing a shingle — a provable superset of pairs at
+    J>=0.5 — and exact Jaccard filters it, so the driver's hash compare
+    certifies full recall AND precision of the index-probe path on this
+    corpus; tests/test_dedup.py::test_incremental_index_probe keeps the
+    operator-level invariants."""
     from eurostat_energy_etl_pipeline_spark.operators.dedup import (
         match_against_index,
     )
