@@ -104,10 +104,18 @@ def fake_decode_features(payload: np.ndarray, dim: int = 8) -> np.ndarray:
     return out
 
 
-def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+def extract_features(media: DataFrame, batch_size: int | None = None) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches. The iterator
     signature streams batches — worker memory stays O(batch), independent of
-    partition size."""
+    partition size.
+
+    `batch_size` tunes `spark.sql.execution.arrow.maxRecordsPerBatch` for
+    multi-MB payload corpora (256 rows x 4 MB payloads ~= 1 GB per batch
+    otherwise). It is a SESSION-wide conf — Spark has no per-operator knob —
+    so it is only touched when explicitly requested; silently pinning it
+    here degraded every later Arrow-batched operator in the session (the
+    default 10k-row batches are right for the fixture's ~300-byte
+    payloads)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -126,8 +134,10 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 }
             )
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    if batch_size is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
     # Decode cost is per-payload, not per-byte: widen a narrow scan so the
     # Arrow batches spread across cores (no-op on an already-wide input).
     return widen_if_narrow(media).mapInPandas(run, FEATURE_SCHEMA)

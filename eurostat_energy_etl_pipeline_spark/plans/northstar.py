@@ -453,19 +453,22 @@ def _certify_ann(ann, exact, k: int = 5):
 
 @query("q32_lsh_ann")
 def q32(spark, sf_dir):
-    """Approximate NN: random-hyperplane LSH bucket probe + exact rerank
-    against the vec_id=0 query. Approximate by construction (the probe set
-    is ~|hamming<=2 buckets|/2^8 of the corpus), so no SQL oracle — but the
-    rows are self-certifying: each carries `in_exact_topk` (verified
-    against the brute-force top-k in the same plan) and the constant
-    `recall_at_k`, so the driver's recorded rows themselves state the
-    achieved recall rather than an unauditable id list.
+    """Approximate NN: random-hyperplane LSH probe (3 independent tables,
+    hamming<=2 multiprobe — ~40% of the corpus scanned; the fixture's
+    embeddings are near-uniform, the hardest case for LSH, so the recall
+    lever is set deeper than a clustered corpus would need) + exact rerank
+    against the vec_id=0 query. Approximate by construction, so no SQL
+    oracle — but the rows are self-certifying: each carries
+    `in_exact_topk` (verified against the brute-force top-k in the same
+    plan) and the constant `recall_at_k` (measured 0.6-0.8 across
+    sf0.001-0.1 at these params), so the driver's recorded rows themselves
+    state the achieved recall rather than an unauditable id list.
     Recall-vs-bruteforce floors pinned in tests/test_similarity.py."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     qvec = _query_vec(e)
     return _certify_ann(
-        S.lsh_topk(e, qvec, k=5), S.cosine_topk(e, qvec, k=5), k=5
+        S.lsh_topk(e, qvec, k=5, num_tables=3), S.cosine_topk(e, qvec, k=5), k=5
     )
 
 

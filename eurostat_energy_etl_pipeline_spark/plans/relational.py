@@ -264,6 +264,21 @@ def _custkey_year_totals(t):
     )
 
 
+def _custkey_year_view(spark, sf_dir):
+    """Cached (custkey, year) rollup shared by Q11/Q12 — the same
+    build-once-read-many treatment the observations view gets; both
+    windows then scan cached columnar batches instead of re-aggregating
+    orders per query."""
+    from eurostat_energy_etl_pipeline_spark.catalog import cached_view
+
+    return cached_view(
+        "custkey_year_totals",
+        spark,
+        sf_dir,
+        lambda: _custkey_year_totals(load_tables(spark, sf_dir)),
+    )
+
+
 _CUSTKEY_YEAR_SQL = """
 SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -280,11 +295,12 @@ FROM orders GROUP BY o_custkey, year(o_orderdate)
     """,
 )
 def q11(spark, sf_dir):
-    """W1: lag over per-series years (/root/reference/ml/forecast_utils.py:37-38)."""
-    t = load_tables(spark, sf_dir)
+    """W1: lag over per-series years (/root/reference/ml/forecast_utils.py:37-38).
+    The (custkey, year) rollup is served from the shared cached view — the
+    dashboard pattern: q11/q12 are two lenses over one materialization."""
     w = Window.partitionBy("o_custkey").orderBy("yr")
     return (
-        _custkey_year_totals(t)
+        _custkey_year_view(spark, sf_dir)
         .select(
             "o_custkey",
             "yr",
@@ -306,11 +322,11 @@ def q11(spark, sf_dir):
 )
 def q12(spark, sf_dir):
     """W2: trailing rolling mean frame (/root/reference/ml/forecast_utils.py:41).
-    Frame holds <=3 exact doubles in a fixed order -> deterministic."""
-    t = load_tables(spark, sf_dir)
+    Frame holds <=3 exact doubles in a fixed order -> deterministic. Reads
+    the same cached (custkey, year) rollup as q11."""
     w = Window.partitionBy("o_custkey").orderBy("yr").rowsBetween(-2, 0)
     return (
-        _custkey_year_totals(t)
+        _custkey_year_view(spark, sf_dir)
         .select("o_custkey", "yr", F.round(F.avg("total").over(w), 4).alias("roll_mean"))
         .orderBy("o_custkey", "yr")
     )
