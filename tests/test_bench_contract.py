@@ -1,0 +1,28 @@
+"""bench.py driver-artifact contract: the one-line summary must stay
+parseable within the driver's output-tail capture (~2 KB — BENCH_r02.json
+recorded `parsed: null` when the full-name line overflowed it)."""
+
+import json
+
+import bench
+import __spark_entry__ as entry_mod
+
+
+def test_short_keys_are_unique_and_line_fits_tail_capture():
+    names = sorted(entry_mod.queries())
+    shorts = [bench._short(n) for n in names]
+    assert len(set(shorts)) == len(shorts), "short-key collision"
+    summary = {
+        "metric": "declared_query_set_wall_clock",
+        "value": 9999.9999,
+        "unit": "sec",
+        "queries": {s: 123.45 for s in shorts},
+        "sf": 0.1,
+        "n_queries": len(shorts),
+        "cold_sec": 9999.9999,
+        "core_q1_q22_sec": 9999.9999,
+        "throughput_wall_clock_sec": 9999.9999,
+        "full": "bench_full.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1800, f"summary line {len(line)} chars risks tail truncation"

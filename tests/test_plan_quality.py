@@ -99,15 +99,19 @@ def test_scan_reuses_cached_observations(spark, queries):
     assert "InMemoryTableScan" in plan or "Scan In-memory" in plan
 
 
-def test_q11_agg_and_window_share_one_exchange(spark, queries):
-    # _custkey_year_totals pre-partitions on o_custkey so the (custkey, yr)
-    # aggregate AND the per-customer lag window reuse ONE hash exchange;
-    # the only other exchange is the final presentation sort's range
-    # partitioning. Three exchanges means the double-shuffle regressed.
-    # formatted explain prints each node twice (tree + details); count
-    # tree entries only.
+def test_q11_reads_cached_rollup_with_two_execution_exchanges(spark, queries):
+    # The (custkey, yr) rollup is served from the shared cached view
+    # (q11/q12 are two lenses over one materialization): the aggregate's
+    # exchange lives INSIDE the InMemoryRelation build — paid once at cache
+    # materialization — and each execution pays only the window's hash
+    # exchange plus the final presentation sort's range exchange. Three
+    # per-execution exchanges means the cache stopped being read or the
+    # window re-shuffled twice. formatted explain prints each node twice
+    # (tree + details); count tree entries only, split at the cache node.
     plan = plan_of(queries["q11_lag"](spark, SF_DIR))
-    assert plan.count("+- Exchange") == 2, plan
+    assert "InMemoryTableScan" in plan, plan
+    per_execution = plan.split("InMemoryRelation", 1)[0]
+    assert per_execution.count("+- Exchange") == 2, plan
 
 
 def test_q50_chunking_is_shuffle_free(spark, queries):

@@ -4,6 +4,7 @@ planted corpus and LSH ANN recall against the brute-force baseline."""
 import numpy as np
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from eurostat_energy_etl_pipeline_spark.operators import similarity as S
 
@@ -164,3 +165,27 @@ def test_ivf_index_at_rest_cold_session_probe(vectors, tmp_path):
     hits = got.toPandas()
     assert hits.iloc[0]["vec_id"] == 0  # the query's own row
     assert abs(hits.iloc[0]["cos"] - 1.0) < 1e-6
+
+
+def test_ann_certification_columns_are_truthful(spark):
+    """q32/q37's self-certification contract: `in_exact_topk` must agree
+    with an independently computed brute-force top-k, and `recall_at_k`
+    must equal the mean of the flags — the rows the driver records must
+    not be able to overstate their own quality."""
+    import __spark_entry__ as m
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        r[0]
+        for r in e.where(F.col("vec_id") == 0)
+        .select(F.explode("embedding"))
+        .collect()
+    ]
+    exact = {r["vec_id"] for r in S.cosine_topk(e, qvec, k=5).collect()}
+    for name in ("q32_lsh_ann", "q37_ivf_ann"):
+        rows = m.queries()[name](spark, sf_dir).collect()
+        assert len(rows) == 5
+        flags = [r["in_exact_topk"] for r in rows]
+        assert flags == [int(r["vec_id"] in exact) for r in rows]
+        assert all(abs(r["recall_at_k"] - sum(flags) / 5.0) < 1e-9 for r in rows)
