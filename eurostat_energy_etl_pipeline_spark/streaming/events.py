@@ -292,3 +292,46 @@ def screen_stream_against_index(
         .groupBy(F.col("id").alias(id_col), F.col("corpus_id"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def screen_stream_per_batch(
+    docs_stream: DataFrame,
+    spark: SparkSession,
+    index_path: str,
+    sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+):
+    """Production variant of `screen_stream_against_index` for an unbounded
+    firehose: each micro-batch runs the full BATCH matcher
+    (`match_against_index` — candidate join + exact-Jaccard verification)
+    via `foreachBatch` and hands verified matches to `sink(df, batch_id)`.
+
+    Documents arrive exactly once per micro-batch, so per-batch results
+    are already complete and NO cross-batch streaming state exists — the
+    aggregate/join run as ordinary batch plans inside the batch function,
+    sidestepping both the unwatermarked-state growth of the always-on
+    shared-band count and streaming's single-stateful-operator rule (the
+    exact-Jaccard verify join would otherwise be unreachable). Returns the
+    started StreamingQuery (caller owns the lifecycle)."""
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        match_against_index,
+    )
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matches = match_against_index(
+            spark,
+            batch_df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            index_path,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            threshold=threshold,
+        )
+        sink(matches, batch_id)
+
+    return docs_stream.writeStream.foreachBatch(run_batch).start()

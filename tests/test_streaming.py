@@ -187,3 +187,72 @@ def test_screen_stream_against_index(spark, sf_dir, tmp_path):
     assert len(self_pairs) == n_docs  # every streamed doc collides with itself
     assert (self_pairs["n_shared_bands"] == 16).all()  # all bands agree
     assert (pdf["n_shared_bands"] >= 1).all()
+
+
+def test_screen_stream_per_batch_matches_batch_matcher(spark, sf_dir, tmp_path):
+    """foreachBatch screening (the production-firehose variant): verified
+    matches collected per micro-batch must equal the batch matcher's
+    output, and every streamed doc must match itself at Jaccard 1.0."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from eurostat_energy_etl_pipeline_spark.catalog import load_tables
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        match_against_index,
+        write_minhash_index,
+    )
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        screen_stream_per_batch,
+    )
+
+    idx = str(tmp_path / "fb_idx")
+    docs = load_tables(spark, sf_dir)["documents"]
+    write_minhash_index(docs, idx)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    collected = []
+
+    def sink(matches, batch_id):
+        collected.append(matches.toPandas())
+
+    q = screen_stream_per_batch(stream, spark, idx, sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import pandas as pd
+
+    got = (
+        pd.concat(collected, ignore_index=True)
+        .sort_values(["new_id", "corpus_id"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        match_against_index(
+            spark, docs.select("doc_id", "text"), idx
+        )
+        .toPandas()
+        .sort_values(["new_id", "corpus_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
+    self_rows = got[got["new_id"] == got["corpus_id"]]
+    assert len(self_rows) == docs.count()
+    assert (self_rows["jacc"] == 1.0).all()
