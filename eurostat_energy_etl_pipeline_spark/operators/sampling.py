@@ -73,6 +73,46 @@ def stratified_cap(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    budget: int,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Draw a `budget`-row corpus whose per-stratum allocation follows
+    temperature-scaled mixture weights (alloc_s = floor(n_s^alpha /
+    sum_t n_t^alpha * budget)) — the step that CONSUMES q57-style blend
+    weights: compute weights from stratum counts, then keep each
+    stratum's top-`alloc` rows in deterministic hash order (same stable
+    order as `stratified_cap`, so the drawn set is reproducible on any
+    cluster/partitioning).
+
+    Shape at scale: one count aggregate (|strata| rows), one
+    unpartitioned window over those counts (tiny, same as q57), a
+    broadcast join of the allocation table back onto the corpus, and one
+    ranking window partitioned by stratum. Skew note as in
+    stratified_cap: a web-scale stratum should switch to per-stratum
+    hash-threshold rates instead of a ranking window."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    raw = F.pow("_n", alpha)
+    alloc = F.floor(raw / F.sum(raw).over(Window.partitionBy()) * budget).cast(
+        "int"
+    )
+    allocs = counts.select(stratum_col, alloc.alias("_alloc"))
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(allocs), stratum_col)
+        .withColumn("_ms_rn", F.row_number().over(w))
+        .where(F.col("_ms_rn") <= F.col("_alloc"))
+        .drop("_ms_rn", "_alloc")
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

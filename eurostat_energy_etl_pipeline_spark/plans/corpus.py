@@ -296,6 +296,44 @@ def q57(spark, sf_dir):
 
 
 @query(
+    "q73_mixture_sample",
+    oracle="""
+    WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    a AS (SELECT lang,
+                 CAST(floor(pow(n_docs, 0.7) / sum(pow(n_docs, 0.7)) OVER ()
+                      * 100) AS INT) AS alloc
+          FROM n),
+    r AS (
+      SELECT d.doc_id, d.lang,
+             row_number() OVER (PARTITION BY d.lang
+                  ORDER BY md5(CAST(d.doc_id AS STRING)), d.doc_id) AS rn
+      FROM documents d
+    )
+    SELECT r.doc_id, r.lang FROM r JOIN a USING (lang)
+    WHERE r.rn <= a.alloc ORDER BY r.doc_id
+    """,
+)
+def q73(spark, sf_dir):
+    """Mixture-weighted corpus draw: the step that CONSUMES q57's blend
+    weights — per-language allocations out of a 100-document budget
+    (floor(n^0.7 / sum n^0.7 * budget)), filled by each stratum's top
+    rows in deterministic hash order. Completes the blending story
+    (q57 computes the ratios, this draws the corpus); the kept set is
+    reproducible on any partitioning, which the oracle checks as exact
+    set equality."""
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return (
+        mixture_sample(t["documents"], "lang", "doc_id", budget=100)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q58_repetition_ratio",
     oracle=r"""
     WITH sh AS (

@@ -118,3 +118,24 @@ def test_hash_split_rejects_bad_fractions(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("k"))
     with _pytest.raises(ValueError):
         hash_split(df, "k", (0.5, 0.2, 0.2))
+
+
+def test_mixture_sample_allocations_and_determinism(spark, sf_dir):
+    """mixture_sample: per-stratum kept counts equal the temperature-scaled
+    allocation, and the drawn set is identical after a repartition."""
+    import math
+
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    denom = sum(n**0.7 for n in counts.values())
+    expect_alloc = {lang: math.floor(n**0.7 / denom * 100) for lang, n in counts.items()}
+
+    got = mixture_sample(docs, "lang", "doc_id", budget=100)
+    got_counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got_counts == {k: v for k, v in expect_alloc.items() if v > 0}
+
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    reparted = mixture_sample(docs.repartition(7), "lang", "doc_id", budget=100)
+    assert sorted(r["doc_id"] for r in reparted.select("doc_id").collect()) == ids
