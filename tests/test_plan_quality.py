@@ -103,15 +103,18 @@ def test_q11_reads_cached_rollup_with_two_execution_exchanges(spark, queries):
     # The (custkey, yr) rollup is served from the shared cached view
     # (q11/q12 are two lenses over one materialization): the aggregate's
     # exchange lives INSIDE the InMemoryRelation build — paid once at cache
-    # materialization — and each execution pays only the window's hash
-    # exchange plus the final presentation sort's range exchange. Three
-    # per-execution exchanges means the cache stopped being read or the
-    # window re-shuffled twice. formatted explain prints each node twice
-    # (tree + details); count tree entries only, split at the cache node.
+    # materialization. Before the cache materializes its output
+    # partitioning is unknown, so the plan shows the window's hash
+    # exchange + the final sort's range exchange (2); once materialized
+    # the cached batches advertise hashpartitioning(custkey) and the
+    # window reads them exchange-free, leaving only the sort (1). Three+
+    # means the cache stopped being read or the window double-shuffles.
+    # formatted explain prints each node twice (tree + details); count
+    # tree entries only, split at the cache node.
     plan = plan_of(queries["q11_lag"](spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     per_execution = plan.split("InMemoryRelation", 1)[0]
-    assert per_execution.count("+- Exchange") == 2, plan
+    assert per_execution.count("+- Exchange") in (1, 2), plan
 
 
 def test_q50_chunking_is_shuffle_free(spark, queries):
