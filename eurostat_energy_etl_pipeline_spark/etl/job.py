@@ -76,9 +76,10 @@ def write_warehouse_jdbc(
     - ``append``       -> ``mode("append")``: creates the table if absent,
       then bulk-inserts — the reference's CREATE IF NOT EXISTS + to_sql.
 
-    ``merge`` has no single-statement JDBC mapping (the reference cannot
-    express it either); upserts against a JDBC warehouse need a staging
-    table + engine-side MERGE, so we refuse loudly rather than fake it.
+    ``merge`` has no single-statement Spark-writer mapping (the reference
+    cannot express it either): it stages the batch in a side table and
+    runs an engine-side ANSI MERGE keyed on MERGE_KEY — see
+    `merge_warehouse_jdbc`.
 
     At scale the bulk insert parallelizes per partition (one connection
     per executor task); size `df` partitions to the database's ingest
@@ -87,10 +88,8 @@ def write_warehouse_jdbc(
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
     if mode == "merge":
-        raise NotImplementedError(
-            "merge over JDBC needs a staging table + engine-side MERGE; "
-            "use the parquet warehouse path or stage then MERGE in the DB"
-        )
+        merge_warehouse_jdbc(df, url, table=table, options=options)
+        return
     writer = (
         df.write.format("jdbc")
         .option("url", url)
@@ -102,6 +101,103 @@ def write_warehouse_jdbc(
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def _jdbc_statement(spark: SparkSession, url: str, driver: str | None):
+    """Driver-side JDBC connection via the JVM already running under the
+    session — metadata probes and DDL/MERGE statements only, never data
+    (rows always move through Spark's parallel JDBC writer)."""
+    jvm = spark.sparkContext._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    return jvm.java.sql.DriverManager.getConnection(url)
+
+
+def merge_warehouse_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str = "observations",
+    staging_table: str | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Key-based upsert into a JDBC warehouse — the incremental load the
+    reference's drop/append lifecycle cannot express, done the way a real
+    warehouse does it:
+
+    1. bulk-write the batch into a STAGING table (Spark's parallel JDBC
+       writer, overwrite — per-executor connections, no driver data path);
+    2. one engine-side ANSI ``MERGE INTO target USING staging`` keyed on
+       MERGE_KEY (null-safe on every key, mirroring the parquet path's
+       eqNullSafe): matched rows take the batch's values, new keys insert;
+    3. drop the staging table.
+
+    The MERGE itself is a single set-based statement the database executes
+    with its own join machinery — O(|staging| lookups against the target's
+    key index), not O(table). Requires the batch to be key-unique (ANSI
+    MERGE errors on duplicate source matches — a correctness feature: a
+    batch carrying two values for one cell has no well-defined upsert).
+    First load (target absent) degenerates to a plain append, which
+    creates the table. Works on any MERGE-capable target (Postgres 15+,
+    Derby 10.11+ — the test harness); identifiers are double-quoted to
+    survive reserved-word columns like ``time``."""
+    spark = df.sparkSession
+    opts = dict(options or {})
+    staging = staging_table or f"{table}_staging"
+    conn = _jdbc_statement(spark, url, opts.get("driver"))
+    try:
+        meta = conn.getMetaData()
+        rs = meta.getTables(None, None, table.upper(), None)
+        target_exists = rs.next()
+        rs.close()
+        if not target_exists:
+            write_warehouse_jdbc(df, url, "append", table=table, options=options)
+            return
+        writer = (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", staging)
+            .mode("overwrite")
+        )
+        for k, v in opts.items():
+            writer = writer.option(k, v)
+        writer.save()
+        q = lambda c: f'"{c}"'  # noqa: E731 — Spark's JDBC DDL quotes columns
+        keys = [k for k in MERGE_KEY if k in df.columns]
+        # String keys compare as VARCHAR: Spark's JDBC DDL maps StringType
+        # to CLOB on some dialects (Derby), and CLOBs are not comparable in
+        # a MERGE ON clause; the cast is a no-op where strings are already
+        # VARCHAR/text (Postgres).
+        str_keys = {
+            f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+        }
+
+        def key_ref(alias: str, k: str) -> str:
+            ref = f"{alias}.{q(k)}"
+            return f"CAST({ref} AS VARCHAR(512))" if k in str_keys else ref
+
+        on = " AND ".join(
+            f"({key_ref('t', k)} = {key_ref('s', k)} "
+            f"OR (t.{q(k)} IS NULL AND s.{q(k)} IS NULL))"
+            for k in keys
+        )
+        non_keys = [c for c in df.columns if c not in keys]
+        stmt = conn.createStatement()
+        try:
+            stmt.executeUpdate(
+                f"MERGE INTO {table} t USING {staging} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET "
+                + ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+                + " WHEN NOT MATCHED THEN INSERT ("
+                + ", ".join(q(c) for c in df.columns)
+                + ") VALUES ("
+                + ", ".join(f"s.{q(c)}" for c in df.columns)
+                + ")"
+            )
+            stmt.executeUpdate(f"DROP TABLE {staging}")
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
 
 
 def write_warehouse(df: DataFrame, warehouse_dir: str, mode: str) -> None:

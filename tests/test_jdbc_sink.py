@@ -58,11 +58,61 @@ def test_jdbc_mode_matrix(spark, derby_url):
     assert got["C3"] == 3.0
 
 
-def test_jdbc_merge_refused(spark, derby_url):
+def test_jdbc_merge_upserts(spark, derby_url):
+    """merge = staging table + engine-side ANSI MERGE: matched natural keys
+    take the batch's values, new keys insert, untouched rows survive, and
+    the staging table is dropped afterwards."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
     from tests.test_etl_modes import _batch
 
-    with pytest.raises(NotImplementedError, match="staging"):
-        write_warehouse_jdbc(stamp(clean(_batch(spark))), derby_url, "merge")
+    opts = {"driver": DERBY_DRIVER}
+    first = stamp(clean(_batch(spark)))
+    # first merge: target absent -> degenerates to append (creates table)
+    write_warehouse_jdbc(first, derby_url, "merge", options=opts)
+    assert _read(spark, derby_url).count() == 5
+
+    update = stamp(
+        clean(
+            spark.createDataFrame(
+                [
+                    Row(  # same natural key as C3 -> value replaced
+                        dataset_code="nrg_cb_e",
+                        country_code="C3",
+                        country_name="Country 3",
+                        indicator_code="GEP",
+                        indicator_label="label",
+                        unit_code="GWH",
+                        unit_label="Gigawatt-hour",
+                        time=datetime(2023, 1, 1).date(),
+                        value=99.0,
+                    ),
+                    Row(  # new key -> inserted
+                        dataset_code="nrg_cb_e",
+                        country_code="C9",
+                        country_name="Country 9",
+                        indicator_code="GEP",
+                        indicator_label="label",
+                        unit_code="GWH",
+                        unit_label="Gigawatt-hour",
+                        time=datetime(2029, 1, 1).date(),
+                        value=9.0,
+                    ),
+                ]
+            )
+        )
+    )
+    write_warehouse_jdbc(update, derby_url, "merge", options=opts)
+    got = {r["country_code"]: r["value"] for r in _read(spark, derby_url).collect()}
+    assert len(got) == 6
+    assert got["C3"] == 99.0  # updated in place
+    assert got["C9"] == 9.0  # inserted
+    assert got["C1"] == 1.0  # untouched row survives
+    # staging table cleaned up
+    with pytest.raises(Exception):
+        _read(spark, derby_url, "observations_staging").count()
 
 
 def test_jdbc_invalid_mode_rejected(spark):
