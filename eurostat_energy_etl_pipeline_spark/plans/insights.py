@@ -241,3 +241,66 @@ def insights_table(spark, sf_dir):
             F.col("end_year"),
         ).alias("insight_text"),
     )
+
+
+@query(
+    "q74_forecast_features",
+    oracle=with_cte(
+        f"""
+    , {_SERIES_SQL.lstrip()}
+    SELECT geo, indicator, yr, y, lag1, lag2, lag3, roll_mean_3, roll_std_3
+    FROM (
+      SELECT geo, indicator, yr,
+             round(val, 4) AS y,
+             round(lag(val, 1) OVER w, 4) AS lag1,
+             round(lag(val, 2) OVER w, 4) AS lag2,
+             round(lag(val, 3) OVER w, 4) AS lag3,
+             CASE WHEN count(val) OVER w3 >= 3
+                  THEN round(avg(val) OVER w3, 4) END AS roll_mean_3,
+             CASE WHEN count(val) OVER w3 >= 3
+                  THEN round(stddev_samp(val) OVER w3, 4) END AS roll_std_3
+      FROM series
+      WINDOW w AS (PARTITION BY geo, indicator ORDER BY yr),
+             w3 AS (PARTITION BY geo, indicator ORDER BY yr
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    ) t
+    WHERE lag1 IS NOT NULL AND lag2 IS NOT NULL AND lag3 IS NOT NULL
+      AND roll_mean_3 IS NOT NULL AND roll_std_3 IS NOT NULL
+    ORDER BY geo, indicator, yr
+    """
+    ),
+)
+def q74(spark, sf_dir):
+    """M2 as a driver-verified query: the supervised feature matrix the
+    forecasting grouped map consumes — lag1..3 plus trailing rolling
+    mean/std over the PREVIOUS 3 points (pandas `shift(1).rolling(3,
+    min_periods=3)` semantics: the frame is rows t-3..t-1 with an explicit
+    count guard, and `stddev_samp` matches pandas ddof=1), rows with
+    incomplete features dropped (W4). Until now M2 was pinned only by
+    in-repo parity tests (`ml/forecast._features` runs the same recipe in
+    pandas inside `applyInPandas`); this query hash-checks the exact
+    window algebra against an independent SQL derivation, so the
+    deterministic prefix of the forecast pipeline is driver-certified even
+    though the model fit itself (q35) stays rows-only by design."""
+    from pyspark.sql.window import Window
+
+    series = yearly_series_view(spark, sf_dir)
+    w = Window.partitionBy("geo", "indicator").orderBy("yr")
+    w3 = w.rowsBetween(-3, -1)
+    cnt = F.count("val").over(w3)
+    out = series.select(
+        "geo",
+        "indicator",
+        "yr",
+        F.round("val", 4).alias("y"),
+        F.round(F.lag("val", 1).over(w), 4).alias("lag1"),
+        F.round(F.lag("val", 2).over(w), 4).alias("lag2"),
+        F.round(F.lag("val", 3).over(w), 4).alias("lag3"),
+        F.when(cnt >= 3, F.round(F.avg("val").over(w3), 4)).alias("roll_mean_3"),
+        F.when(cnt >= 3, F.round(F.stddev_samp("val").over(w3), 4)).alias(
+            "roll_std_3"
+        ),
+    )
+    return out.na.drop(
+        subset=["lag1", "lag2", "lag3", "roll_mean_3", "roll_std_3"]
+    ).orderBy("geo", "indicator", "yr")

@@ -114,3 +114,56 @@ def test_full_pipeline_runs(spark, sf_dir):
     assert len(pdf) > 0
     per_group = pdf[pdf["type"] == "forecast"].groupby(["geo", "indicator"]).size()
     assert (per_group == HORIZON).all()
+
+
+def test_q74_feature_matrix_matches_pandas_features(spark):
+    """The driver-verified q74 window algebra must equal the pandas
+    `_features` recipe the grouped map consumes — same lags, same
+    shift(1).rolling(3, min_periods=3) stats, same dropna — so the
+    SQL-certified matrix IS the model input, not a lookalike."""
+    import numpy as np
+
+    import __spark_entry__ as m
+    from eurostat_energy_etl_pipeline_spark.ml.forecast import _features
+    from eurostat_energy_etl_pipeline_spark.plans.insights import (
+        yearly_series_view,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = (
+        m.queries()["q74_forecast_features"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["geo", "indicator", "yr"])
+        .reset_index(drop=True)
+    )
+    series = yearly_series_view(spark, sf_dir).toPandas()
+    frames = []
+    for (geo, ind), g in series.groupby(["geo", "indicator"]):
+        g = g.sort_values("yr")
+        f = _features(g["val"].to_numpy(), g["yr"].to_numpy())
+        f.insert(0, "indicator", ind)
+        f.insert(0, "geo", geo)
+        frames.append(f)
+    import pandas as pd
+
+    expect = (
+        pd.concat(frames, ignore_index=True)
+        .rename(columns={"year": "yr"})
+        .sort_values(["geo", "indicator", "yr"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expect)
+    for spark_col, pd_col in [
+        ("y", "y"),
+        ("lag1", "lag1"),
+        ("lag2", "lag2"),
+        ("lag3", "lag3"),
+        ("roll_mean_3", "roll_mean_3"),
+        ("roll_std_3", "roll_std_3"),
+    ]:
+        np.testing.assert_allclose(
+            got[spark_col].to_numpy(),
+            np.round(expect[pd_col].astype(float).to_numpy(), 4),
+            atol=1e-9,
+            err_msg=spark_col,
+        )
