@@ -36,17 +36,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(QUERIES)
     # Non-SQL pipelines registered lazily to keep import cheap.
     from eurostat_energy_etl_pipeline_spark.ml.forecast import forecast_query
+    from eurostat_energy_etl_pipeline_spark.rag.bm25 import bm25_search_query
     from eurostat_energy_etl_pipeline_spark.rag.tfidf import tfidf_search_query
 
     out["q35_forecast"] = forecast_query
     out["q36_tfidf_search"] = tfidf_search_query
+    out["q75_bm25_search"] = bm25_search_query
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
+    from eurostat_energy_etl_pipeline_spark.rag.bm25 import bm25_oracle_sql
     from eurostat_energy_etl_pipeline_spark.rag.tfidf import tfidf_oracle_sql
 
     out = dict(ORACLE)
     out["q36_tfidf_search"] = tfidf_oracle_sql()
+    out["q75_bm25_search"] = bm25_oracle_sql()
     return out

@@ -846,3 +846,95 @@ def q72(spark, sf_dir):
         )
         .transform(presentation_sort, "source")
     )
+
+
+@query(
+    "q76_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, bucket_lo
+    ORDER BY lang, bucket_lo
+    """,
+)
+def q76(spark, sf_dir):
+    """Per-language document-length histogram (100-char buckets) with
+    bucket extrema — the length-distribution report every corpus curation
+    pass starts from (truncation budgets, short-doc filters). One hash
+    aggregate on (lang, bucket): the bucket id is computed scan-side from
+    the pruned 2-column projection, so nothing but 2 small ints + a lang
+    code ever shuffles; at 100 TB this is a near-pure map-side-combine
+    aggregate with a bounded output (langs x ~6 buckets)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "lang",
+            (F.floor(F.col("n_chars") / 100.0) * 100)
+            .cast("bigint")
+            .alias("bucket_lo"),
+            "n_chars",
+        )
+        .groupBy("lang", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .transform(presentation_sort, "lang", "bucket_lo")
+    )
+
+
+@query(
+    "q78_vocab_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> x <> '' AND NOT list_contains(['a', 'an', 'and', 'are', 'as', 'for', 'in', 'is', 'it', 'of', 'on', 'that', 'the', 'to', 'with'], x)) AS tk
+      FROM documents
+    ),
+    cnt AS (
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest(tk) AS term FROM toks)
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, n,
+             row_number() OVER (ORDER BY n DESC, term) AS rk
+      FROM cnt
+    )
+    SELECT term, n, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def q78(spark, sf_dir):
+    """Corpus vocabulary head: top-20 stopword-filtered tokens by exact
+    frequency, with a deterministic (count desc, term) rank — the
+    vocabulary audit that feeds tokenizer training and stopword-list
+    review. Plan: explode -> one hash aggregate keyed by term (map-side
+    combine does the heavy lifting: the shuffle carries one row per
+    distinct term per partition, not per occurrence), then a
+    TakeOrderedAndProject picks 20 rows and the rank is attached on that
+    20-row result — no SinglePartition window over the full vocabulary."""
+    t = load_tables(spark, sf_dir)
+    stop = F.array(*[F.lit(s) for s in sorted(T.ENGLISH_STOPWORDS)])
+    toks = F.filter(
+        T.whitespace_tokens(F.col("text")),
+        lambda x: (x != "") & ~F.array_contains(stop, x),
+    )
+    top = (
+        widen_if_narrow(t["documents"])
+        .select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("n"), "term")
+    return top.withColumn("rk", F.row_number().over(w).cast("int")).transform(
+        presentation_sort, "rk"
+    )

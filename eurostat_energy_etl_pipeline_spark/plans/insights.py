@@ -304,3 +304,64 @@ def q74(spark, sf_dir):
     return out.na.drop(
         subset=["lag1", "lag2", "lag3", "roll_mean_3", "roll_std_3"]
     ).orderBy("geo", "indicator", "yr")
+
+
+@query(
+    "q77_anomaly_zscore",
+    oracle=with_cte(
+        f"""
+    , {_SERIES_SQL.lstrip()},
+    z AS (
+      SELECT geo, indicator, yr, val,
+             avg(val) OVER (PARTITION BY geo, indicator) AS mu,
+             stddev_samp(val) OVER (PARTITION BY geo, indicator) AS sd,
+             count(*) OVER (PARTITION BY geo, indicator) AS n
+      FROM series
+    )
+    SELECT geo, indicator, CAST(yr AS INT) AS yr,
+           round(val, 2) AS val, round((val - mu) / sd, 4) AS zscore
+    FROM z
+    WHERE n >= 5 AND sd > 0 AND abs(val - mu) > 2 * sd
+    ORDER BY geo, indicator, yr
+    """
+    ),
+)
+def q77(spark, sf_dir):
+    """Series anomaly scan: flag yearly observations more than 2 sample
+    standard deviations from their (geo, indicator) series mean — the
+    outlier screen a data-quality pass runs before the insights/forecast
+    stages trust a series (extends the reference's insight stats,
+    /root/reference/llm_app/build_knowledge_base.py:30-46, from trend to
+    dispersion). Reuses the session-cached yearly series (one shuffle per
+    session shared with Q17/Q18/forecast); mean/stddev attach as windows
+    over the same (geo, indicator) key — Catalyst plans a single exchange
+    for both. The n>=5 floor mirrors the forecast pipeline's
+    insufficient-data guard; sd>0 excludes constant series (z undefined)."""
+    from pyspark.sql.window import Window
+
+    series = yearly_series_view(spark, sf_dir)
+    w = Window.partitionBy("geo", "indicator")
+    z = series.select(
+        "geo",
+        "indicator",
+        "yr",
+        "val",
+        F.avg("val").over(w).alias("mu"),
+        F.stddev_samp("val").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return (
+        z.where(
+            (F.col("n") >= 5)
+            & (F.col("sd") > 0)
+            & (F.abs(F.col("val") - F.col("mu")) > 2 * F.col("sd"))
+        )
+        .select(
+            "geo",
+            "indicator",
+            F.col("yr").cast("int").alias("yr"),
+            F.round("val", 2).alias("val"),
+            F.round((F.col("val") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+        )
+        .transform(presentation_sort, "geo", "indicator", "yr")
+    )
