@@ -820,3 +820,64 @@ def q67(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "q79_quantize_audit",
+    oracle="""
+    WITH m AS (
+      SELECT label, embedding,
+             list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max') AS emax
+      FROM embeddings
+    ),
+    q AS (
+      SELECT label,
+             127.0 / emax AS scale,
+             list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)
+                          - round(CAST(x AS DOUBLE) * (127.0 / emax))
+                            / (127.0 / emax))), 'max') AS err
+      FROM m WHERE emax > 0
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(scale), 4) AS avg_scale,
+           round(avg(err), 6) AS avg_err,
+           round(max(err), 6) AS max_err
+    FROM q GROUP BY label ORDER BY label
+    """,
+)
+def q79(spark, sf_dir):
+    """Int8 quantization audit (operators/quantize.py): per label, the
+    per-vector symmetric-int8 scale and worst-case reconstruction error
+    |x - dq(q(x))|, rolled up as avg/max — the go/no-go report before an
+    embedding store switches its ANN tier to int8 (4x memory; see
+    SCALE.md). Pure higher-order Catalyst expressions over the embedding
+    arrays: one narrow map stage then a label-keyed hash aggregate —
+    vectors never shuffle, only (label, 2 doubles) rows do. The DuckDB
+    oracle recomputes the identical scheme with list_transform /
+    list_aggregate, certifying the quantizer's arithmetic cross-engine."""
+    from eurostat_energy_etl_pipeline_spark.operators.quantize import (
+        _max_abs,
+        reconstruction_error,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = widen_if_narrow(t["embeddings"])
+    emax = _max_abs(F.col("embedding"))
+    scale = F.lit(127.0) / emax
+    per_vec = emb.where(emax > 0).select(
+        "label",
+        scale.alias("scale"),
+        reconstruction_error(F.col("embedding"), scale).alias("err"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("scale"), 4).alias("avg_scale"),
+            F.round(F.avg("err"), 6).alias("avg_err"),
+            F.round(F.max("err"), 6).alias("max_err"),
+        )
+        .transform(presentation_sort, "label")
+    )
