@@ -473,14 +473,45 @@ def write_ivf_index(
     id_col: str = "vec_id",
     nlist: int = 16,
     seed: int = 42,
+    quantize: bool = False,
 ) -> np.ndarray:
     """Materialize the IVF index at rest: corpus rows written
     `partitionBy(cell)` (probes become partition-pruned scans, exactly
     like the LSH index) plus the trained centroid matrix stored alongside
     as a tiny parquet (`{path}_centroids`) so ANY later session can probe
-    without retraining or recomputing cells. Returns the centroids."""
+    without retraining or recomputing cells. Returns the centroids.
+
+    With `quantize=True` the stored vectors are symmetric int8
+    (`operators/quantize.py`: array<tinyint> `qvec` + per-vector `scale`
+    instead of the float array) — the FAISS IVF+SQ8 layout. The cells and
+    centroids are still computed from the full-precision vectors, so
+    quantization affects only the in-cell rerank; probes dequantize
+    inline (`ivf_index_topk` detects the layout from the schema). At
+    1024-dim float32 this is the difference between a 4 KB and a 1 KB
+    row — 4x more corpus per probe-partition byte."""
     cents = train_ivf_centroids(df, vec_col, nlist, seed)
     assigned = df.withColumn("cell", ivf_cell_of(F.col(vec_col), cents))
+    if quantize:
+        from eurostat_energy_etl_pipeline_spark.operators.quantize import _max_abs
+
+        emax = _max_abs(F.col(vec_col))
+        scale = F.when(emax > 0, F.lit(127.0) / emax)
+        # Inline expressions, not a quantize+join: the cell assignment and
+        # the int8 encoding stay one narrow projection over the same scan.
+        assigned = assigned.select(
+            F.col(id_col),
+            F.col("cell"),
+            scale.alias("scale"),
+            F.when(
+                emax > 0,
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: F.round(
+                        x.cast("double") * F.lit(127.0) / emax
+                    ).cast("tinyint"),
+                ),
+            ).alias("qvec"),
+        )
     (
         assigned.repartition("cell")
         .write.mode("overwrite")
@@ -517,12 +548,21 @@ def ivf_index_topk(
     scores = cents @ q - 0.5 * (cents * cents).sum(axis=1)
     probes = [int(i) for i in np.argsort(-scores)[:nprobe]]
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scan = spark.read.parquet(path).where(F.col("cell").isin(probes))
+    if "qvec" in scan.columns:
+        # Int8 layout (write_ivf_index(quantize=True)): dequantize inline
+        # in the rerank expression — still whole-stage codegen, and the
+        # scan reads 1/4 the vector bytes. NULL qvec = unrepresentable
+        # all-zero vector; its cosine is 0 by the cosine() guard anyway,
+        # so it can never enter a top-k over positive scores.
+        vec = F.transform(F.col("qvec"), lambda v: v.cast("double") / F.col("scale"))
+        scan = scan.where(F.col("qvec").isNotNull())
+    else:
+        vec = F.col(vec_col)
     return (
-        spark.read.parquet(path)
-        .where(F.col("cell").isin(probes))
-        .select(
+        scan.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), qcol), 6).alias("cos"),
+            F.round(cosine(vec, qcol), 6).alias("cos"),
         )
         .orderBy(F.desc("cos"), id_col)
         .limit(k)
