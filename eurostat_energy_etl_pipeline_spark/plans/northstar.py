@@ -881,3 +881,46 @@ def q79(spark, sf_dir):
         )
         .transform(presentation_sort, "label")
     )
+
+
+_IVF_SQ8_INDEX: dict = {}
+
+
+def _ivf_sq8_index_path(spark, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    path = _IVF_SQ8_INDEX.get(key)
+    if path is None:
+        tag = hashlib.md5(f"{app}:{sf_dir}:sq8".encode()).hexdigest()[:12]
+        path = f"{tempfile.gettempdir()}/spark_graft_ivf_sq8_index_{tag}"
+        t = load_tables(spark, sf_dir)
+        S.write_ivf_index(t["embeddings"], path, nlist=16, quantize=True)
+        _IVF_SQ8_INDEX[key] = path
+    return path
+
+
+@query("q80_ivf_sq8_ann")
+def q80(spark, sf_dir):
+    """IVF+SQ8 approximate NN: q37's build-once-probe-many shape, but the
+    at-rest index stores symmetric-int8 vectors + per-vector scale
+    (`write_ivf_index(quantize=True)` — the FAISS IVF+SQ8 layout, 4x less
+    vector bytes per probe partition; see q79 for the cross-engine audit
+    of the quantizer's arithmetic). The probe dequantizes inline in the
+    codegen'd rerank. Approximate twice over (cell pruning + int8
+    rounding) -> no SQL oracle; rows self-certify with `in_exact_topk` +
+    `recall_at_k` against the full-precision brute-force top-k in the
+    same plan. On the fixtures q80 returns the same rows at the same
+    recall as the float-index q37 — the int8 rounding costs nothing
+    beyond the cell pruning both share."""
+    idx = _ivf_sq8_index_path(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    qvec = _query_vec(e)
+    return _certify_ann(
+        S.ivf_index_topk(spark, idx, qvec, k=5, nprobe=4),
+        S.cosine_topk(e, qvec, k=5),
+        k=5,
+    )
