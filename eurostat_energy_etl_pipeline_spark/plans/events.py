@@ -399,3 +399,52 @@ def q65(spark, sf_dir):
         )
         .transform(presentation_sort, "cohort", "week_offset")
     )
+
+
+@query(
+    "q81_rolling_dau",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             count(DISTINCT user_id) AS dau,
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, dau, n_events,
+           round(avg(dau) OVER (ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS dau_7d_avg,
+           sum(n_events) OVER (ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS events_7d
+    FROM daily ORDER BY day
+    """,
+)
+def q81_rolling_dau(spark, sf_dir):
+    """Daily active users with 7-day trailing smoothing — the canonical
+    engagement rollup over an event firehose. Exact-distinct DAU is one
+    hash aggregate keyed by day (user ids shuffle once, partially
+    aggregated map-side); the trailing window then runs over ~days rows,
+    a dimension-bounded frame that is trivially single-task no matter the
+    event volume — at 100 TB the heavy lifting stays in the distinct
+    aggregate, and the window input is O(days), not O(events). Day keys
+    are emitted as strings so the hash never sees engine date rendering
+    (same contract as the tumbling query's epoch seconds)."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count_distinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "n_events",
+            F.round(F.avg("dau").over(w), 4).alias("dau_7d_avg"),
+            F.sum("n_events").over(w).alias("events_7d"),
+        )
+        .orderBy("day")
+    )
