@@ -50,6 +50,10 @@ DUCKDB_ONLY = {
     "q33_multimodal_features",  # duckdb encode()
     "q36_tfidf_search",      # duckdb list_filter/string_split_regex
     "q63_incremental_dedup", # duckdb list_* (same shingle CTE as q24)
+    "q75_bm25_search",       # duckdb list_filter/string_split_regex
+    "q78_vocab_topk",        # duckdb list_filter/string_split_regex
+    "q79_quantize_audit",    # duckdb list_transform/list_aggregate
+    "q81_rolling_dau",       # duckdb strftime (Spark: date_format)
 }
 
 
