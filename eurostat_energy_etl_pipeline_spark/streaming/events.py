@@ -100,6 +100,30 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def rolling_dau_stream(events: DataFrame) -> DataFrame:
+    """Watermarked daily active users — the streaming twin of the batch
+    q81_rolling_dau's inner rollup. Exact distinct is unbounded state on a
+    stream, so this uses `approx_count_distinct` (HLL++, mergeable sketch
+    state bounded per window) next to the exact event count; the 1-day
+    event-time window + 1-day watermark means state for a day is dropped
+    one day after it closes. The 7-day smoothing stays a batch concern
+    (over the emitted O(days) rollup), exactly as the batch query
+    documents — windows over output tables, not stream state."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("dau_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("day_s"),
+            "dau_approx",
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows with a 30-minute gap — built-in state merge."""
     return (

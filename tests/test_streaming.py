@@ -256,3 +256,35 @@ def test_screen_stream_per_batch_matches_batch_matcher(spark, sf_dir, tmp_path):
     self_rows = got[got["new_id"] == got["corpus_id"]]
     assert len(self_rows) == docs.count()
     assert (self_rows["jacc"] == 1.0).all()
+
+
+def test_rolling_dau_stream_tracks_exact(spark, sf_dir, stream):
+    """Streaming approx DAU per day must cover every day the batch rollup
+    sees and land within HLL++ tolerance (<=5% default rsd) of the exact
+    distinct; event counts are exact and must match bit-for-bit."""
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        rolling_dau_stream,
+    )
+
+    q = run_to_memory(rolling_dau_stream(stream), "t_dau", "complete")
+    try:
+        got = spark.sql("SELECT * FROM t_dau ORDER BY day_s").toPandas()
+    finally:
+        q.stop()
+    import pyspark.sql.functions as F
+
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count_distinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").cast("long").alias("day_s"), "dau", "n_events")
+        .orderBy("day_s")
+        .toPandas()
+    )
+    assert list(got["day_s"]) == list(batch["day_s"])
+    assert list(got["n_events"]) == list(batch["n_events"])
+    for approx, exact in zip(got["dau_approx"], batch["dau"]):
+        assert abs(approx - exact) <= max(2, 0.1 * exact)
