@@ -938,3 +938,90 @@ def q78(spark, sf_dir):
     return top.withColumn("rk", F.row_number().over(w).cast("int")).transform(
         presentation_sort, "rk"
     )
+
+
+@query(
+    "q82_bigram_lm_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM toks WHERE len(tk) >= 2
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             ln(CAST(count(*) OVER (PARTITION BY bigram) AS DOUBLE)
+                / CAST(count(*) OVER (PARTITION BY split_part(bigram, ' ', 1))
+                  AS DOUBLE)) AS lp
+      FROM bg
+    ),
+    docscore AS (
+      SELECT doc_id, lang, avg(lp) AS avg_logprob
+      FROM scored GROUP BY doc_id, lang
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(avg_logprob), 4) AS mean_logprob,
+           CAST(sum(CASE WHEN avg_logprob < -3.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_prob
+    FROM docscore GROUP BY lang ORDER BY lang
+    """,
+)
+def q82(spark, sf_dir):
+    """Corpus-trained bigram LM quality score — the KenLM/CCNet filter
+    shape with the corpus as its own language model (q66's rare-word
+    screen is the unigram cousin). Per document: the mean log conditional
+    probability ln(c(w1 w2) / c(w1 ·)) over its bigram instances, where
+    both counts come from the whole corpus; per language: mean score and
+    the count of improbable documents (avg < -3 nats ~ perplexity > 20
+    per bigram). Plan: tokenize once, explode bigrams once, attach the
+    numerator and denominator counts as two windows — the bigram window
+    keys (w1 w2) and the prefix window keys split(bigram)[0], so the text
+    shuffles as compact bigram strings exactly twice, then reduces to
+    per-doc and per-lang aggregates. No smoothing is needed: every
+    observed bigram has count >= 1 and its prefix count >= its own."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = F.filter(T.whitespace_tokens(F.col("text")), lambda x: x != "")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        widen_if_narrow(t["documents"])
+        .where(n >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+    )
+    scored = bg.select(
+        "doc_id",
+        "lang",
+        F.log(
+            F.count(F.lit(1)).over(Window.partitionBy("bigram")).cast("double")
+            / F.count(F.lit(1))
+            .over(Window.partitionBy(F.split(F.col("bigram"), " ")[0]))
+            .cast("double")
+        ).alias("lp"),
+    )
+    docscore = scored.groupBy("doc_id", "lang").agg(
+        F.avg("lp").alias("avg_logprob")
+    )
+    return (
+        docscore.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+            F.sum(F.when(F.col("avg_logprob") < -3.0, 1).otherwise(0)).alias(
+                "n_low_prob"
+            ),
+        )
+        .transform(presentation_sort, "lang")
+    )

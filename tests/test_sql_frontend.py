@@ -54,6 +54,7 @@ DUCKDB_ONLY = {
     "q78_vocab_topk",        # duckdb list_filter/string_split_regex
     "q79_quantize_audit",    # duckdb list_transform/list_aggregate
     "q81_rolling_dau",       # duckdb strftime (Spark: date_format)
+    "q82_bigram_lm_score",   # duckdb string_split_regex/list_* + split_part
 }
 
 
