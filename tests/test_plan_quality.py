@@ -205,3 +205,57 @@ def test_q63_incremental_probe_broadcasts_the_batch(spark, queries):
     # The corpus index side must stream through broadcast joins; the big
     # side is never exchanged for the candidate join.
     assert "BroadcastHashJoin" in plan
+
+
+def test_q75_bm25_probe_is_inlist_over_index(spark, queries):
+    # The search must filter the posting index by the query's literal
+    # terms (an IN-list reaching the cached index, cost ~ matched
+    # postings) and take top-k without a global sort.
+    plan = plan_of(queries["q75_bm25_search"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "term" in plan and " IN (" in plan.replace("IN(", " IN (")
+
+
+def test_q76_histogram_prunes_to_two_columns(spark, queries):
+    # The bucketed aggregate must read only lang + n_chars — never text.
+    plan = plan_of(queries["q76_length_histogram"](spark, SF_DIR))
+    scan = plan.split("Scan parquet", 1)[1]
+    schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "lang" in schema and "n_chars" in schema
+    assert "text" not in schema
+
+
+def test_q77_mean_and_std_share_one_window_exchange(spark, queries):
+    # avg/stddev/count attach over the same (geo, indicator) key: one
+    # exchange for the window, not one per aggregate.
+    plan = plan_of(queries["q77_anomaly_zscore"](spark, SF_DIR))
+    assert ") Window" in plan
+    assert plan.count("hashpartitioning(geo") <= 2, plan  # series agg + window
+
+
+def test_q78_vocab_topk_no_full_vocab_single_partition_window(spark, queries):
+    # The rank must attach AFTER the ordered limit (20 rows), never as a
+    # SinglePartition window over the whole vocabulary.
+    plan = plan_of(queries["q78_vocab_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    win = plan.split(") Window", 1)
+    assert len(win) == 2  # the 20-row rank window exists...
+    # ...and the big aggregate combines map-side before any exchange.
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_q79_quantize_audit_never_shuffles_vectors(spark, queries):
+    # The only exchange is the label-keyed rollup of (label, doubles);
+    # embedding arrays stay scan-side.
+    plan = plan_of(queries["q79_quantize_audit"](spark, SF_DIR))
+    assert plan.count("+- Exchange") <= 2, plan  # agg + presentation sort
+    post = plan.split("Exchange", 1)[1]
+    assert "embedding" not in post.split("Scan parquet")[0]
+
+
+def test_q82_bigram_lm_single_tokenize_pass(spark, queries):
+    # One documents scan feeds both count windows; a join formulation
+    # would tokenize twice.
+    plan = plan_of(queries["q82_bigram_lm_score"](spark, SF_DIR))
+    assert plan.count(") Scan parquet") == 1
+    assert plan.count(") Window") == 2  # bigram count + prefix count
