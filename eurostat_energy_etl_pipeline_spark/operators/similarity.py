@@ -474,6 +474,7 @@ def write_ivf_index(
     nlist: int = 16,
     seed: int = 42,
     quantize: bool = False,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Materialize the IVF index at rest: corpus rows written
     `partitionBy(cell)` (probes become partition-pruned scans, exactly
@@ -488,8 +489,17 @@ def write_ivf_index(
     quantization affects only the in-cell rerank; probes dequantize
     inline (`ivf_index_topk` detects the layout from the schema). At
     1024-dim float32 this is the difference between a 4 KB and a 1 KB
-    row — 4x more corpus per probe-partition byte."""
-    cents = train_ivf_centroids(df, vec_col, nlist, seed)
+    row — 4x more corpus per probe-partition byte.
+
+    Pass `centroids` to reuse an already-trained quantizer (e.g. when
+    writing a float and an SQ8 layout of the same corpus — training is
+    deterministic, so retraining would reproduce them anyway; skipping it
+    saves the sample scan + Lloyd's pass)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(df, vec_col, nlist, seed)
+    )
     assigned = df.withColumn("cell", ivf_cell_of(F.col(vec_col), cents))
     if quantize:
         from eurostat_energy_etl_pipeline_spark.operators.quantize import _max_abs

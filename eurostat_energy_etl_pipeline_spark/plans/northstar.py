@@ -489,9 +489,18 @@ def _ivf_index_path(spark, sf_dir: str) -> str:
         tag = hashlib.md5(f"{app}:{sf_dir}".encode()).hexdigest()[:12]
         path = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
         t = load_tables(spark, sf_dir)
-        S.write_ivf_index(t["embeddings"], path, nlist=16)
+        cents = S.write_ivf_index(
+            t["embeddings"], path, nlist=16, centroids=_IVF_CENTROIDS.get(key)
+        )
+        _IVF_CENTROIDS[key] = cents
         _IVF_INDEX[key] = path
     return path
+
+
+# Trained coarse quantizer per (session, corpus): the float (q37) and SQ8
+# (q80) layouts share it — training is deterministic, so this only skips
+# the duplicate sample scan + Lloyd's pass on the second index write.
+_IVF_CENTROIDS: dict = {}
 
 
 @query("q37_ivf_ann")
@@ -897,7 +906,15 @@ def _ivf_sq8_index_path(spark, sf_dir: str) -> str:
         tag = hashlib.md5(f"{app}:{sf_dir}:sq8".encode()).hexdigest()[:12]
         path = f"{tempfile.gettempdir()}/spark_graft_ivf_sq8_index_{tag}"
         t = load_tables(spark, sf_dir)
-        S.write_ivf_index(t["embeddings"], path, nlist=16, quantize=True)
+        fkey = (app, sf_dir)
+        cents = S.write_ivf_index(
+            t["embeddings"],
+            path,
+            nlist=16,
+            quantize=True,
+            centroids=_IVF_CENTROIDS.get(fkey),
+        )
+        _IVF_CENTROIDS[fkey] = cents
         _IVF_SQ8_INDEX[key] = path
     return path
 

@@ -226,11 +226,17 @@ def test_q76_histogram_prunes_to_two_columns(spark, queries):
 
 
 def test_q77_mean_and_std_share_one_window_exchange(spark, queries):
-    # avg/stddev/count attach over the same (geo, indicator) key: one
-    # exchange for the window, not one per aggregate.
+    # avg/stddev/count attach over the same (geo, indicator) key: ONE
+    # Window node carries all three functions (one exchange), not one
+    # window pass per aggregate. (Counting exchanges directly is
+    # order-dependent: the shared yearly-series view may already be
+    # cached by an earlier test, which changes the upstream plan.)
     plan = plan_of(queries["q77_anomaly_zscore"](spark, SF_DIR))
-    assert ") Window" in plan
-    assert plan.count("hashpartitioning(geo") <= 2, plan  # series agg + window
+    assert plan.count(") Window") == 1, plan
+    # The (single) Window node's detail block lists all three aggregates.
+    win_detail = plan.split(") Window", 1)[1][:1500]
+    for fn in ("avg(", "stddev_samp(", "count("):
+        assert fn in win_detail, win_detail
 
 
 def test_q78_vocab_topk_no_full_vocab_single_partition_window(spark, queries):
