@@ -59,10 +59,17 @@ def main() -> None:
     def _run(name: str) -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(_run, sorted(queries)))
-    throughput_wall = round(time.perf_counter() - t0, 4)
+    # Best-of-two, like the sequential pass: a single wall measurement is
+    # the most co-tenant-noise-sensitive number in the whole report (a
+    # load burst mid-pass once tripled it between rounds).
+    throughput_wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(_run, sorted(queries)))
+        throughput_wall = min(
+            throughput_wall, round(time.perf_counter() - t0, 4)
+        )
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
