@@ -448,3 +448,53 @@ def q81_rolling_dau(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q85_median_bridge",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS median_value,
+           round(quantile_cont(value, 0.95), 4) AS p95_value,
+           1 AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q85_median_bridge(spark, sf_dir):
+    """Exact vs sketch percentiles, self-certified (q41's pattern for
+    quantiles): per event type, the exact interpolated median and p95
+    (Spark `percentile` = DuckDB `quantile_cont`, hash-compared), plus an
+    `approx_ok` flag asserting the mergeable sketch (`approx_percentile`,
+    accuracy 10000) honors its RANK-error contract: the sketch promises a
+    value whose rank is within 1/accuracy of the requested quantile (it
+    returns an actual element, never an interpolation), so the certificate
+    brackets it between the exact quantiles at q +/- 2 rank-percent rather
+    than demanding value-space closeness (which small groups legitimately
+    violate at interpolation points). The oracle pins the flag to 1, so
+    the driver's hash check certifies the sketch contract, not just that
+    it ran. At 100 TB the exact path is the expensive one (full sort per
+    group); the certified sketch is what production dashboards serve."""
+    t = load_tables(spark, sf_dir)
+    agg = t["events"].groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med_exact"),
+        F.expr("percentile(value, 0.95D)").alias("p95_exact"),
+        F.expr("percentile(value, 0.48D)").alias("med_lo"),
+        F.expr("percentile(value, 0.52D)").alias("med_hi"),
+        F.expr("percentile(value, 0.93D)").alias("p95_lo"),
+        F.expr("percentile(value, 0.97D)").alias("p95_hi"),
+        F.expr("approx_percentile(value, 0.5D, 10000)").alias("med_approx"),
+        F.expr("approx_percentile(value, 0.95D, 10000)").alias("p95_approx"),
+    )
+    ok = (
+        F.col("med_approx").between(F.col("med_lo"), F.col("med_hi"))
+        & F.col("p95_approx").between(F.col("p95_lo"), F.col("p95_hi"))
+    )
+    return (
+        agg.select(
+            "event_type",
+            F.round("med_exact", 4).alias("median_value"),
+            F.round("p95_exact", 4).alias("p95_value"),
+            F.when(ok, 1).otherwise(0).alias("approx_ok"),
+        )
+        .transform(presentation_sort, "event_type")
+    )

@@ -941,3 +941,56 @@ def q80(spark, sf_dir):
         S.cosine_topk(e, qvec, k=5),
         k=5,
     )
+
+
+@query(
+    "q83_crossmodal_audit",
+    oracle="""
+    SELECT e.label, d.lang, count(*) AS n_docs,
+           round(avg(CAST(d.n_chars AS DOUBLE)), 2) AS avg_chars,
+           round(avg(sqrt(list_aggregate(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)
+             AS avg_norm,
+           round(corr(CAST(d.n_chars AS DOUBLE),
+                 sqrt(list_aggregate(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)
+             AS chars_norm_corr
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY e.label, d.lang ORDER BY e.label, d.lang
+    """,
+)
+def q83(spark, sf_dir):
+    """Cross-modal consistency audit: join the text table to its embedding
+    table (doc_id = vec_id — the id contract every paired-modality corpus
+    carries) and report, per (cluster label, language), document counts,
+    mean length, mean embedding L2 norm, and the length↔norm correlation —
+    the drift probe that catches an embedding run made against a stale
+    text snapshot. The norm is a scan-side higher-order aggregate (no
+    UDF); the join is key-keyed (AQE picks broadcast vs sort-merge from
+    runtime sizes) and only (label, lang, 2 doubles) rows reach the
+    rollup. The oracle recomputes the identical arithmetic with DuckDB
+    list functions."""
+    t = load_tables(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    joined = t["documents"].join(
+        t["embeddings"], F.col("doc_id") == F.col("vec_id")
+    )
+    return (
+        joined.select(
+            "label", "lang", F.col("n_chars").cast("double").alias("nc"), norm.alias("nrm")
+        )
+        .groupBy("label", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nc"), 2).alias("avg_chars"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.corr("nc", "nrm"), 4).alias("chars_norm_corr"),
+        )
+        .transform(presentation_sort, "label", "lang")
+    )

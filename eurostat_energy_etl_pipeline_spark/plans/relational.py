@@ -669,3 +669,54 @@ def q69(spark, sf_dir):
         )
         .transform(presentation_sort, "s_name")
     )
+
+
+@query(
+    "q84_shipping_revenue",
+    oracle="""
+    SELECT n_name, CAST(year(l_shipdate) AS INT) AS ship_yr,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+    GROUP BY n_name, ship_yr ORDER BY n_name, ship_yr
+    """,
+)
+def q84(spark, sf_dir):
+    """TPC-H Q3/Q5-flavored shipping revenue: discounted lineitem revenue
+    by nation and ship year over the selective 1996-1998 window — the
+    4-table star join every warehouse benchmark exercises. Plan shape at
+    scale: the ship-date filter is pushed into the lineitem scan (year
+    BETWEEN rewrites to a date range), nation broadcasts, and the
+    orders/customer joins run key-keyed so AQE picks broadcast vs
+    sort-merge from runtime sizes. Revenue is an exact decimal sum of the
+    per-row double product (both engines compute the product in binary
+    double then round to DECIMAL(18,4) identically), so the hash compare
+    is bit-stable."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(F.year("l_shipdate").between(1996, 1998))
+    joined = (
+        li.join(t["orders"], li["l_orderkey"] == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        joined.groupBy(
+            "n_name", F.year("l_shipdate").cast("int").alias("ship_yr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+        )
+        .transform(presentation_sort, "n_name", "ship_yr")
+    )

@@ -49,8 +49,11 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     for c in s.columns:
         sv, ov = s[c], o[c]
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
-            eq = np.isclose(
-                sv.astype(float), ov.astype(float), rtol=0, atol=10**-ROUND, equal_nan=True
+            eq = pd.Series(
+                np.isclose(
+                    sv.astype(float), ov.astype(float), rtol=0, atol=10**-ROUND, equal_nan=True
+                ),
+                index=sv.index,
             )
         else:
             eq = (sv == ov) | (sv.isna() & ov.isna())

@@ -55,6 +55,8 @@ DUCKDB_ONLY = {
     "q79_quantize_audit",    # duckdb list_transform/list_aggregate
     "q81_rolling_dau",       # duckdb strftime (Spark: date_format)
     "q82_bigram_lm_score",   # duckdb string_split_regex/list_* + split_part
+    "q83_crossmodal_audit",  # duckdb list_transform/list_aggregate
+    "q85_median_bridge",     # duckdb quantile_cont (Spark: percentile)
 }
 
 
