@@ -720,3 +720,49 @@ def q84(spark, sf_dir):
         )
         .transform(presentation_sort, "n_name", "ship_yr")
     )
+
+
+@query(
+    "q86_join_skew_profile",
+    oracle="""
+    WITH k AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(n) AS BIGINT) AS max_n,
+                 CAST(sum(n) AS BIGINT) AS total,
+                 round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 4)
+                   AS skew_factor
+          FROM k)
+    SELECT r.o_custkey, CAST(r.n AS BIGINT) AS n, s.n_keys, s.max_n,
+           s.skew_factor
+    FROM (SELECT o_custkey, n,
+                 row_number() OVER (ORDER BY n DESC, o_custkey) AS rk
+          FROM k) r CROSS JOIN s
+    WHERE r.rk <= 5 ORDER BY r.n DESC, r.o_custkey
+    """,
+)
+def q86(spark, sf_dir):
+    """Join-key skew profile: the diagnostic run BEFORE choosing a skew
+    mitigation (AQE skew-join vs q69's explicit salting) — the 5 hottest
+    o_custkey values with their row counts, next to corpus-level skew
+    stats (key count, max key size, and max/mean ratio). One hash
+    aggregate keyed by custkey (map-side combined), a TakeOrdered for the
+    top-5, and a broadcast 1-row join for the stats — the key histogram
+    itself is never globally sorted. skew_factor ~ 1 means uniform; the
+    threshold AQE uses (5x median partition) maps to roughly
+    skew_factor > 5 here."""
+    t = load_tables(spark, sf_dir)
+    k = t["orders"].groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    k.persist()
+    stats = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.round(
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"), 4
+        ).alias("skew_factor"),
+    )
+    top = k.orderBy(F.desc("n"), "o_custkey").limit(5)
+    return (
+        top.join(F.broadcast(stats))
+        .select("o_custkey", "n", "n_keys", "max_n", "skew_factor")
+        .transform(presentation_sort, "o_custkey")
+    )
