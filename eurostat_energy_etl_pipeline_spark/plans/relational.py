@@ -737,7 +737,7 @@ def q84(spark, sf_dir):
     FROM (SELECT o_custkey, n,
                  row_number() OVER (ORDER BY n DESC, o_custkey) AS rk
           FROM k) r CROSS JOIN s
-    WHERE r.rk <= 5 ORDER BY r.n DESC, r.o_custkey
+    WHERE r.rk <= 5 ORDER BY r.o_custkey
     """,
 )
 def q86(spark, sf_dir):
