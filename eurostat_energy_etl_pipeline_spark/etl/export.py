@@ -69,9 +69,9 @@ def export_training_shards(
                 F.min("rank").alias("rank_lo"),
                 F.max("rank").alias("rank_hi"),
                 # order-insensitive content checksum: xor of doc hashes
-                F.expr("aggregate(collect_list(__h), 0L, (a, x) -> a ^ x)").alias(
-                    "checksum"
-                ),
+                # (native bit_xor aggregate — streaming, no collect_list
+                # buffer, map-side combinable)
+                F.expr("bit_xor(__h)").alias("checksum"),
             )
             .orderBy("shard_id")
         )
@@ -93,9 +93,7 @@ def verify_shards(spark: SparkSession, out_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens2"),
         F.min("rank").alias("rank_lo2"),
         F.max("rank").alias("rank_hi2"),
-        F.expr(
-            "aggregate(collect_list(xxhash64(text)), 0L, (a, x) -> a ^ x)"
-        ).alias("checksum2"),
+        F.expr("bit_xor(xxhash64(text))").alias("checksum2"),
     )
     joined = manifest.join(recomputed, "shard_id", "full_outer")
     return joined.where(
