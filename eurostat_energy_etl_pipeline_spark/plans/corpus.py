@@ -1001,14 +1001,20 @@ def q82(spark, sf_dir):
         .where(n >= 2)
         .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
     )
-    scored = bg.select(
+    # Both counts ride ONE prefix-keyed exchange: hashpartitioning(pfx)
+    # clusters (pfx, bigram) too (subset rule), so the bigram-count window
+    # re-sorts in place instead of shuffling the instance table a second
+    # time — 2 shuffles of 260k+ strings become 1 at sf0.1, and at 100 TB
+    # the saved exchange is the whole bigram stream.
+    withpfx = bg.withColumn("pfx", F.split(F.col("bigram"), " ")[0])
+    scored = withpfx.select(
         "doc_id",
         "lang",
         F.log(
-            F.count(F.lit(1)).over(Window.partitionBy("bigram")).cast("double")
-            / F.count(F.lit(1))
-            .over(Window.partitionBy(F.split(F.col("bigram"), " ")[0]))
+            F.count(F.lit(1))
+            .over(Window.partitionBy("pfx", "bigram"))
             .cast("double")
+            / F.count(F.lit(1)).over(Window.partitionBy("pfx")).cast("double")
         ).alias("lp"),
     )
     docscore = scored.groupBy("doc_id", "lang").agg(

@@ -261,7 +261,12 @@ def test_q79_quantize_audit_never_shuffles_vectors(spark, queries):
 
 def test_q82_bigram_lm_single_tokenize_pass(spark, queries):
     # One documents scan feeds both count windows; a join formulation
-    # would tokenize twice.
+    # would tokenize twice. The two windows must share ONE prefix-keyed
+    # exchange (hashpartitioning(pfx) clusters (pfx, bigram) by the
+    # subset rule) — a bigram-keyed second shuffle of the instance table
+    # is the regression this pins against.
     plan = plan_of(queries["q82_bigram_lm_score"](spark, SF_DIR))
     assert plan.count(") Scan parquet") == 1
     assert plan.count(") Window") == 2  # bigram count + prefix count
+    assert "hashpartitioning(pfx" in plan
+    assert "hashpartitioning(bigram" not in plan
