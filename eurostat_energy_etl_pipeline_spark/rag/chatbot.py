@@ -36,8 +36,15 @@ def fastest_rising_gep(spark: SparkSession, sf_dir: str):
     )
 
 
-def answer_question(spark: SparkSession, sf_dir: str, question: str) -> dict:
-    """Returns {mode, answer, rows} mirroring the reference's two paths."""
+def answer_question(
+    spark: SparkSession, sf_dir: str, question: str, ranker: str = "tfidf"
+) -> dict:
+    """Returns {mode, answer, rows} mirroring the reference's two paths.
+
+    `ranker` picks the retrieval scorer for the semantic route: "tfidf"
+    (reference parity, rag/tfidf.py) or "bm25" (rag/bm25.py) — both are
+    posting-list index probes with identical plan shape, so swapping the
+    scorer changes ranking behavior only, not the distribution story."""
     if not question or not question.strip():
         return {"mode": "empty", "answer": "Please ask a question.", "rows": []}
     mode = route(question)
@@ -56,6 +63,21 @@ def answer_question(spark: SparkSession, sf_dir: str, question: str) -> dict:
     corpus = ins.select(
         F.xxhash64("geo", "indicator").alias("doc_id"), "text"
     )
-    hits = semantic_search(spark, corpus, question, k=5).collect()
+    if ranker == "bm25":
+        from eurostat_energy_etl_pipeline_spark.rag.bm25 import (
+            bm25_search,
+            build_bm25_index,
+        )
+
+        index = build_bm25_index(corpus, "text", "doc_id")
+        scored = bm25_search(index, question, k=5)
+        hits = (
+            scored.join(corpus, scored["id"] == corpus["doc_id"])
+            .select("id", F.round("score", 6).alias("score"), "text")
+            .orderBy(F.desc("score"), "id")
+            .collect()
+        )
+    else:
+        hits = semantic_search(spark, corpus, question, k=5).collect()
     lines = [f"- {h['text']} (score {h['score']:.3f})" for h in hits]
     return {"mode": mode, "answer": "\n".join(lines), "rows": [h.asDict() for h in hits]}

@@ -124,6 +124,36 @@ def rolling_dau_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def value_quantile_stream(events: DataFrame) -> DataFrame:
+    """Watermarked per-type value-distribution monitor — the streaming twin
+    of the batch percentile bridge (q85): 5-minute event-time windows with
+    the mergeable percentile sketch (`approx_percentile` keeps bounded
+    per-window state and merges across partial aggregates, which is what
+    makes it legal in streaming where the exact sort-based `percentile` is
+    not) plus exact min/max/count. The 10-minute watermark GCs window
+    state like `tumbling_counts`."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5D, 10000)").alias("p50"),
+            F.expr("approx_percentile(value, 0.95D, 10000)").alias("p95"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_s"),
+            "event_type",
+            "p50",
+            "p95",
+            "vmin",
+            "vmax",
+            "n",
+        )
+    )
+
+
 def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows with a 30-minute gap — built-in state merge."""
     return (

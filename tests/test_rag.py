@@ -86,3 +86,18 @@ def test_intent_routing():
     assert route("is gross electricity production growing anywhere") == "intent"
     assert route("compare household consumption") == "semantic"
     assert route("rising unemployment") == "semantic"  # rising but not GEP
+
+
+def test_bm25_ranker_route(spark, sf_dir):
+    from eurostat_energy_etl_pipeline_spark.rag.chatbot import answer_question
+
+    out = answer_question(
+        spark, sf_dir, "household energy consumption trends", ranker="bm25"
+    )
+    assert out["mode"] == "semantic"
+    assert len(out["rows"]) >= 1
+    scores = [r["score"] for r in out["rows"]]
+    assert scores == sorted(scores, reverse=True)
+    # unknown-ranker falls back to tfidf behavior via default arg contract
+    base = answer_question(spark, sf_dir, "household energy consumption trends")
+    assert base["mode"] == "semantic" and len(base["rows"]) >= 1

@@ -288,3 +288,61 @@ def test_rolling_dau_stream_tracks_exact(spark, sf_dir, stream):
     assert list(got["n_events"]) == list(batch["n_events"])
     for approx, exact in zip(got["dau_approx"], batch["dau"]):
         assert abs(approx - exact) <= max(2, 0.1 * exact)
+
+
+def test_value_quantile_stream_brackets_exact(spark, sf_dir, stream):
+    """Streaming sketch percentiles must bracket the exact batch quantiles
+    at q +/- 2 rank-percent per (bucket, type) — the same rank-error
+    certificate the batch q85 pins — and min/max/count are exact."""
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        value_quantile_stream,
+    )
+
+    q = run_to_memory(value_quantile_stream(stream), "t_vq", "complete")
+    try:
+        got = spark.sql(
+            "SELECT * FROM t_vq ORDER BY bucket_s, event_type"
+        ).toPandas()
+    finally:
+        q.stop()
+    import pyspark.sql.functions as F
+
+    # The sketch returns an ELEMENT whose rank is within (2 rank-percent
+    # + sketch discreteness) of the target; for an n-row window that means
+    # its value must lie between the elements at floor/ceil of rank
+    # n*(q -/+ 0.02) -/+ one element. Compute the brackets in pandas from
+    # the raw per-window values (tiny groups at test SF). q85's SQL-side
+    # bracket works only because its groups are hundreds of rows.
+    raw = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.sort_array(F.collect_list("value")).alias("vals"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_s"),
+            "event_type", "vals", "vmin", "vmax", "n",
+        )
+        .orderBy("bucket_s", "event_type")
+        .toPandas()
+    )
+
+    def bracket(vals, q):
+        import math
+
+        n = len(vals)
+        lo = vals[max(0, math.floor(n * (q - 0.02)) - 1)]
+        hi = vals[min(n - 1, math.ceil(n * (q + 0.02)))]
+        return lo, hi
+
+    assert len(got) == len(raw)
+    for g, b in zip(got.itertuples(), raw.itertuples()):
+        assert (g.bucket_s, g.event_type, g.n) == (b.bucket_s, b.event_type, b.n)
+        assert g.vmin == b.vmin and g.vmax == b.vmax
+        lo, hi = bracket(b.vals, 0.5)
+        assert lo <= g.p50 <= hi, (g, b.vals)
+        lo, hi = bracket(b.vals, 0.95)
+        assert lo <= g.p95 <= hi, (g, b.vals)
