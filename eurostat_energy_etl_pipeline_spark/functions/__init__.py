@@ -3,6 +3,8 @@
 from eurostat_energy_etl_pipeline_spark.functions.numeric import (
     exact_avg,
     exact_sum,
+    portable_round,
+    portable_round_sql,
     rolling_mean_min_periods,
     rolling_std_min_periods,
 )
@@ -22,6 +24,8 @@ from eurostat_energy_etl_pipeline_spark.functions.presentation import (
 __all__ = [
     "exact_avg",
     "exact_sum",
+    "portable_round",
+    "portable_round_sql",
     "presentation_sort",
     "rolling_mean_min_periods",
     "rolling_std_min_periods",

@@ -29,6 +29,32 @@ def exact_avg(col: str | Column, scale: int = 2) -> Column:
     return exact_sum(c, scale) / F.count(F.lit(1))
 
 
+def portable_round(col: str | Column, n: int) -> Column:
+    """Cross-engine deterministic round-to-n-decimals for doubles.
+
+    ``round(x, n)`` disagrees between engines on exact decimal ties: Spark
+    (and its double→decimal cast) rounds the SHORTEST DECIMAL REPRESENTATION
+    half-up (``BigDecimal.valueOf``), while DuckDB rounds the BINARY value —
+    so a yearly mean like ``sum(DECIMAL(18,2))/8`` that lands exactly on
+    ``x.xxxx5`` flips its last digit between engines (round-3 q74 red cell:
+    Spark 190445.3288 vs DuckDB 190445.3287). ``floor(x*10^n + 0.5)/10^n``
+    uses only IEEE-754 double ops, which both engines execute identically,
+    so the pair can never diverge. Use this (with :func:`portable_round_sql`
+    on the oracle side) wherever the rounded value is a derived double that
+    can tie — means of fixed-scale decimals, integer ratios — not just a
+    scale-2 sum.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10**n)
+    return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def portable_round_sql(expr: str, n: int) -> str:
+    """DuckDB-side twin of :func:`portable_round` (same IEEE formula)."""
+    p = float(10**n)
+    return f"floor(({expr}) * {p!r} + 0.5) / {p!r}"
+
+
 def rolling_mean_min_periods(col: str, w: WindowSpec, min_periods: int = 3) -> Column:
     """Trailing rolling mean matching pandas ``rolling(n, min_periods=n)``
     (/root/reference/ml/forecast_utils.py:41): NULL until the frame holds

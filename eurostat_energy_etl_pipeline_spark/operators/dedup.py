@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from eurostat_energy_etl_pipeline_spark.functions.numeric import portable_round
 from eurostat_energy_etl_pipeline_spark.functions.parallelism import widen_if_narrow
 from eurostat_energy_etl_pipeline_spark.operators.text import whitespace_tokens
 
@@ -160,7 +161,7 @@ def ngram_jaccard_pairs(
         .select(
             (F.col("pk") - 1).alias("id_a"),
             F.col("pk").alias("id_b"),
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jacc"),
+            portable_round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jacc"),
         )
     )
 
@@ -374,7 +375,7 @@ def minhash_lsh_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jacc"),
+            portable_round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jacc"),
         )
         .where(F.col("jacc") >= threshold)
         .orderBy("id_a", "id_b")
@@ -477,7 +478,7 @@ def match_against_index(
         .select(
             "new_id",
             "corpus_id",
-            F.round(jaccard(F.col("sh_n"), F.col("sh_c")), 6).alias("jacc"),
+            portable_round(jaccard(F.col("sh_n"), F.col("sh_c")), 6).alias("jacc"),
         )
         .where(F.col("jacc") >= threshold)
         .orderBy("new_id", "corpus_id")

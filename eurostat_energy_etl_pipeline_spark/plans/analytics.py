@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from eurostat_energy_etl_pipeline_spark.catalog import observations_view, with_cte
-from eurostat_energy_etl_pipeline_spark.functions import exact_avg, presentation_sort
+from eurostat_energy_etl_pipeline_spark.functions import (
+    exact_avg,
+    portable_round,
+    presentation_sort,
+)
 from eurostat_energy_etl_pipeline_spark.plans import query
 
 
@@ -23,7 +27,7 @@ from eurostat_energy_etl_pipeline_spark.plans import query
     oracle=with_cte(
         """
     SELECT country_code AS geo,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
              AS avg_value
     FROM observations
     WHERE indicator_code = 'GEP' AND dataset_code = 'nrg_cb_e'
@@ -44,7 +48,7 @@ def dash_top10_latest(spark, sf_dir):
     return (
         filtered.join(F.broadcast(latest), filtered["yr"] == latest["max_yr"])
         .groupBy(F.col("country_code").alias("geo"))
-        .agg(F.round(exact_avg("value"), 4).alias("avg_value"))
+        .agg(portable_round(exact_avg("value"), 4).alias("avg_value"))
         .orderBy(F.desc("avg_value"), "geo")
         .limit(10)
     )
@@ -114,7 +118,7 @@ def dash_year_range(spark, sf_dir):
     oracle=with_cte(
         """
     SELECT country_code AS geo,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
              AS avg_value
     FROM observations
     WHERE indicator_code = 'FC_E' AND year(time) BETWEEN 1996 AND 1999
@@ -132,7 +136,7 @@ def dash_between_top10(spark, sf_dir):
             & F.year("time").between(1996, 1999)
         )
         .groupBy(F.col("country_code").alias("geo"))
-        .agg(F.round(exact_avg("value"), 4).alias("avg_value"))
+        .agg(portable_round(exact_avg("value"), 4).alias("avg_value"))
         .orderBy(F.desc("avg_value"), "geo")
         .limit(10)
     )
@@ -171,13 +175,13 @@ def dash_heatmap(spark, sf_dir):
     oracle=with_cte(
         """
     SELECT CAST(year(time) AS INT) AS yr,
-           round(CAST(sum(CASE WHEN dataset_code = 'nrg_cb_e'
+           floor((CAST(sum(CASE WHEN dataset_code = 'nrg_cb_e'
                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / count(CASE WHEN dataset_code = 'nrg_cb_e' THEN 1 END), 4)
+                 / count(CASE WHEN dataset_code = 'nrg_cb_e' THEN 1 END)) * 10000.0 + 0.5) / 10000.0
              AS nrg_cb_e,
-           round(CAST(sum(CASE WHEN dataset_code = 'ten00124'
+           floor((CAST(sum(CASE WHEN dataset_code = 'ten00124'
                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / count(CASE WHEN dataset_code = 'ten00124' THEN 1 END), 4)
+                 / count(CASE WHEN dataset_code = 'ten00124' THEN 1 END)) * 10000.0 + 0.5) / 10000.0
              AS ten00124
     FROM observations GROUP BY year(time) ORDER BY yr
     """
@@ -199,7 +203,7 @@ def dash_pivot_types(spark, sf_dir):
         )
         .groupBy("yr")
         .pivot("dataset_code", ["nrg_cb_e", "ten00124"])
-        .agg(F.round(F.sum("v").cast("double") / F.count("v"), 4))
+        .agg(portable_round(F.sum("v").cast("double") / F.count("v"), 4))
     )
     return presentation_sort(piv, "yr")
 

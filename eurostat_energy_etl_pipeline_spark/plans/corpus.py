@@ -11,7 +11,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
-from eurostat_energy_etl_pipeline_spark.functions import presentation_sort, widen_if_narrow
+from eurostat_energy_etl_pipeline_spark.functions import (
+    exact_sum,
+    portable_round,
+    presentation_sort,
+    widen_if_narrow,
+)
 from eurostat_energy_etl_pipeline_spark.operators import text as T
 from eurostat_energy_etl_pipeline_spark.operators.chunking import chunk_documents
 from eurostat_energy_etl_pipeline_spark.operators.dedup import contaminated_ids
@@ -240,7 +245,7 @@ def q55(spark, sf_dir):
     "q56_tombstone_delete",
     oracle=r"""
     SELECT event_type, count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events
     WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0)
     GROUP BY event_type ORDER BY event_type
@@ -260,7 +265,7 @@ def q56(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(exact_sum("value"), 2).alias("total_value"),
         )
         .transform(presentation_sort, "event_type")
     )
@@ -471,7 +476,7 @@ def q60(spark, sf_dir):
     SELECT lang, bucket, doc_id AS canonical_id,
            CAST((SELECT count(*) FROM q q2
                  WHERE q2.lang = r.lang AND q2.bucket = r.bucket) AS BIGINT) AS n_docs,
-           round(quality, 4) AS best_quality
+           floor((quality) * 10000.0 + 0.5) / 10000.0 AS best_quality
     FROM r WHERE rn = 1 ORDER BY lang, bucket
     """,
 )
@@ -511,7 +516,7 @@ def q61(spark, sf_dir):
             "bucket",
             F.col("doc_id").alias("canonical_id"),
             "n_docs",
-            F.round("quality", 4).alias("best_quality"),
+            portable_round("quality", 4).alias("best_quality"),
         )
         .transform(presentation_sort, "lang", "bucket")
     )
@@ -524,7 +529,7 @@ def q61(spark, sf_dir):
            count(*) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
              AS k_sum,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg,
+           floor((avg(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS k_avg,
            CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
              AS k_max,
            CAST(count(CASE WHEN json_extract_string(props, '$.k') IS NULL
@@ -547,7 +552,7 @@ def q62(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("k_sum"),
-            F.round(F.avg("k"), 4).alias("k_avg"),
+            portable_round(F.avg("k"), 4).alias("k_avg"),
             F.max("k").alias("k_max"),
             F.count(F.when(F.col("k").isNull(), 1)).alias("k_missing"),
         )
@@ -608,9 +613,9 @@ def _neardup_index_path(spark, sf_dir: str) -> str:
              FROM bex JOIN cex USING (g))
     SELECT new_id, corpus_id, jacc FROM (
       SELECT cd.new_id, cd.corpus_id,
-             round(CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
+             floor((CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
                    / (len(n.shingles) + len(c.shingles)
-                      - len(list_intersect(n.shingles, c.shingles))), 6) AS jacc
+                      - len(list_intersect(n.shingles, c.shingles)))) * 1000000.0 + 0.5) / 1000000.0 AS jacc
       FROM cand cd
       JOIN sh n ON n.doc_id = cd.src
       JOIN sh c ON c.doc_id = cd.corpus_id
@@ -955,15 +960,24 @@ def q78(spark, sf_dir):
                                    i -> tk[i] || ' ' || tk[i+1])) AS bigram
       FROM toks WHERE len(tk) >= 2
     ),
+    db AS (
+      SELECT doc_id, lang, bigram, count(*) AS m
+      FROM bg GROUP BY doc_id, lang, bigram
+    ),
+    bgc AS (SELECT bigram, sum(m) AS c_bg FROM db GROUP BY bigram),
+    pfc AS (
+      SELECT split_part(bigram, ' ', 1) AS pfx, sum(c_bg) AS c_pfx
+      FROM bgc GROUP BY split_part(bigram, ' ', 1)
+    ),
     scored AS (
-      SELECT doc_id, lang,
-             ln(CAST(count(*) OVER (PARTITION BY bigram) AS DOUBLE)
-                / CAST(count(*) OVER (PARTITION BY split_part(bigram, ' ', 1))
-                  AS DOUBLE)) AS lp
-      FROM bg
+      SELECT d.doc_id, d.lang, d.m,
+             ln(CAST(b.c_bg AS DOUBLE) / CAST(p.c_pfx AS DOUBLE)) AS lp
+      FROM db d
+      JOIN bgc b USING (bigram)
+      JOIN pfc p ON split_part(d.bigram, ' ', 1) = p.pfx
     ),
     docscore AS (
-      SELECT doc_id, lang, avg(lp) AS avg_logprob
+      SELECT doc_id, lang, sum(m * lp) / sum(m) AS avg_logprob
       FROM scored GROUP BY doc_id, lang
     )
     SELECT lang, count(*) AS n_docs,
@@ -980,14 +994,19 @@ def q82(spark, sf_dir):
     probability ln(c(w1 w2) / c(w1 ·)) over its bigram instances, where
     both counts come from the whole corpus; per language: mean score and
     the count of improbable documents (avg < -3 nats ~ perplexity > 20
-    per bigram). Plan: tokenize once, explode bigrams once, attach the
-    numerator and denominator counts as two windows — the bigram window
-    keys (w1 w2) and the prefix window keys split(bigram)[0], so the text
-    shuffles as compact bigram strings exactly twice, then reduces to
-    per-doc and per-lang aggregates. No smoothing is needed: every
-    observed bigram has count >= 1 and its prefix count >= its own."""
-    from pyspark.sql.window import Window
-
+    per bigram). Plan: tokenize once, explode bigrams once, pre-aggregate
+    instances to (doc, bigram, multiplicity), then derive BOTH count
+    tables by map-side-combined groupBys (the prefix table folds out of
+    the bigram table, never touching instances) and join them back at the
+    (doc, bigram) grain. Round 3 used count windows partitioned by the raw
+    prefix, which serializes every instance of the hottest token ("the")
+    into one task — a guaranteed straggler/OOM key at corpus scale. Here
+    no stage ever groups raw instances by a skewed key: the hot prefix is
+    reduced map-side to one partial row per task, and the join's build
+    side carries exactly one row per key (AQE skew-split-able). The
+    per-doc mean over instances is recovered exactly as
+    sum(m*lp)/sum(m). No smoothing is needed: every observed bigram has
+    count >= 1 and its prefix count >= its own."""
     t = load_tables(spark, sf_dir)
     toks = F.filter(T.whitespace_tokens(F.col("text")), lambda x: x != "")
     n = F.size(toks)
@@ -1000,25 +1019,40 @@ def q82(spark, sf_dir):
         widen_if_narrow(t["documents"])
         .where(n >= 2)
         .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+        # The prefix key is never null (concat_ws output), but the
+        # bgc⋈pfc join infers isnotnull(split(bigram)[0]) into ONLY the
+        # count-rollup branch, which breaks subtree identity. Stating the
+        # same predicate here puts it in BOTH consumers' subtrees, so the
+        # (doc,bigram) exchange below is bit-identical and Catalyst plans
+        # it once (ReusedExchange) — without this the count rollup
+        # re-scans and re-tokenizes the whole corpus.
+        .where(F.split(F.col("bigram"), " ")[0].isNotNull())
     )
-    # Both counts ride ONE prefix-keyed exchange: hashpartitioning(pfx)
-    # clusters (pfx, bigram) too (subset rule), so the bigram-count window
-    # re-sorts in place instead of shuffling the instance table a second
-    # time — 2 shuffles of 260k+ strings become 1 at sf0.1, and at 100 TB
-    # the saved exchange is the whole bigram stream.
-    withpfx = bg.withColumn("pfx", F.split(F.col("bigram"), " ")[0])
-    scored = withpfx.select(
+    # (doc, bigram) multiplicities: the well-distributed grain every later
+    # stage builds on. Its exchange is planned once and reused by both
+    # consumers (the count rollup and the score join).
+    db = bg.groupBy("doc_id", "lang", "bigram").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    bgc = db.groupBy("bigram").agg(F.sum("m").alias("c_bg"))
+    pfc = bgc.groupBy(
+        F.split(F.col("bigram"), " ")[0].alias("pfx")
+    ).agg(F.sum("c_bg").alias("c_pfx"))
+    bgc2 = (
+        bgc.withColumn("pfx", F.split(F.col("bigram"), " ")[0])
+        .join(pfc, "pfx")
+        .select("bigram", "c_bg", "c_pfx")
+    )
+    scored = db.join(bgc2, "bigram").select(
         "doc_id",
         "lang",
-        F.log(
-            F.count(F.lit(1))
-            .over(Window.partitionBy("pfx", "bigram"))
-            .cast("double")
-            / F.count(F.lit(1)).over(Window.partitionBy("pfx")).cast("double")
-        ).alias("lp"),
+        "m",
+        F.log(F.col("c_bg").cast("double") / F.col("c_pfx").cast("double")).alias(
+            "lp"
+        ),
     )
     docscore = scored.groupBy("doc_id", "lang").agg(
-        F.avg("lp").alias("avg_logprob")
+        (F.sum(F.col("m") * F.col("lp")) / F.sum("m")).alias("avg_logprob")
     )
     return (
         docscore.groupBy("lang")

@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
-from eurostat_energy_etl_pipeline_spark.functions import exact_sum, presentation_sort
+from eurostat_energy_etl_pipeline_spark.functions import (
+    exact_sum,
+    portable_round,
+    presentation_sort,
+)
 from eurostat_energy_etl_pipeline_spark.plans import query
 
 SESSION_GAP_S = 1800.0  # 30-minute inactivity gap
@@ -53,7 +57,7 @@ def events_tumbling(spark, sf_dir):
     "q_events_type_stats",
     oracle="""
     SELECT event_type, count(*) AS n,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
              AS avg_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -66,7 +70,7 @@ def events_type_stats(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
+            portable_round(
                 exact_sum("value") / F.count(F.lit(1)), 6
             ).alias("avg_value"),
         )
@@ -282,10 +286,10 @@ def events_range_join(spark, sf_dir):
     SELECT (SELECT count(*) FROM v) AS n_view,
            (SELECT count(*) FROM c) AS n_view_click,
            (SELECT count(*) FROM p) AS n_view_click_purchase,
-           round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 6)
+           floor(((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v)) * 1000000.0 + 0.5) / 1000000.0
              AS click_rate,
-           round((SELECT count(*) FROM p) * 1.0
-                 / greatest((SELECT count(*) FROM c), 1), 6) AS purchase_rate
+           floor(((SELECT count(*) FROM p) * 1.0 / greatest((SELECT count(*) FROM c), 1)) * 1000000.0 + 0.5) / 1000000.0
+             AS purchase_rate
     """,
 )
 def q64(spark, sf_dir):
@@ -326,8 +330,10 @@ def q64(spark, sf_dir):
             "n_view",
             "n_view_click",
             "n_view_click_purchase",
-            F.round(F.col("n_view_click") / F.col("n_view"), 6).alias("click_rate"),
-            F.round(
+            portable_round(
+                F.col("n_view_click") / F.col("n_view"), 6
+            ).alias("click_rate"),
+            portable_round(
                 F.col("n_view_click_purchase")
                 / F.greatest(F.col("n_view_click"), F.lit(1)),
                 6,

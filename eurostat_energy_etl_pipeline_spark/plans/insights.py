@@ -21,6 +21,8 @@ from eurostat_energy_etl_pipeline_spark.catalog import (
 )
 from eurostat_energy_etl_pipeline_spark.functions import (
     exact_avg,
+    portable_round,
+    portable_round_sql,
     growth_pct,
     presentation_sort,
     indicator_display_name,
@@ -110,7 +112,8 @@ def insights_agg(tables):
     oracle=with_cte(
         f"""
     , {_SERIES_SQL.lstrip()}, {_AGG_SQL.lstrip()}
-    SELECT geo, indicator, start_year, end_year, round(slope, 6) AS slope_per_year,
+    SELECT geo, indicator, start_year, end_year,
+           {portable_round_sql('slope', 6)} AS slope_per_year,
            CASE WHEN slope > 0.01 THEN 'rising'
                 WHEN slope < -0.01 THEN 'declining'
                 ELSE 'stable' END AS trend
@@ -129,7 +132,7 @@ def q17(spark, sf_dir):
             "indicator",
             "start_year",
             "end_year",
-            F.round("slope", 6).alias("slope_per_year"),
+            portable_round("slope", 6).alias("slope_per_year"),
             trend_label(F.col("slope")).alias("trend"),
         )
         .transform(presentation_sort, "geo", "indicator")
@@ -173,11 +176,12 @@ def q18(spark, sf_dir):
              WHEN 'FC_OTH_HH_E' THEN 'Household energy consumption'
              ELSE indicator END AS indicator_name,
            start_year, end_year,
-           round(start_value, 4) AS start_value, round(end_value, 4) AS end_value,
+           {portable_round_sql('start_value', 4)} AS start_value,
+           {portable_round_sql('end_value', 4)} AS end_value,
            greatest(end_year - start_year, 1) AS n_years,
-           round(slope, 6) AS slope_per_year,
+           {portable_round_sql('slope', 6)} AS slope_per_year,
            CASE WHEN start_value <> 0
-                THEN round((end_value - start_value) / start_value * 100.0, 6)
+                THEN {portable_round_sql('(end_value - start_value) / start_value * 100.0', 6)}
                 ELSE NULL END AS growth_pct,
            CASE WHEN slope > 0.01 THEN 'rising'
                 WHEN slope < -0.01 THEN 'declining'
@@ -199,15 +203,15 @@ def q17b(spark, sf_dir):
             indicator_display_name(F.col("indicator")).alias("indicator_name"),
             "start_year",
             "end_year",
-            F.round("start_value", 4).alias("start_value"),
-            F.round("end_value", 4).alias("end_value"),
+            portable_round("start_value", 4).alias("start_value"),
+            portable_round("end_value", 4).alias("end_value"),
             F.greatest(
                 F.col("end_year") - F.col("start_year"), F.lit(1)
             ).alias("n_years"),
-            F.round("slope", 6).alias("slope_per_year"),
-            F.round(growth_pct(F.col("start_value"), F.col("end_value")), 6).alias(
-                "growth_pct"
-            ),
+            portable_round("slope", 6).alias("slope_per_year"),
+            portable_round(
+                growth_pct(F.col("start_value"), F.col("end_value")), 6
+            ).alias("growth_pct"),
             trend_label(F.col("slope")).alias("trend_label"),
         )
         .transform(presentation_sort, "geo", "indicator")
@@ -251,14 +255,14 @@ def insights_table(spark, sf_dir):
     SELECT geo, indicator, yr, y, lag1, lag2, lag3, roll_mean_3, roll_std_3
     FROM (
       SELECT geo, indicator, yr,
-             round(val, 4) AS y,
-             round(lag(val, 1) OVER w, 4) AS lag1,
-             round(lag(val, 2) OVER w, 4) AS lag2,
-             round(lag(val, 3) OVER w, 4) AS lag3,
+             {portable_round_sql('val', 4)} AS y,
+             {portable_round_sql('lag(val, 1) OVER w', 4)} AS lag1,
+             {portable_round_sql('lag(val, 2) OVER w', 4)} AS lag2,
+             {portable_round_sql('lag(val, 3) OVER w', 4)} AS lag3,
              CASE WHEN count(val) OVER w3 >= 3
-                  THEN round(avg(val) OVER w3, 4) END AS roll_mean_3,
+                  THEN {portable_round_sql('avg(val) OVER w3', 4)} END AS roll_mean_3,
              CASE WHEN count(val) OVER w3 >= 3
-                  THEN round(stddev_samp(val) OVER w3, 4) END AS roll_std_3
+                  THEN {portable_round_sql('stddev_samp(val) OVER w3', 4)} END AS roll_std_3
       FROM series
       WINDOW w AS (PARTITION BY geo, indicator ORDER BY yr),
              w3 AS (PARTITION BY geo, indicator ORDER BY yr
@@ -292,12 +296,14 @@ def q74(spark, sf_dir):
         "geo",
         "indicator",
         "yr",
-        F.round("val", 4).alias("y"),
-        F.round(F.lag("val", 1).over(w), 4).alias("lag1"),
-        F.round(F.lag("val", 2).over(w), 4).alias("lag2"),
-        F.round(F.lag("val", 3).over(w), 4).alias("lag3"),
-        F.when(cnt >= 3, F.round(F.avg("val").over(w3), 4)).alias("roll_mean_3"),
-        F.when(cnt >= 3, F.round(F.stddev_samp("val").over(w3), 4)).alias(
+        portable_round("val", 4).alias("y"),
+        portable_round(F.lag("val", 1).over(w), 4).alias("lag1"),
+        portable_round(F.lag("val", 2).over(w), 4).alias("lag2"),
+        portable_round(F.lag("val", 3).over(w), 4).alias("lag3"),
+        F.when(cnt >= 3, portable_round(F.avg("val").over(w3), 4)).alias(
+            "roll_mean_3"
+        ),
+        F.when(cnt >= 3, portable_round(F.stddev_samp("val").over(w3), 4)).alias(
             "roll_std_3"
         ),
     )
@@ -319,7 +325,8 @@ def q74(spark, sf_dir):
       FROM series
     )
     SELECT geo, indicator, CAST(yr AS INT) AS yr,
-           round(val, 2) AS val, round((val - mu) / sd, 4) AS zscore
+           {portable_round_sql('val', 2)} AS val,
+           round((val - mu) / sd, 4) AS zscore
     FROM z
     WHERE n >= 5 AND sd > 0 AND abs(val - mu) > 2 * sd
     ORDER BY geo, indicator, yr
@@ -360,7 +367,7 @@ def q77(spark, sf_dir):
             "geo",
             "indicator",
             F.col("yr").cast("int").alias("yr"),
-            F.round("val", 2).alias("val"),
+            portable_round("val", 2).alias("val"),
             F.round((F.col("val") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
         )
         .transform(presentation_sort, "geo", "indicator", "yr")

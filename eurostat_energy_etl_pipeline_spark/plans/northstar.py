@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
-from eurostat_energy_etl_pipeline_spark.functions import presentation_sort, widen_if_narrow
+from eurostat_energy_etl_pipeline_spark.functions import (
+    portable_round,
+    presentation_sort,
+    widen_if_narrow,
+)
 from eurostat_energy_etl_pipeline_spark.operators import dedup as D
 from eurostat_energy_etl_pipeline_spark.operators import similarity as S
 from eurostat_energy_etl_pipeline_spark.operators import text as T
@@ -41,7 +45,7 @@ def q19(spark, sf_dir):
     "q20_text_stats",
     oracle="""
     SELECT lang, count(*) AS docs,
-           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+           floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -53,7 +57,7 @@ def q20(spark, sf_dir):
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("docs"),
-            F.round(
+            portable_round(
                 F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
             ).alias("avg_chars"),
         )
@@ -134,12 +138,12 @@ def q23(spark, sf_dir):
             FROM documents)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CASE WHEN len(a.shingles) + len(b.shingles)
+           floor((CASE WHEN len(a.shingles) + len(b.shingles)
                            - len(list_intersect(a.shingles, b.shingles)) > 0
                  THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                       / (len(a.shingles) + len(b.shingles)
                          - len(list_intersect(a.shingles, b.shingles)))
-                 ELSE 0.0 END, 6) AS jacc
+                 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS jacc
     FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
     ORDER BY id_a
     """,
@@ -169,9 +173,9 @@ def q24(spark, sf_dir):
              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)
     SELECT id_a, id_b, jacc FROM (
       SELECT c.id_a, c.id_b,
-             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             floor((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                    / (len(a.shingles) + len(b.shingles)
-                      - len(list_intersect(a.shingles, b.shingles))), 6) AS jacc
+                      - len(list_intersect(a.shingles, b.shingles)))) * 1000000.0 + 0.5) / 1000000.0 AS jacc
       FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
     ) WHERE jacc >= 0.5 ORDER BY id_a, id_b
     """,
@@ -614,12 +618,12 @@ def q39(spark, sf_dir):
     ),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(CASE WHEN len(a.shingles) + len(b.shingles)
+             floor((CASE WHEN len(a.shingles) + len(b.shingles)
                              - len(list_intersect(a.shingles, b.shingles)) > 0
                    THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                         / (len(a.shingles) + len(b.shingles)
                            - len(list_intersect(a.shingles, b.shingles)))
-                   ELSE 0.0 END, 6) AS jacc
+                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS jacc
       FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
     ),
     flags AS (
@@ -761,12 +765,12 @@ def q49(spark, sf_dir):
     ),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(CASE WHEN len(a.shingles) + len(b.shingles)
+             floor((CASE WHEN len(a.shingles) + len(b.shingles)
                              - len(list_intersect(a.shingles, b.shingles)) > 0
                    THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                         / (len(a.shingles) + len(b.shingles)
                            - len(list_intersect(a.shingles, b.shingles)))
-                   ELSE 0.0 END, 6) AS jacc
+                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS jacc
       FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
     ),
     flags AS (
@@ -947,7 +951,7 @@ def q80(spark, sf_dir):
     "q83_crossmodal_audit",
     oracle="""
     SELECT e.label, d.lang, count(*) AS n_docs,
-           round(avg(CAST(d.n_chars AS DOUBLE)), 2) AS avg_chars,
+           floor((avg(CAST(d.n_chars AS DOUBLE))) * 100.0 + 0.5) / 100.0 AS avg_chars,
            round(avg(sqrt(list_aggregate(list_transform(e.embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)
              AS avg_norm,
@@ -988,7 +992,7 @@ def q83(spark, sf_dir):
         .groupBy("label", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("nc"), 2).alias("avg_chars"),
+            portable_round(F.avg("nc"), 2).alias("avg_chars"),
             F.round(F.avg("nrm"), 4).alias("avg_norm"),
             F.round(F.corr("nc", "nrm"), 4).alias("chars_norm_corr"),
         )

@@ -22,6 +22,7 @@ from eurostat_energy_etl_pipeline_spark.catalog import load_tables
 from eurostat_energy_etl_pipeline_spark.functions import (
     exact_avg,
     exact_sum,
+    portable_round,
     presentation_sort,
 )
 from eurostat_energy_etl_pipeline_spark.plans import query
@@ -125,8 +126,8 @@ def q05(spark, sf_dir):
     "q06_topk_avg",
     oracle="""
     SELECT o_custkey,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(*), 6) AS avg_price
+           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_price
     FROM orders GROUP BY o_custkey
     ORDER BY avg_price DESC, o_custkey LIMIT 10
     """,
@@ -138,7 +139,7 @@ def q06(spark, sf_dir):
     return (
         t["orders"]
         .groupBy("o_custkey")
-        .agg(F.round(exact_avg("o_totalprice"), 6).alias("avg_price"))
+        .agg(portable_round(exact_avg("o_totalprice"), 6).alias("avg_price"))
         .orderBy(F.desc("avg_price"), "o_custkey")
         .limit(10)
     )
@@ -576,7 +577,8 @@ def q43(spark, sf_dir):
     "q44_like_scan",
     oracle="""
     SELECT p_brand, p_type, count(*) AS n,
-           round(avg(p_retailprice), 4) AS avg_price
+           floor((CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
+             AS avg_price
     FROM part
     WHERE p_name LIKE '%ge%'
     GROUP BY p_brand, p_type
@@ -596,7 +598,7 @@ def q44(spark, sf_dir):
         .groupBy("p_brand", "p_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            portable_round(exact_avg("p_retailprice"), 4).alias("avg_price"),
         )
         .transform(presentation_sort, "p_brand", "p_type")
     )
@@ -729,7 +731,7 @@ def q84(spark, sf_dir):
     s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
                  CAST(max(n) AS BIGINT) AS max_n,
                  CAST(sum(n) AS BIGINT) AS total,
-                 round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 4)
+                 floor((CAST(max(n) AS DOUBLE) * count(*) / sum(n)) * 10000.0 + 0.5) / 10000.0
                    AS skew_factor
           FROM k)
     SELECT r.o_custkey, CAST(r.n AS BIGINT) AS n, s.n_keys, s.max_n,
@@ -756,7 +758,7 @@ def q86(spark, sf_dir):
     stats = k.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").alias("max_n"),
-        F.round(
+        portable_round(
             F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"), 4
         ).alias("skew_factor"),
     )

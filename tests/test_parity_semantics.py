@@ -123,3 +123,59 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     )
     assert got["exact_distinct_texts"] == exact
     assert got["hll_within_2pct"] == 1
+
+
+# --- cross-engine round-tie parity (round-3 q74 red cell) -------------------
+#
+# A yearly mean sum(DECIMAL(18,2))/count with count = 2^a*5^b lands exactly
+# on a .xxxx5 decimal tie. Spark's round() (and its double->decimal cast)
+# rounds the SHORTEST DECIMAL REPRESENTATION half-up, DuckDB's round() rounds
+# the BINARY value — the two disagree whenever the nearest double sits on the
+# other side of the tie (e.g. 190445.32875 -> Spark .3288, DuckDB .3287).
+# portable_round uses only IEEE double ops (floor(x*10^n + 0.5)/10^n), which
+# both engines evaluate bit-identically, so the pair can never diverge.
+
+_TIE_VALUES = [
+    248412.53625,   # binary sits above the printed tie
+    190445.32875,   # binary sits below the printed tie (the round-3 q74 cell)
+    195407.43625,
+    300607.82125,
+    217425.78125,   # exactly representable (13925/64): a TRUE binary tie
+    -248412.53625,
+]
+
+
+def test_portable_round_matches_duckdb_on_ties(spark):
+    import duckdb
+
+    from eurostat_energy_etl_pipeline_spark.functions import (
+        portable_round,
+        portable_round_sql,
+    )
+
+    df = spark.createDataFrame([Row(x=v) for v in _TIE_VALUES])
+    got = {
+        r["x"]: r["p"]
+        for r in df.select("x", portable_round("x", 4).alias("p")).collect()
+    }
+    con = duckdb.connect()
+    for v in _TIE_VALUES:
+        want = con.execute(
+            f"SELECT {portable_round_sql('?', 4)}", [v]
+        ).fetchone()[0]
+        assert got[v] == want, (v, got[v], want)
+
+
+def test_spark_round_does_diverge_on_ties(spark):
+    """Documents WHY portable_round exists: at least one tie value flips
+    between Spark round() and DuckDB round() — if this ever stops failing
+    the engines changed and portable_round can be retired."""
+    import duckdb
+
+    df = spark.createDataFrame([Row(x=v) for v in _TIE_VALUES])
+    got = {
+        r["x"]: r["r"] for r in df.select("x", F.round("x", 4).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    duck = {v: con.execute("SELECT round(?, 4)", [v]).fetchone()[0] for v in _TIE_VALUES}
+    assert any(got[v] != duck[v] for v in _TIE_VALUES)
