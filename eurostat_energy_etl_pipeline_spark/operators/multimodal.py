@@ -73,17 +73,48 @@ def media_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """Real decode would go through PIL/libvips — not present in this
-    container. Kept as the named integration point."""
+def decode_image(payload: bytes, dim: int = 8):
+    """Decode one encoded image payload to ``(width, height, features)``
+    where ``features`` is a length-``dim`` float64 vector of grayscale
+    band means — the same shape contract as :func:`fake_decode_features`,
+    so the two decoders are drop-in interchangeable in
+    :func:`extract_features`.
+
+    Requires PIL (not baked into this container — the gated test in
+    tests/test_multimodal.py skips when it is absent); without a codec
+    this raises NotImplementedError and callers fall back to the
+    deterministic stub."""
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as e:  # pragma: no cover - env-dependent
         raise NotImplementedError(
             "image decoding requires an image codec (PIL); install one or use "
             "fake_decode_features for plumbing tests"
         ) from e
-    raise NotImplementedError("wire PIL decode here when codecs are available")
+    import io
+
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+        gray = np.asarray(im.convert("L"), dtype=np.float64) / 255.0
+    # dim vertical band means: deterministic, resolution-independent
+    flat = gray.reshape(height, width).mean(axis=0) if height else np.zeros(1)
+    edges = (np.arange(dim + 1) * len(flat)) // dim
+    csum = np.concatenate(([0.0], np.cumsum(flat, dtype=np.float64)))
+    widths = np.diff(edges)
+    with np.errstate(invalid="ignore"):
+        means = np.diff(csum[edges]) / widths
+    return width, height, np.where(widths > 0, means, 0.0)
+
+
+def pil_decode_features(payload: np.ndarray, dim: int = 8):
+    """Batch twin of :func:`decode_image` for the mapInPandas kernel:
+    returns (widths int32[n], heights int32[n], features float64[n, dim])."""
+    ws = np.zeros(len(payload), dtype=np.int32)
+    hs = np.zeros(len(payload), dtype=np.int32)
+    out = np.zeros((len(payload), dim), dtype=np.float64)
+    for i, buf in enumerate(payload):
+        ws[i], hs[i], out[i] = decode_image(bytes(buf), dim=dim)
+    return ws, hs, out
 
 
 def fake_decode_features(payload: np.ndarray, dim: int = 8) -> np.ndarray:
@@ -104,10 +135,17 @@ def fake_decode_features(payload: np.ndarray, dim: int = 8) -> np.ndarray:
     return out
 
 
-def extract_features(media: DataFrame, batch_size: int | None = None) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_size: int | None = None, decoder: str = "fake"
+) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches. The iterator
     signature streams batches — worker memory stays O(batch), independent of
     partition size.
+
+    `decoder` picks the kernel: "fake" (deterministic byte-statistics stub —
+    the oracle-checkable default in this codec-less container) or "pil"
+    (real image decode via :func:`pil_decode_features`; payloads must be
+    encoded images and PIL importable on the workers).
 
     `batch_size` tunes `spark.sql.execution.arrow.maxRecordsPerBatch` for
     multi-MB payload corpora (256 rows x 4 MB payloads ~= 1 GB per batch
@@ -116,20 +154,27 @@ def extract_features(media: DataFrame, batch_size: int | None = None) -> DataFra
     here degraded every later Arrow-batched operator in the session (the
     default 10k-row batches are right for the fixture's ~300-byte
     payloads)."""
+    if decoder not in ("fake", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}; use 'fake' or 'pil'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = fake_decode_features(pdf["payload"].to_numpy())
+            if decoder == "pil":
+                ws, hs, feats = pil_decode_features(pdf["payload"].to_numpy())
+            else:
+                feats = fake_decode_features(pdf["payload"].to_numpy())
+                # stubbed decode: dimensions derived deterministically
+                ws = (pdf["n_bytes"] % 640).astype("int32")
+                hs = (pdf["n_bytes"] % 480).astype("int32")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["n_bytes"],
-                    # stubbed decode: dimensions derived deterministically
-                    "width": (pdf["n_bytes"] % 640).astype("int32"),
-                    "height": (pdf["n_bytes"] % 480).astype("int32"),
+                    "width": ws,
+                    "height": hs,
                     "features": list(feats),
                 }
             )

@@ -167,3 +167,91 @@ def test_q74_feature_matrix_matches_pandas_features(spark):
             atol=1e-9,
             err_msg=spark_col,
         )
+
+
+# --- gated real-library slot tests (VERDICT r3 item 4) ----------------------
+#
+# xgboost / statsmodels are NOT installed in the build container, so the
+# real M3/M6 paths (ml/forecast.py:40,47; reference hyperparams from
+# /root/reference/ml/forecast_utils.py:67-75,117-148) normally run only as
+# fallbacks. These tests execute the real slots whenever the libraries ARE
+# importable — a user installing xgboost gets the reference's exact model
+# exercised, not silently-untested code. In this container they skip with
+# an explicit reason (also recorded in COVERAGE.md).
+
+_SERIES = [100.0, 104.0, 103.0, 110.0, 115.0, 113.0, 121.0, 126.0, 124.0, 133.0]
+
+
+def test_xgboost_slot_real_fit():
+    xgboost = pytest.importorskip(
+        "xgboost", reason="xgboost not in this container: LeastSquaresAR fallback live"
+    )
+    from eurostat_energy_etl_pipeline_spark.ml import forecast as fc
+
+    assert fc.HAVE_XGB and fc._ARModel.name == "XGBoost"
+    years = np.arange(2000, 2000 + len(_SERIES))
+    feats = fc._features(np.array(_SERIES), years)
+    X, y = feats[fc._FEATURE_COLS].to_numpy(), feats["y"].to_numpy()
+    m = fc._ARModel().fit(X, y)
+    # reference hyperparams must be on the fitted estimator
+    params = m.m.get_params()
+    assert params["n_estimators"] == 300
+    assert params["max_depth"] == 3
+    assert params["learning_rate"] == 0.05
+    assert params["random_state"] == 42
+    pred = m.predict(X)
+    assert np.isfinite(pred).all() and len(pred) == len(y)
+    # determinism under the fixed seed
+    pred2 = fc._ARModel().fit(X, y).predict(X)
+    assert np.allclose(pred, pred2)
+
+
+def test_statsmodels_slot_real_fit():
+    pytest.importorskip(
+        "statsmodels",
+        reason="statsmodels not in this container: HoltLinear fallback live",
+    )
+    from eurostat_energy_etl_pipeline_spark.ml import forecast as fc
+
+    assert fc.HAVE_STATSMODELS and fc._SmoothingModel.name == "ExponentialSmoothing"
+    m = fc._SmoothingModel().fit(np.array(_SERIES))
+    fut = m.forecast(5)
+    assert np.isfinite(fut).all() and len(fut) == 5
+    # additive-trend smoothing extrapolates the upward trend
+    assert fut[-1] > _SERIES[0]
+
+
+def test_model_selection_over_real_rmse():
+    """M7 with at least one real library: _forecast_group must pick the
+    min-RMSE candidate among the ACTIVE backends and label rows with the
+    real model name."""
+    import importlib.util
+
+    if not (
+        importlib.util.find_spec("xgboost")
+        or importlib.util.find_spec("statsmodels")
+    ):
+        pytest.skip(
+            "neither xgboost nor statsmodels installed: fallbacks covered elsewhere"
+        )
+    from eurostat_energy_etl_pipeline_spark.ml import forecast as fc
+
+    pdf = pd.DataFrame(
+        {
+            "geo": "AA",
+            "indicator": "GEP",
+            "yr": np.arange(2000, 2000 + len(_SERIES)),
+            "val": _SERIES,
+        }
+    )
+    out = fc._forecast_group(pdf)
+    assert (out["type"] == "forecast").sum() == fc.HORIZON
+    real_names = set()
+    if fc.HAVE_XGB:
+        real_names.add("XGBoost")
+    if fc.HAVE_STATSMODELS:
+        real_names.add("ExponentialSmoothing")
+    fallback = {"LeastSquaresAR", "HoltLinear"} - (
+        {"LeastSquaresAR"} if fc.HAVE_XGB else set()
+    ) - ({"HoltLinear"} if fc.HAVE_STATSMODELS else set())
+    assert set(out["model"]) <= real_names | fallback

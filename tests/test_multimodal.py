@@ -49,9 +49,55 @@ def test_features_deterministic(media):
     assert a["features"].apply(tuple).tolist() == b["features"].apply(tuple).tolist()
 
 
-def test_decode_stub_raises():
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="PIL present: real decode active")
+def test_decode_without_codec_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+@pytest.mark.skipif(not _pil_available(), reason="PIL not in this container")
+def test_decode_image_real_pil(spark):
+    """Gated end-to-end check of the real decode path: a synthetic 4x2
+    gradient PNG round-trips through decode_image and the decoder='pil'
+    mapInPandas kernel with the documented (width, height, dim-band
+    features) contract."""
+    import io
+
+    import PIL.Image
+
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    img = PIL.Image.new("L", (4, 2))
+    img.putdata([0, 64, 128, 255, 0, 64, 128, 255])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    w, h, feats = decode_image(payload, dim=4)
+    assert (w, h) == (4, 2)
+    assert len(feats) == 4
+    # band means follow the horizontal gradient
+    assert feats[0] < feats[1] < feats[2] < feats[3]
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "image", "png", len(payload))],
+        schema="media_id long, payload binary, media_type string, "
+        "format string, n_bytes long",
+    )
+    row = extract_features(media, decoder="pil").first()
+    assert (row["width"], row["height"]) == (4, 2)
+    assert len(row["features"]) == 8
 
 
 def test_frame_sample_offsets(media):
