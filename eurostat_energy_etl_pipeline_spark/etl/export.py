@@ -81,9 +81,14 @@ def export_training_shards(
     return manifest
 
 
-def verify_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+def verify_shards(
+    spark: SparkSession, out_dir: str, text_col: str = "text"
+) -> DataFrame:
     """Recompute every manifest row from the written shards and return
-    rows that DISAGREE (empty result = export verified). Shuffle profile:
+    rows that DISAGREE (empty result = export verified). ``text_col``
+    must match the column the export hashed (the checksum is
+    bit_xor(xxhash64(text_col))); `rank` and `n_tokens` are columns the
+    export itself wrote, so they need no mirroring. Shuffle profile:
     one shard-keyed aggregate over the shard scan + a broadcast-sized
     join against the manifest."""
     shards = spark.read.parquet(f"{out_dir}/shards")
@@ -93,7 +98,7 @@ def verify_shards(spark: SparkSession, out_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens2"),
         F.min("rank").alias("rank_lo2"),
         F.max("rank").alias("rank_hi2"),
-        F.expr("bit_xor(xxhash64(text))").alias("checksum2"),
+        F.expr(f"bit_xor(xxhash64({text_col}))").alias("checksum2"),
     )
     joined = manifest.join(recomputed, "shard_id", "full_outer")
     return joined.where(

@@ -92,8 +92,11 @@ def compact_warehouse(
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Rewrite every partition whose file count exceeds its byte-sized
-    target (ceil(total_bytes / target_file_bytes), min 1) down to exactly
-    that many files. Row-preserving by construction: the rewrite is a
+    target (ceil(total_bytes / target_file_bytes), min 1) down to AT MOST
+    that many files, sized approximately to target (the shuffle uses an
+    explicit AQE-exempt partition count, but hash collisions between
+    bucket keys can still merge two planned files into one slightly
+    larger one). Row-preserving by construction: the rewrite is a
     partition-pruned scan -> repartition -> dynamic-overwrite of the same
     partitions, no row-level transformation.
 
@@ -128,8 +131,15 @@ def compact_warehouse(
             F.col("_n_out"),
         ).cast("int"),
     )
+    # Explicit partition count = total planned output files: a
+    # user-specified numPartitions is exempt from AQE partition coalescing,
+    # which would otherwise merge several (partition, bucket) keys into one
+    # task and emit fewer, larger-than-target files. Hash collisions can
+    # still co-locate two buckets in one task, so the contract is "close
+    # to", not "exactly", the target count (see docstring).
+    n_out_total = sum(tgt for _, tgt in todo)
     staged = (
-        salted.repartition(*PARTITION_COLS, "_bucket")
+        salted.repartition(n_out_total, *PARTITION_COLS, "_bucket")
         .drop("_n_out", "_bucket")
         .localCheckpoint(eager=True)  # sever lineage: we overwrite our input
     )

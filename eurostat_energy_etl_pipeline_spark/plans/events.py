@@ -476,12 +476,18 @@ def q85_median_bridge(spark, sf_dir):
     returns an actual element, never an interpolation), so the certificate
     brackets it between the exact quantiles at q +/- 2 rank-percent rather
     than demanding value-space closeness (which small groups legitimately
-    violate at interpolation points). The oracle pins the flag to 1, so
-    the driver's hash check certifies the sketch contract, not just that
-    it ran. At 100 TB the exact path is the expensive one (full sort per
-    group); the certified sketch is what production dashboards serve."""
+    violate at interpolation points). Groups with n < 50 are guarded out
+    of the bracket check: below that size 2 rank-percent spans less than
+    one element, so a sketch can honor its rank contract yet sit outside
+    the interpolated bracket — a scale-dependent false failure — while in
+    that regime the sketch (accuracy 10000 >> n) holds every value and is
+    exact anyway. The oracle pins the flag to 1, so the driver's hash
+    check certifies the sketch contract, not just that it ran. At 100 TB
+    the exact path is the expensive one (full sort per group); the
+    certified sketch is what production dashboards serve."""
     t = load_tables(spark, sf_dir)
     agg = t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
         F.expr("percentile(value, 0.5D)").alias("med_exact"),
         F.expr("percentile(value, 0.95D)").alias("p95_exact"),
         F.expr("percentile(value, 0.48D)").alias("med_lo"),
@@ -491,7 +497,7 @@ def q85_median_bridge(spark, sf_dir):
         F.expr("approx_percentile(value, 0.5D, 10000)").alias("med_approx"),
         F.expr("approx_percentile(value, 0.95D, 10000)").alias("p95_approx"),
     )
-    ok = (
+    ok = (F.col("n") < 50) | (
         F.col("med_approx").between(F.col("med_lo"), F.col("med_hi"))
         & F.col("p95_approx").between(F.col("p95_lo"), F.col("p95_hi"))
     )

@@ -16,6 +16,23 @@ from eurostat_energy_etl_pipeline_spark.rag.tfidf import semantic_search
 RISING_WORDS = ("rising", "increasing", "growing")
 GEP_WORDS = ("gep", "gross electricity")
 
+# BM25 index memo for the chatbot's insights corpus, keyed like
+# bm25.documents_bm25_index — build_bm25_index caches its result DataFrame,
+# so rebuilding per question would leak one cached index into executor
+# storage per call; the corpus is deterministic per (session, sf_dir).
+_INSIGHTS_BM25_CACHE: dict[tuple[str, str], "object"] = {}
+
+
+def _insights_bm25_index(spark: SparkSession, sf_dir: str, corpus):
+    from eurostat_energy_etl_pipeline_spark.rag.bm25 import build_bm25_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _INSIGHTS_BM25_CACHE.get(key)
+    if hit is None:
+        hit = build_bm25_index(corpus, "text", "doc_id")
+        _INSIGHTS_BM25_CACHE[key] = hit
+    return hit
+
 
 def route(question: str) -> str:
     """Keyword intent predicate (/root/reference/llm_app/chatbot.py:62-68)."""
@@ -64,12 +81,9 @@ def answer_question(
         F.xxhash64("geo", "indicator").alias("doc_id"), "text"
     )
     if ranker == "bm25":
-        from eurostat_energy_etl_pipeline_spark.rag.bm25 import (
-            bm25_search,
-            build_bm25_index,
-        )
+        from eurostat_energy_etl_pipeline_spark.rag.bm25 import bm25_search
 
-        index = build_bm25_index(corpus, "text", "doc_id")
+        index = _insights_bm25_index(spark, sf_dir, corpus)
         scored = bm25_search(index, question, k=5)
         hits = (
             scored.join(corpus, scored["id"] == corpus["doc_id"])

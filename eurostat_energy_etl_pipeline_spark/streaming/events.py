@@ -89,11 +89,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
     """Watermarked 5-minute tumbling aggregate (same semantics as the batch
-    q_events_tumbling)."""
+    q_events_tumbling, down to the value hash: the total is the same exact
+    decimal sum the batch plan uses, so micro-batch accumulation order
+    cannot perturb it and the batch-vs-stream differential compares every
+    column bit-for-bit)."""
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("total"),
+        )
         .select(
             F.col("w.start").cast("long").alias("bucket_s"), "event_type", "n", "total"
         )
@@ -220,16 +228,25 @@ def dedup_stream(events: DataFrame, key_cols: list[str] | None = None) -> DataFr
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    available_now: bool = False,
+):
     """Drive a streaming plan to completion against a memory sink
-    (deterministic for tests)."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
+    (deterministic for tests). ``available_now=True`` uses the
+    Trigger.AvailableNow batch-drain — the production shape for "process
+    the backlog then stop" jobs (multiple bounded micro-batches, then
+    self-termination); the default keeps the always-on micro-batch
+    trigger drained via processAllAvailable."""
+    w = stream_df.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = w.start()
+        q.processAllAvailable()
     return q
 
 

@@ -55,6 +55,16 @@ def test_verify_shards_empty_on_clean_export(spark, docs, tmp_path_factory):
     assert verify_shards(spark, out).count() == 0
 
 
+def test_verify_shards_custom_text_col(spark, docs, tmp_path_factory):
+    """verify_shards must mirror a non-default text_col: the checksum is
+    recomputed over the column the export hashed, so a renamed-column
+    export verifies clean instead of failing on a missing 'text'."""
+    out = str(tmp_path_factory.mktemp("exp") / "run")
+    renamed = docs.withColumnRenamed("text", "content")
+    export_training_shards(renamed, out, docs_per_shard=100, text_col="content")
+    assert verify_shards(spark, out, text_col="content").count() == 0
+
+
 def test_verify_shards_catches_tampering(spark, docs, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("exp") / "run")
     export_training_shards(docs, out, docs_per_shard=100)

@@ -21,16 +21,24 @@ def stream(spark, sf_dir):
 
 
 def test_tumbling_matches_batch(spark, sf_dir, stream):
-    q = run_to_memory(tumbling_counts(stream), "t_tumbling", "complete")
+    """Full batch-vs-stream differential (VERDICT r3 item 8): drain the
+    static events table through the streaming plan with the production
+    Trigger.AvailableNow shape and require EVERY column — including the
+    exact-decimal value total — to match the oracle-checked batch plan
+    bit-for-bit."""
+    q = run_to_memory(
+        tumbling_counts(stream), "t_tumbling", "complete", available_now=True
+    )
     try:
         got = spark.sql(
-            "SELECT bucket_s, event_type, n FROM t_tumbling ORDER BY bucket_s, event_type"
+            "SELECT bucket_s, event_type, n, total FROM t_tumbling "
+            "ORDER BY bucket_s, event_type"
         ).toPandas()
     finally:
         q.stop()
     batch = (
         events_tumbling(spark, sf_dir)
-        .select("bucket_s", "event_type", "n")
+        .select("bucket_s", "event_type", "n", "total")
         .toPandas()
     )
     assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
