@@ -31,8 +31,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return insights_table(spark, "/root/testdata/sf0.001")
 
 
+# Driver-coverage rotation (VERDICT r3 item 6): the driver correctness
+# harness samples the FIRST 50 registry entries, so iteration order decides
+# which oracles it exercises. Entries the driver has never hash-checked
+# (absent from CORRECTNESS_r02/r03) lead, then the ones last checked in r2,
+# then the r3-checked tail. Names and callables are unchanged — only dict
+# order. Regenerate after a round by diffing the new CORRECTNESS file.
+_DRIVER_CHECK_PRIORITY = [
+    # never driver-checked (repo-oracle only so far)
+    "q34_media_meta", "q39_frame_sample", "q45_dedup_clusters",
+    "q47_hash_sample", "q48_stratified_cap", "q49_sequence_pack",
+    "q67_cluster_canonical", "q79_quantize_audit", "q80_ivf_sq8_ann",
+    "q83_crossmodal_audit", "q_events_tumbling", "q_events_type_stats",
+    "q_events_sessionize", "q_events_asof_join", "q_events_sliding",
+    "q46_range_join", "q64_funnel", "q65_retention", "q81_rolling_dau",
+    "q85_median_bridge", "q50_doc_chunks", "q51_pii_scan",
+    "q52_decontaminate", "q53_quality_deciles", "q54_token_percentiles",
+    "q55_label_cohesion", "q56_tombstone_delete", "q57_mixture_weights",
+    "q73_mixture_sample", "q58_repetition_ratio", "q59_cross_source_overlap",
+    "q60_global_ids", "q61_canonical_docs", "q62_json_props",
+    "q63_incremental_dedup", "q66_rare_word_filter", "q68_topk_per_group",
+    "q70_dataset_split", "q71_jsonstat_decode", "q72_source_audit",
+    "q76_length_histogram", "q78_vocab_topk", "q82_bigram_lm_score",
+    "q35_forecast", "q36_tfidf_search", "q75_bm25_search",
+    # last driver-checked in round 2
+    "q31_embedding_neardup", "q32_lsh_ann", "q37_ivf_ann",
+    "q33_multimodal_features",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    least-recently-driver-checked entries surface first (see
+    _DRIVER_CHECK_PRIORITY)."""
     out = dict(QUERIES)
     # Non-SQL pipelines registered lazily to keep import cheap.
     from eurostat_energy_etl_pipeline_spark.ml.forecast import forecast_query
@@ -42,7 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q35_forecast"] = forecast_query
     out["q36_tfidf_search"] = tfidf_search_query
     out["q75_bm25_search"] = bm25_search_query
-    return out
+    ordered = {k: out[k] for k in _DRIVER_CHECK_PRIORITY if k in out}
+    ordered.update({k: v for k, v in out.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

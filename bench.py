@@ -41,15 +41,22 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 4)
 
     # Pass 2 (steady state): what a long-lived engine serves — this is the
-    # headline number. Best-of-two per query: the host runs periodic
-    # background jobs, and a single pass can catch one mid-flight.
+    # headline number. THREE full passes (VERDICT r3 item 7: identical code
+    # swung 1.71-2.10x with co-tenant load, so a single pass is not a
+    # reproducible ratio): per-query best-of-3 is the headline, and the
+    # per-pass set walls are reported as min/median so the committed
+    # number shows its own spread.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    seq_walls: list[float] = []
+    for _ in range(3):
+        wall = 0.0
         for name in sorted(queries):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 4)
+            wall += dt
             timings[name] = min(timings.get(name, dt), dt)
+        seq_walls.append(round(wall, 4))
 
     # Pass 3 (throughput): the whole set submitted from 8 client threads —
     # the TPC-style concurrent run. Spark's scheduler overlaps the many tiny
@@ -71,6 +78,24 @@ def main() -> None:
             throughput_wall, round(time.perf_counter() - t0, 4)
         )
 
+    # DuckDB baseline in the SAME run (VERDICT r3 item 7): co-tenant noise
+    # swings absolute walls ±30%, so the ratio is only meaningful when both
+    # sides share the load window. Two passes, warm pass kept (matches
+    # scripts/duckdb_baseline.py). Both ratios reported: excluding the
+    # deliberately-brute-force ground-truth oracles (q25 all-pairs Jaccard,
+    # q63 batch x corpus exact, q26 bit-for-bit SimHash) and including them.
+    duck = _duckdb_baseline(sf_dir)
+    gt_oracles = {"q25_minhash_lsh_pairs", "q63_incremental_dedup", "q26_simhash"}
+    matched = [n for n in duck if n in timings]
+    ratios = {}
+    for tag, names in (
+        ("ratio_x_gt", [n for n in matched if n not in gt_oracles]),
+        ("ratio_i_gt", matched),
+    ):
+        s = sum(timings[n] for n in names)
+        d = sum(duck[n] for n in names)
+        ratios[tag] = round(s / d, 3) if d else None
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     core = round(
@@ -88,12 +113,19 @@ def main() -> None:
         "cold_sec": round(sum(cold.values()), 4),
         "core_q1_q22_sec": core,
         "throughput_wall_clock_sec": throughput_wall,
+        "seq_walls": seq_walls,
+        "seq_median": round(sorted(seq_walls)[len(seq_walls) // 2], 4),
+        **ratios,
         "full": "bench_full.json",
     }
     full = {
         **summary,
         "queries": timings,
         "queries_cold": cold,
+        "duckdb_queries": duck,
+        "duckdb_matched_sec": round(sum(duck[n] for n in matched), 4),
+        "spark_matched_sec": round(sum(timings[n] for n in matched), 4),
+        "gt_oracles": sorted(gt_oracles),
         "key_map": {_short(k): k for k in timings},
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -103,6 +135,28 @@ def main() -> None:
     # the output tail, and round 2's full-name line overflowed it
     # (BENCH_r02.json parsed: null). Full per-query data -> bench_full.json.
     print(json.dumps(summary, separators=(",", ":")))
+
+
+def _duckdb_baseline(sf_dir: str) -> dict[str, float]:
+    """Warm per-query DuckDB seconds over the same parquet (the oracle SQL
+    set — the same queries scripts/duckdb_baseline.py times standalone)."""
+    import duckdb
+
+    from eurostat_energy_etl_pipeline_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = entry_mod.oracle_sql()
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in sorted(oracles):
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            timings[name] = round(time.perf_counter() - t0, 4)
+    return timings
 
 
 def _short(name: str) -> str:

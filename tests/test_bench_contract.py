@@ -22,6 +22,10 @@ def test_short_keys_are_unique_and_line_fits_tail_capture():
         "cold_sec": 9999.9999,
         "core_q1_q22_sec": 9999.9999,
         "throughput_wall_clock_sec": 9999.9999,
+        "seq_walls": [9999.9999, 9999.9999, 9999.9999],
+        "seq_median": 9999.9999,
+        "ratio_x_gt": 99.999,
+        "ratio_i_gt": 99.999,
         "full": "bench_full.json",
     }
     line = json.dumps(summary, separators=(",", ":"))
