@@ -50,9 +50,15 @@ def portable_round(col: str | Column, n: int) -> Column:
 
 
 def portable_round_sql(expr: str, n: int) -> str:
-    """DuckDB-side twin of :func:`portable_round` (same IEEE formula)."""
-    p = float(10**n)
-    return f"floor(({expr}) * {p!r} + 0.5) / {p!r}"
+    """SQL twin of :func:`portable_round` (same IEEE formula).
+
+    Uses exponent literals (``1e4``) rather than ``10000.0``: both DuckDB
+    and Spark SQL parse scientific notation as DOUBLE, whereas ``10000.0``
+    is a DECIMAL literal in Spark's dialect — so ``bigint / 10000.0`` would
+    come back as a decimal column when the oracle string is replayed
+    through `spark.sql` (the shared-dialect contract in
+    tests/test_sql_frontend.py)."""
+    return f"floor(({expr}) * 1e{n} + 0.5) / 1e{n}"
 
 
 def rolling_mean_min_periods(col: str, w: WindowSpec, min_periods: int = 3) -> Column:

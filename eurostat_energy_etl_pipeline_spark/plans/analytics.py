@@ -27,7 +27,7 @@ from eurostat_energy_etl_pipeline_spark.plans import query
     oracle=with_cte(
         """
     SELECT country_code AS geo,
-           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
+           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4
              AS avg_value
     FROM observations
     WHERE indicator_code = 'GEP' AND dataset_code = 'nrg_cb_e'
@@ -118,7 +118,7 @@ def dash_year_range(spark, sf_dir):
     oracle=with_cte(
         """
     SELECT country_code AS geo,
-           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
+           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4
              AS avg_value
     FROM observations
     WHERE indicator_code = 'FC_E' AND year(time) BETWEEN 1996 AND 1999
@@ -177,11 +177,11 @@ def dash_heatmap(spark, sf_dir):
     SELECT CAST(year(time) AS INT) AS yr,
            floor((CAST(sum(CASE WHEN dataset_code = 'nrg_cb_e'
                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / count(CASE WHEN dataset_code = 'nrg_cb_e' THEN 1 END)) * 10000.0 + 0.5) / 10000.0
+                 / count(CASE WHEN dataset_code = 'nrg_cb_e' THEN 1 END)) * 1e4 + 0.5) / 1e4
              AS nrg_cb_e,
            floor((CAST(sum(CASE WHEN dataset_code = 'ten00124'
                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / count(CASE WHEN dataset_code = 'ten00124' THEN 1 END)) * 10000.0 + 0.5) / 10000.0
+                 / count(CASE WHEN dataset_code = 'ten00124' THEN 1 END)) * 1e4 + 0.5) / 1e4
              AS ten00124
     FROM observations GROUP BY year(time) ORDER BY yr
     """

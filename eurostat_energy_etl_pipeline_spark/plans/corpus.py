@@ -476,7 +476,7 @@ def q60(spark, sf_dir):
     SELECT lang, bucket, doc_id AS canonical_id,
            CAST((SELECT count(*) FROM q q2
                  WHERE q2.lang = r.lang AND q2.bucket = r.bucket) AS BIGINT) AS n_docs,
-           floor((quality) * 10000.0 + 0.5) / 10000.0 AS best_quality
+           floor((quality) * 1e4 + 0.5) / 1e4 AS best_quality
     FROM r WHERE rn = 1 ORDER BY lang, bucket
     """,
 )
@@ -529,7 +529,7 @@ def q61(spark, sf_dir):
            count(*) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
              AS k_sum,
-           floor((avg(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS k_avg,
+           floor((avg(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 1e4 + 0.5) / 1e4 AS k_avg,
            CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
              AS k_max,
            CAST(count(CASE WHEN json_extract_string(props, '$.k') IS NULL
@@ -615,7 +615,7 @@ def _neardup_index_path(spark, sf_dir: str) -> str:
       SELECT cd.new_id, cd.corpus_id,
              floor((CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
                    / (len(n.shingles) + len(c.shingles)
-                      - len(list_intersect(n.shingles, c.shingles)))) * 1000000.0 + 0.5) / 1000000.0 AS jacc
+                      - len(list_intersect(n.shingles, c.shingles)))) * 1e6 + 0.5) / 1e6 AS jacc
       FROM cand cd
       JOIN sh n ON n.doc_id = cd.src
       JOIN sh c ON c.doc_id = cd.corpus_id
@@ -677,28 +677,46 @@ def q66(spark, sf_dir):
     the corpus itself as the language model): build the corpus token
     frequency table, score every document by the fraction of its token
     INSTANCES that are corpus-rare (count < 5), and roll up per language
-    with a >0.2 flag count. The corpus-frequency attach is a WINDOW over
-    the token key, not a groupBy + self-join — the join formulation scans
-    and tokenizes the corpus twice (the two subplans prune different
-    columns, so Catalyst gets no reusable exchange), while the window
-    tokenizes once and shuffles once (the same shape rag/tfidf.build_index
-    uses for document frequency). Per-doc reduction is a second
-    narrow-keyed aggregate; no text moves after the explode."""
-    from pyspark.sql.window import Window
-
+    with a >0.2 flag count. Same de-skewed shape as q82: reduce instances
+    to the well-distributed (doc, lang, token, m) multiplicity grain
+    first, roll corpus frequencies up from that (map-side combine tames
+    the hot tokens), and join the one-row-per-token frequency table back.
+    A count WINDOW over the raw token instances — round-3's formulation —
+    would serialize every instance of the hottest token ("the") into one
+    task at corpus scale; no stage here ever groups raw instances by a
+    skewed key, and the join build side is AQE skew-split-able. The
+    per-doc instance mean is recovered exactly as sum(m·flag)/sum(m);
+    the (doc,token) exchange is planned once and reused by both the
+    frequency rollup and the score join (ReusedExchange, plan-pinned)."""
     from eurostat_energy_etl_pipeline_spark.operators.text import (
         whitespace_tokens,
     )
 
     t = load_tables(spark, sf_dir)
-    tok = widen_if_narrow(t["documents"]).select(
-        "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("tk")
+    tok = (
+        widen_if_narrow(t["documents"])
+        .select(
+            "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("tk")
+        )
+        # tk is never null (explode of split output), but the dt⋈freq join
+        # infers isnotnull(tk) into only the frequency branch, breaking
+        # subtree identity; stating it in the shared subtree keeps the
+        # (doc,lang,tk) exchange bit-identical for both consumers.
+        .where(F.col("tk").isNotNull())
     )
-    scored = tok.withColumn(
-        "c", F.count(F.lit(1)).over(Window.partitionBy("tk"))
-    )
-    docscore = scored.groupBy("doc_id", "lang").agg(
-        F.avg(F.when(F.col("c") < 5, 1.0).otherwise(0.0)).alias("rare_ratio")
+    dt = tok.groupBy("doc_id", "lang", "tk").agg(F.count(F.lit(1)).alias("m"))
+    freq = dt.groupBy("tk").agg(F.sum("m").alias("c"))
+    docscore = (
+        dt.join(freq, "tk")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.sum(F.when(F.col("c") < 5, F.col("m")).otherwise(F.lit(0))).cast(
+                    "double"
+                )
+                / F.sum("m")
+            ).alias("rare_ratio")
+        )
     )
     return (
         docscore.groupBy("lang")

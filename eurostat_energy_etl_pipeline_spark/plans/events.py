@@ -57,7 +57,7 @@ def events_tumbling(spark, sf_dir):
     "q_events_type_stats",
     oracle="""
     SELECT event_type, count(*) AS n,
-           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
+           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
              AS avg_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -286,9 +286,9 @@ def events_range_join(spark, sf_dir):
     SELECT (SELECT count(*) FROM v) AS n_view,
            (SELECT count(*) FROM c) AS n_view_click,
            (SELECT count(*) FROM p) AS n_view_click_purchase,
-           floor(((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v)) * 1000000.0 + 0.5) / 1000000.0
+           floor(((SELECT count(*) FROM c) * 1e0 / (SELECT count(*) FROM v)) * 1e6 + 0.5) / 1e6
              AS click_rate,
-           floor(((SELECT count(*) FROM p) * 1.0 / greatest((SELECT count(*) FROM c), 1)) * 1000000.0 + 0.5) / 1000000.0
+           floor(((SELECT count(*) FROM p) * 1e0 / greatest((SELECT count(*) FROM c), 1)) * 1e6 + 0.5) / 1e6
              AS purchase_rate
     """,
 )

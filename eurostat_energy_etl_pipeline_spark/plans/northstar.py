@@ -45,7 +45,7 @@ def q19(spark, sf_dir):
     "q20_text_stats",
     oracle="""
     SELECT lang, count(*) AS docs,
-           floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+           floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -143,7 +143,7 @@ def q23(spark, sf_dir):
                  THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                       / (len(a.shingles) + len(b.shingles)
                          - len(list_intersect(a.shingles, b.shingles)))
-                 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS jacc
+                 ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS jacc
     FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
     ORDER BY id_a
     """,
@@ -175,7 +175,7 @@ def q24(spark, sf_dir):
       SELECT c.id_a, c.id_b,
              floor((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                    / (len(a.shingles) + len(b.shingles)
-                      - len(list_intersect(a.shingles, b.shingles)))) * 1000000.0 + 0.5) / 1000000.0 AS jacc
+                      - len(list_intersect(a.shingles, b.shingles)))) * 1e6 + 0.5) / 1e6 AS jacc
       FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
     ) WHERE jacc >= 0.5 ORDER BY id_a, id_b
     """,
@@ -623,7 +623,7 @@ def q39(spark, sf_dir):
                    THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                         / (len(a.shingles) + len(b.shingles)
                            - len(list_intersect(a.shingles, b.shingles)))
-                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS jacc
+                   ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS jacc
       FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
     ),
     flags AS (
@@ -770,7 +770,7 @@ def q49(spark, sf_dir):
                    THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                         / (len(a.shingles) + len(b.shingles)
                            - len(list_intersect(a.shingles, b.shingles)))
-                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS jacc
+                   ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS jacc
       FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
     ),
     flags AS (
@@ -951,7 +951,7 @@ def q80(spark, sf_dir):
     "q83_crossmodal_audit",
     oracle="""
     SELECT e.label, d.lang, count(*) AS n_docs,
-           floor((avg(CAST(d.n_chars AS DOUBLE))) * 100.0 + 0.5) / 100.0 AS avg_chars,
+           floor((avg(CAST(d.n_chars AS DOUBLE))) * 1e2 + 0.5) / 1e2 AS avg_chars,
            round(avg(sqrt(list_aggregate(list_transform(e.embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)
              AS avg_norm,

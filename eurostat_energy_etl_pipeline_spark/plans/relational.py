@@ -126,7 +126,7 @@ def q05(spark, sf_dir):
     "q06_topk_avg",
     oracle="""
     SELECT o_custkey,
-           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
+           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
              AS avg_price
     FROM orders GROUP BY o_custkey
     ORDER BY avg_price DESC, o_custkey LIMIT 10
@@ -577,7 +577,7 @@ def q43(spark, sf_dir):
     "q44_like_scan",
     oracle="""
     SELECT p_brand, p_type, count(*) AS n,
-           floor((CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
+           floor((CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4
              AS avg_price
     FROM part
     WHERE p_name LIKE '%ge%'
@@ -731,7 +731,7 @@ def q84(spark, sf_dir):
     s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
                  CAST(max(n) AS BIGINT) AS max_n,
                  CAST(sum(n) AS BIGINT) AS total,
-                 floor((CAST(max(n) AS DOUBLE) * count(*) / sum(n)) * 10000.0 + 0.5) / 10000.0
+                 floor((CAST(max(n) AS DOUBLE) * count(*) / sum(n)) * 1e4 + 0.5) / 1e4
                    AS skew_factor
           FROM k)
     SELECT r.o_custkey, CAST(r.n AS BIGINT) AS n, s.n_keys, s.max_n,

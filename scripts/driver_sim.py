@@ -6,7 +6,13 @@ defaults; this script reproduces that harness faithfully: a bare
 entry executed at sf0.01, oracles run through DuckDB on the same parquet,
 values compared after sorting columns by name (the driver's hash scheme).
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [--exact] [--first N]
+
+--exact compares values exactly (the driver hashes values, so an rtol-level
+match can still be a driver hash-fail — the round-3 q74 lesson); numeric
+columns are normalised to float64 on both sides first, mirroring a
+representation-insensitive value hash. --first N checks only the first N
+registry entries (the driver samples the first 50).
 """
 
 import json
@@ -19,14 +25,29 @@ import pandas as pd
 from pyspark.sql import SparkSession
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def norm(df: pd.DataFrame, exact: bool = False) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if exact:
+        # Representation-insensitive numeric normalisation (Decimal vs
+        # float64 vs int64 all hash by value): cast anything numeric-like
+        # to float64 before the exact compare.
+        for c in df.columns:
+            converted = pd.to_numeric(df[c], errors="coerce")
+            if df[c].notna().equals(converted.notna()):
+                df[c] = converted.astype("float64")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    exact = "--exact" in sys.argv
+    first_n = None
+    if "--first" in sys.argv:
+        first_n = int(sys.argv[sys.argv.index("--first") + 1])
+        if args and args[-1] == str(first_n):
+            args = args[:-1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     # Plain session: deliberately none of the repo's conf defaults.
     spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
     import __spark_entry__ as m
@@ -40,6 +61,8 @@ def main() -> int:
         )
 
     queries, oracles = m.queries(), m.oracle_sql()
+    if first_n is not None:
+        queries = dict(list(queries.items())[:first_n])
     results, n_match, n_rows_only, n_fail = {}, 0, 0, 0
     for name, fn in queries.items():
         try:
@@ -50,15 +73,20 @@ def main() -> int:
                 n_rows_only += 1
                 continue
             odf = con.execute(sql).df()
-            s, o = norm(sdf), norm(odf)
+            s, o = norm(sdf, exact), norm(odf, exact)
             rows_ok = len(s) == len(o)
             cols_ok = list(s.columns) == list(o.columns)
             vals_ok = False
             if rows_ok and cols_ok:
                 try:
-                    pd.testing.assert_frame_equal(
-                        s, o, check_dtype=False, check_exact=False, rtol=1e-8, atol=1e-10
-                    )
+                    if exact:
+                        pd.testing.assert_frame_equal(
+                            s, o, check_dtype=False, check_exact=True
+                        )
+                    else:
+                        pd.testing.assert_frame_equal(
+                            s, o, check_dtype=False, check_exact=False, rtol=1e-8, atol=1e-10
+                        )
                     vals_ok = True
                 except AssertionError as e:
                     results[name] = {"diff": str(e).splitlines()[-1]}

@@ -166,12 +166,20 @@ def test_q62_json_extraction_stays_scan_side(spark, queries):
     assert "partial_" in plan  # map-side combine before the exchange
 
 
-def test_q66_tokenizes_corpus_once(spark, queries):
-    plan = plan_of(queries["q66_rare_word_filter"](spark, SF_DIR))
-    # The window-over-token formulation must scan documents exactly once;
-    # a groupBy+join frequency attach scans (and tokenizes) twice.
-    assert plan.count(") Scan parquet") == 1
-    assert ") Window" in plan
+def test_q66_no_skewed_instance_window_and_shared_grain(spark, queries):
+    # Round-3 shape attached corpus frequencies with a count window over
+    # raw token instances partitioned by token — the hottest token in one
+    # task at corpus scale. The de-skewed shape (same as q82) must show
+    # no Window at all, and the (doc,lang,tk) multiplicity grain's
+    # exchange must be computed once and shared by the frequency rollup
+    # and the score join (AQE proves subtree identity at runtime, so the
+    # ReusedExchange only appears in the final executed plan).
+    df = queries["q66_rare_word_filter"](spark, SF_DIR)
+    static_plan = plan_of(df)
+    assert ") Window" not in static_plan
+    df.collect()
+    final_plan = plan_of(df)
+    assert "ReusedExchange" in final_plan, final_plan
 
 
 def test_q64_funnel_single_user_keyed_lineage(spark, queries):
