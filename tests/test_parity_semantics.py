@@ -179,3 +179,21 @@ def test_spark_round_does_diverge_on_ties(spark):
     con = duckdb.connect()
     duck = {v: con.execute("SELECT round(?, 4)", [v]).fetchone()[0] for v in _TIE_VALUES}
     assert any(got[v] != duck[v] for v in _TIE_VALUES)
+
+
+def test_oracle_sql_uses_double_literals_in_floor_rounding():
+    """Guard against reintroducing decimal literals in the floor-rounding
+    idiom: Spark SQL parses `10000.0` as DECIMAL, so `bigint / 10000.0`
+    replayed through spark.sql comes back as a decimal column and breaks
+    the shared-dialect dtype contract (round-4 q06 regression). Exponent
+    literals (`1e4`) are DOUBLE in both Spark and DuckDB."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    bad = {
+        name: m.group(0)
+        for name, sql in entry_mod.oracle_sql().items()
+        if (m := re.search(r"\+\s*0\.5\s*\)\s*/\s*1\d*0\.0", sql))
+    }
+    assert not bad, f"decimal literals in floor-round oracles: {bad}"
