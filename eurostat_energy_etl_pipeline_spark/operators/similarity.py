@@ -577,3 +577,130 @@ def ivf_index_topk(
         .orderBy(F.desc("cos"), id_col)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN JOIN: every row of a query corpus against a neighbor corpus.
+# The operator behind retrieval pairing, cross-version dedup, and
+# train/eval contamination checks — distinct from the point-query topk
+# above (those take ONE literal vector; this joins two tables).
+# ---------------------------------------------------------------------------
+
+
+def knn_join_exact(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine kNN join: for every left row, the k nearest right rows.
+
+    Plans as a broadcast nested loop over the (smaller) right side plus a
+    per-query window rank — Spark pushes the rk<=k bound into a
+    WindowGroupLimit, so each task keeps only k candidates per query
+    before the final per-query sort. Exact kNN is inherently all-pairs:
+    use this when the neighbor corpus fits a broadcast (dims, label sets,
+    eval suites); the scale path for corpus x corpus is
+    :func:`knn_join_lsh`. Ranking uses the 6-decimal-rounded cosine
+    (portable across engines) with the neighbor id as tiebreak.
+    """
+    from pyspark.sql.window import Window
+
+    a = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("_qv"))
+    b = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("_nv"))
+    scored = a.join(F.broadcast(b)).select(
+        "qid",
+        "nid",
+        F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def probe_buckets_col(bucket: Column, bits: int, radius: int = 1) -> Column:
+    """Array of all bucket ids within hamming distance `radius` of
+    `bucket`, built with bitwise column ops (1 + bits + bits*(bits-1)/2
+    literals for radius 2 — constant-folded, no Python per row)."""
+    probes = [bucket]
+    if radius >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
+    if radius >= 2:
+        probes += [
+            bucket.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
+    return F.array(*probes)
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+    probe_radius: int = 1,
+    num_tables: int = 1,
+) -> DataFrame:
+    """Approximate kNN join: LSH-bucket both corpora with shared
+    hyperplane matrices (one per hash table), explode each query into its
+    multiprobe bucket set in every table, equi-join on the (table, bucket)
+    key, and exactly rerank the deduped candidate union per query.
+
+    This replaces the exact join's |L| x |R| pair stream with
+    sum over probed buckets of |L_bucket| x |R_bucket| — an EQUI-join the
+    engine shuffles by bucket key (AQE can split a hot bucket), never a
+    cross product. Independent tables raise recall as 1-(1-p)^T for the
+    per-table hit rate p. At rest, write the right side bucket-partitioned
+    (`write_ann_index`) and the probe side prunes partitions. Candidate
+    dedup happens per (qid, nid) before ranking because probe sets of
+    distinct tables/queries overlap.
+    """
+    from pyspark.sql.window import Window
+
+    dim = embedding_dim(right, vec_col)
+    a0 = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("_qv"))
+    b0 = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("_nv"))
+    a_parts, b_parts = [], []
+    for t in range(num_tables):
+        planes = hyperplanes(dim, bits, seed + t)
+        a_parts.append(
+            a0.withColumn(
+                "bucket",
+                F.explode(
+                    probe_buckets_col(
+                        bucket_of(F.col("_qv"), planes), bits, probe_radius
+                    )
+                ),
+            ).withColumn("tbl", F.lit(t))
+        )
+        b_parts.append(
+            b0.withColumn("bucket", bucket_of(F.col("_nv"), planes)).withColumn(
+                "tbl", F.lit(t)
+            )
+        )
+    a = a_parts[0]
+    for p in a_parts[1:]:
+        a = a.unionByName(p)
+    b = b_parts[0]
+    for p in b_parts[1:]:
+        b = b.unionByName(p)
+    cand = a.join(b, ["tbl", "bucket"]).select(
+        "qid",
+        "nid",
+        F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    return (
+        cand.dropDuplicates(["qid", "nid"])
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+    )

@@ -998,3 +998,84 @@ def q83(spark, sf_dir):
         )
         .transform(presentation_sort, "label", "lang")
     )
+
+
+@query(
+    "q87_knn_join_exact",
+    oracle="""
+    WITH l AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id % 2 = 0),
+         r AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+               FROM embeddings WHERE vec_id % 2 = 1),
+         s AS (SELECT qid, nid,
+                      round(list_cosine_similarity(qv, nv), 6) AS cos
+               FROM l CROSS JOIN r),
+         rk AS (SELECT qid, nid, cos,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, nid) AS rk
+                FROM s)
+    SELECT qid, nid, cos, CAST(rk AS INT) AS rk
+    FROM rk WHERE rk <= 3 ORDER BY qid, rk
+    """,
+)
+def q87(spark, sf_dir):
+    """Exact cosine kNN JOIN (`operators/similarity.knn_join_exact`):
+    every even-id embedding paired with its 3 nearest odd-id embeddings —
+    the retrieval-pairing / cross-corpus-dedup operator, distinct from
+    the point-query top-k (q22/q32/q37 take ONE literal vector; this
+    joins two tables). Plans as a broadcast nested loop over the
+    neighbor corpus plus one qid-keyed window whose rk<=3 bound Spark
+    pushes into a WindowGroupLimit; ranking is on the 6-decimal
+    portable-rounded cosine so both engines order identically. The
+    bucketed scale path for corpus x corpus sizes is q88."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return (
+        S.knn_join_exact(
+            e.where(F.col("vec_id") % 2 == 0),
+            e.where(F.col("vec_id") % 2 == 1),
+            k=3,
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+@query("q88_knn_join_lsh")
+def q88(spark, sf_dir):
+    """Approximate kNN JOIN (`operators/similarity.knn_join_lsh`): both
+    corpora LSH-bucketed with shared per-table hyperplane matrices,
+    queries exploded into their hamming<=2 multiprobe set in each of 3
+    independent tables, candidates produced by an EQUI-join on the
+    (table, bucket) key (shuffle-by-key, AQE skew-split-able — never a
+    cross product), exact per-query rerank over the deduped union.
+    Approximate by construction -> no SQL oracle, but self-certifying
+    like q32/q37: each row carries `in_exact_topk` from the brute-force
+    join in the same plan, plus the per-query `recall_at_k` (~0.9 at
+    these params on the near-uniform fixtures — LSH's hardest case, same
+    lever-depth note as q32). At rest the neighbor side is written
+    bucket-partitioned (write_ann_index) so probes prune partitions;
+    candidate volume is sum of probed-bucket products, not |L| x |R|."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    left = e.where(F.col("vec_id") % 2 == 0)
+    right = e.where(F.col("vec_id") % 2 == 1)
+    approx = S.knn_join_lsh(left, right, k=3, bits=6, probe_radius=2, num_tables=3)
+    exact = S.knn_join_exact(left, right, k=3).select(
+        F.col("qid").alias("_xq"), F.col("nid").alias("_xn")
+    )
+    flagged = approx.join(
+        F.broadcast(exact),
+        (approx["qid"] == F.col("_xq")) & (approx["nid"] == F.col("_xn")),
+        "left",
+    ).select(
+        "qid",
+        "nid",
+        "cos",
+        "rk",
+        F.col("_xq").isNotNull().cast("int").alias("in_exact_topk"),
+    )
+    from pyspark.sql.window import Window
+
+    recall = F.sum("in_exact_topk").over(Window.partitionBy("qid")) / F.lit(3.0)
+    return (
+        flagged.withColumn("recall_at_k", F.round(recall, 4))
+        .orderBy("qid", "rk")
+    )

@@ -213,3 +213,87 @@ def test_ivf_quantized_index_probe_matches_float_path(vectors, tmp_path):
     assert q_ids == f_ids
     top = S.ivf_index_topk(spark, qpath, q, k=1, nprobe=2).first()
     assert top["vec_id"] == 0 and abs(top["cos"] - 1.0) < 0.01
+
+
+# ----------------------------------------------------------------- kNN join
+def _np_knn(base, left_ids, right_ids, k=3):
+    """Reference kNN join in numpy: {qid: [nid...k, cos-desc, id-asc]}."""
+    out = {}
+    for q in left_ids:
+        sims = []
+        for n in right_ids:
+            a, b = base[q], base[n]
+            c = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+            sims.append((round(c, 6), n))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        out[q] = [n for _, n in sims[:k]]
+    return out
+
+
+def test_knn_join_exact_matches_numpy(vectors):
+    df, base = vectors
+    left = df.where(F.col("vec_id") % 2 == 0)
+    right = df.where(F.col("vec_id") % 2 == 1)
+    got = S.knn_join_exact(left, right, k=3).collect()
+    want = _np_knn(base, range(0, 50, 2), range(1, 50, 2), k=3)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["qid"], r["rk"])):
+        by_q.setdefault(r["qid"], []).append(r["nid"])
+    assert by_q == want
+    # Planted pair: vec 1 is vec 0 scaled, so 0's nearest odd neighbor is 1.
+    assert by_q[0][0] == 1
+
+
+def test_knn_join_exact_plan_broadcast_and_group_limit(vectors):
+    df, _ = vectors
+    left = df.where(F.col("vec_id") % 2 == 0)
+    right = df.where(F.col("vec_id") % 2 == 1)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        S.knn_join_exact(left, right, k=3).explain("formatted")
+    plan = buf.getvalue()
+    # Neighbor corpus broadcasts (never a shuffled cartesian); the rk<=k
+    # bound must reach WindowGroupLimit so tasks keep k rows per query
+    # before the per-query sort.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_knn_join_lsh_equi_join_no_cross_product(vectors):
+    df, _ = vectors
+    left = df.where(F.col("vec_id") % 2 == 0)
+    right = df.where(F.col("vec_id") % 2 == 1)
+    import contextlib, io
+
+    out = S.knn_join_lsh(left, right, k=3, bits=4, probe_radius=1, num_tables=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # Candidate generation is an equi-join on (tbl, bucket): no BNLJ, no
+    # cartesian anywhere in the approximate path.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_lsh_recall_floor_and_no_dupes(vectors):
+    df, base = vectors
+    left = df.where(F.col("vec_id") % 2 == 0)
+    right = df.where(F.col("vec_id") % 2 == 1)
+    got = S.knn_join_lsh(left, right, k=3, bits=4, probe_radius=2, num_tables=3).collect()
+    pairs = [(r["qid"], r["nid"]) for r in got]
+    assert len(pairs) == len(set(pairs)), "multiprobe/table union must dedup"
+    exact = _np_knn(base, range(0, 50, 2), range(1, 50, 2), k=3)
+    exact_pairs = {(q, n) for q, ns in exact.items() for n in ns}
+    recall = len(set(pairs) & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
+    # The planted near-identical pair lives in the same bucket in every
+    # table (signatures of near-parallel vectors agree): it MUST be found.
+    assert (0, 1) in set(pairs)
+    # Per-query output is capped at k even where probe sets overlap.
+    from collections import Counter
+
+    assert max(Counter(q for q, _ in pairs).values()) <= 3

@@ -57,6 +57,7 @@ DUCKDB_ONLY = {
     "q82_bigram_lm_score",   # duckdb string_split_regex/list_* + split_part
     "q83_crossmodal_audit",  # duckdb list_transform/list_aggregate
     "q85_median_bridge",     # duckdb quantile_cont (Spark: percentile)
+    "q87_knn_join_exact",    # duckdb list_cosine_similarity
 }
 
 
