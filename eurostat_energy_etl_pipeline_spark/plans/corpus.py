@@ -1083,3 +1083,57 @@ def q82(spark, sf_dir):
         )
         .transform(presentation_sort, "lang")
     )
+
+
+@query(
+    "q89_bpe_pair_stats",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS m FROM tok WHERE len(w) >= 2 GROUP BY w),
+    p AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> substr(w, i, 2))) AS pair, m
+      FROM wf
+    )
+    SELECT pair, CAST(sum(m) AS BIGINT) AS n
+    FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def q89(spark, sf_dir):
+    """BPE merge-candidate statistics — the inner loop of tokenizer
+    training (the first Sennrich-BPE iteration: adjacent symbol-pair
+    frequencies over the corpus, weighted by word occurrences). The
+    scale shape mirrors q66/q82's grain reduction: reduce instances to
+    the (word type, multiplicity) table FIRST (one map-side-combined
+    shuffle; Zipf makes the type table orders of magnitude smaller than
+    the instance stream), explode each distinct word's character pairs
+    once, and sum multiplicities per pair — so "the" contributes its
+    pair set exactly once no matter how many billion times it occurs.
+    Top-20 plans as TakeOrderedAndProject. Everything is Catalyst array
+    expressions (transform over sequence); no UDFs."""
+    from eurostat_energy_etl_pipeline_spark.operators.text import (
+        whitespace_tokens,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tok = (
+        widen_if_narrow(t["documents"])
+        .select(F.explode(whitespace_tokens(F.col("text"))).alias("w"))
+        .where(F.length("w") >= 2)
+    )
+    wf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("m"))
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "m",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("m").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

@@ -58,6 +58,7 @@ DUCKDB_ONLY = {
     "q83_crossmodal_audit",  # duckdb list_transform/list_aggregate
     "q85_median_bridge",     # duckdb quantile_cont (Spark: percentile)
     "q87_knn_join_exact",    # duckdb list_cosine_similarity
+    "q89_bpe_pair_stats",    # duckdb string_split_regex/list_transform
 }
 
 
