@@ -510,3 +510,47 @@ def q85_median_bridge(spark, sf_dir):
         )
         .transform(presentation_sort, "event_type")
     )
+
+
+@query(
+    "q90_trailing_burst",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                            RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)
+               AS c3
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(c3) AS BIGINT) AS max_burst
+    FROM t GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q90(spark, sf_dir):
+    """Per-user 3-day trailing activity peak via a time-RANGE window frame
+    (`rangeBetween` over epoch seconds — value-based, so the frame is
+    '72 hours of events', not 'N rows'; sub-second timestamps are floored
+    to whole seconds on BOTH engines so frame peers agree). The W-family
+    capability the rows-frame queries (q12 rolling) don't exercise.
+    Partitioned by user_id — the high-cardinality key, so at 100 TB each
+    user's short event run sorts within one task and no linguistic/type
+    hot key exists (contrast: partitioning this window by event_type
+    would serialize a fifth of the firehose into one task)."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-259200, 0)
+    )
+    return (
+        t["events"]
+        .withColumn("c3", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("c3").alias("max_burst"),
+        )
+        .orderBy("user_id")
+    )

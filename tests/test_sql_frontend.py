@@ -59,6 +59,7 @@ DUCKDB_ONLY = {
     "q85_median_bridge",     # duckdb quantile_cont (Spark: percentile)
     "q87_knn_join_exact",    # duckdb list_cosine_similarity
     "q89_bpe_pair_stats",    # duckdb string_split_regex/list_transform
+    "q90_trailing_burst",    # duckdb epoch() (Spark: cast ts to long)
 }
 
 
