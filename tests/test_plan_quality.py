@@ -283,3 +283,63 @@ def test_q82_bigram_lm_no_skewed_instance_window(spark, queries):
     df.collect()
     final_plan = plan_of(df)
     assert "ReusedExchange" in final_plan  # (doc,lang,bigram) grain shared
+
+
+def test_q87_knn_join_broadcasts_neighbors_and_group_limits(spark, queries):
+    # Exact kNN join: the (smaller) neighbor corpus must broadcast —
+    # all-pairs is inherent to EXACT kNN, so the only acceptable plan is
+    # BNLJ over a broadcast build, never a shuffled CartesianProduct —
+    # and the rk<=k bound must reach a WindowGroupLimit so each task
+    # keeps k candidates per query instead of materializing |L|x|R| rows
+    # into the rank sort.
+    plan = plan_of(queries["q87_knn_join_exact"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_q88_lsh_knn_candidates_are_equi_join(spark, queries):
+    # The scale path must NEVER plan an unconditioned pair stream for
+    # candidate generation: candidates come from an EQUI-join on the
+    # (table, bucket) key (hash-joinable, AQE skew-split-able). The plan
+    # carries exactly ONE nested loop — the brute-force exact-topk the
+    # self-certification columns compare against (deliberately all-pairs,
+    # it IS the ground truth); a second one would mean the candidate path
+    # degenerated to a cross product.
+    plan = plan_of(queries["q88_knn_join_lsh"](spark, SF_DIR))
+    # formatted mode prints each node in the tree AND the detail section
+    assert plan.count("- BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin Inner" in plan  # the (tbl, bucket) equi-join
+    assert "WindowGroupLimit" in plan  # rerank bound pushed down
+    # candidate dedup is an aggregate (map-side combinable), not a sort
+    assert "HashAggregate" in plan
+
+
+def test_q89_bpe_pairs_aggregate_on_type_grain_no_window(spark, queries):
+    # Tokenizer-training counts must reduce the instance stream to the
+    # word-TYPE table first (Zipf compression), explode pairs once per
+    # distinct word, and re-aggregate — two map-side-combined shuffles,
+    # a TakeOrderedAndProject top-20, and no Window anywhere.
+    plan = plan_of(queries["q89_bpe_pair_stats"](spark, SF_DIR))
+    assert ") Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # word-type agg + pair agg, plus widen_if_narrow's input repartition
+    # (narrow-fixture parallelism; a no-op at real file counts)
+    assert plan.count("+- Exchange") <= 3, plan
+    # Generate (the pair explode) must sit ABOVE the word-type aggregate,
+    # i.e. between the two exchanges — never directly over the scan.
+    scan_side = plan.split("Exchange", 1)[0]
+    assert "Generate" not in scan_side
+
+
+def test_q90_trailing_burst_single_user_exchange(spark, queries):
+    # The time-RANGE window and the per-user aggregate must share ONE
+    # hashpartitioning(user_id) exchange (the groupBy reuses the window's
+    # clustering); the only other exchange is the presentation sort's
+    # range partitioning. The scan must prune to (ts, user_id).
+    plan = plan_of(queries["q90_trailing_burst"](spark, SF_DIR))
+    assert plan.count("+- Exchange") <= 2, plan
+    assert plan.lower().count("hashpartitioning") == 1, plan
+    scan = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "event_type" not in scan and "payload" not in scan
