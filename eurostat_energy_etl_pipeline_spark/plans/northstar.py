@@ -1079,3 +1079,61 @@ def q88(spark, sf_dir):
         flagged.withColumn("recall_at_k", F.round(recall, 4))
         .orderBy("qid", "rk")
     )
+
+
+@query(
+    "q91_kmeans_update",
+    oracle="""
+    WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+         p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pv
+               FROM embeddings),
+         d AS (SELECT vec_id, pv, cid,
+                      floor(list_sum(list_transform(
+                          generate_series(1, 64),
+                          i -> (pv[i] - cv[i]) * (pv[i] - cv[i])
+                      )) * 1e6 + 0.5) / 1e6 AS d2r
+               FROM p CROSS JOIN c),
+         asg AS (SELECT vec_id, pv, d2r, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2r, cid) AS rk
+                 FROM d),
+         e AS (SELECT cid, CAST(i AS INT) AS pos,
+                      CAST(floor(pv[i] * 1e6 + 0.5) / 1e6
+                           AS DECIMAL(18,6)) AS v,
+                      CAST(d2r AS DECIMAL(18,6)) AS dd
+               FROM asg CROSS JOIN generate_series(1, 64) AS g(i)
+               WHERE rk = 1)
+    SELECT cid, pos,
+           floor(CAST(sum(v) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+             AS mean_val,
+           CAST(count(*) AS BIGINT) AS n_points,
+           floor(CAST(sum(dd) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+             AS avg_d2
+    FROM e GROUP BY cid, pos ORDER BY cid, pos
+    """,
+)
+def q91(spark, sf_dir):
+    """One FULL-CORPUS Lloyd iteration (`operators/clustering.lloyd_update`)
+    from deterministic seed centroids (the first 8 vectors): every point
+    assigned scan-side to its nearest centroid via constant-folded
+    literal-array distances + `array_min` over (distance, cid) structs —
+    zero shuffle, no Python — then the updated k x dim centroid matrix and
+    per-cluster inertia computed by ONE map-side-combined (cid, pos)
+    aggregate (shuffle volume O(partitions*k*dim), corpus-size
+    independent). Complements `train_ivf_centroids`' O(sample) driver
+    recipe when IVF cells must re-center against the full corpus. Every
+    mean is an exact decimal sum (order-independent) and distances are
+    1e-6-gridded before the argmin with cid tiebreak, so the DuckDB
+    differential is exact despite float arithmetic on both sides."""
+    from eurostat_energy_etl_pipeline_spark.operators.clustering import (
+        lloyd_update,
+    )
+
+    e = widen_if_narrow(load_tables(spark, sf_dir)["embeddings"])
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return lloyd_update(e, cents).orderBy("cid", "pos")

@@ -343,3 +343,15 @@ def test_q90_trailing_burst_single_user_exchange(spark, queries):
     assert plan.lower().count("hashpartitioning") == 1, plan
     scan = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
     assert "event_type" not in scan and "payload" not in scan
+
+
+def test_q91_lloyd_assignment_scan_side_single_agg_exchange(spark, queries):
+    # Full-corpus Lloyd: assignment must be a pure projection (centroids
+    # inlined as constant-folded literals — NO centroid join, no window),
+    # and the update one map-side-combined aggregate; exchanges are the
+    # narrow-input widen, the (cid,pos) agg, and the presentation sort.
+    plan = plan_of(queries["q91_kmeans_update"](spark, SF_DIR))
+    assert ") Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("+- Exchange") <= 3, plan
+    assert "partial" in plan  # the explode collapses before the shuffle

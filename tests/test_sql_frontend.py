@@ -60,6 +60,7 @@ DUCKDB_ONLY = {
     "q87_knn_join_exact",    # duckdb list_cosine_similarity
     "q89_bpe_pair_stats",    # duckdb string_split_regex/list_transform
     "q90_trailing_burst",    # duckdb epoch() (Spark: cast ts to long)
+    "q91_kmeans_update",     # duckdb list_sum/generate_series table fn
 }
 
 
