@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_CHECK_PRIORITY = [
     # never driver-checked (repo-oracle only so far)
     "q87_knn_join_exact", "q88_knn_join_lsh", "q89_bpe_pair_stats",
-    "q90_trailing_burst", "q91_kmeans_update",
+    "q90_trailing_burst", "q91_kmeans_update", "q92_dup_span_coverage",
     "q34_media_meta", "q39_frame_sample", "q45_dedup_clusters",
     "q47_hash_sample", "q48_stratified_cap", "q49_sequence_pack",
     "q67_cluster_canonical", "q79_quantize_audit", "q80_ivf_sq8_ann",

@@ -43,15 +43,14 @@ def hash_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def token_shingles(col: Column, k: int = 3) -> Column:
-    """k-token shingles as strings ('w1 w2 w3'); whole-doc shingle when the
-    document is shorter than k tokens.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-token shingles from an already-tokenized array column; whole-doc
+    shingle when the document is shorter than k tokens.
 
     Built as zip_with over k shifted slices, NOT `transform(sequence, i ->
     element_at(toks, i))`: a lambda-bound element_at re-evaluates the token
     expression per element (quadratic per doc — measured 10x slowdown on
     500-token docs); slices evaluate it once per row (linear)."""
-    toks = whitespace_tokens(col)
     n = F.size(toks)
     m = n - (k - 1)  # shingle count when n >= k
     out = F.slice(toks, 1, m)
@@ -60,6 +59,12 @@ def token_shingles(col: Column, k: int = 3) -> Column:
             out, F.slice(toks, i + 1, m), lambda a, b: F.concat_ws(" ", a, b)
         )
     return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(out)
+
+
+def token_shingles(col: Column, k: int = 3) -> Column:
+    """k-token shingles as strings ('w1 w2 w3') from raw text (tokenizes
+    with :func:`whitespace_tokens`; see :func:`shingles_from_tokens`)."""
+    return shingles_from_tokens(whitespace_tokens(col), k)
 
 
 def shingle_hashes(col: Column, k: int = 3) -> Column:
@@ -754,4 +759,96 @@ def contaminated_ids(
         corpus_grams.join(bench_grams, "_g", "left_semi")
         .select(id_col)
         .distinct()
+    )
+
+
+def dup_span_coverage(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact substring-duplication coverage (the span-level dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"):
+    for every document, the fraction of its tokens covered by at least one
+    k-token gram that also appears in ANOTHER document.
+
+    Distinct from the document-level operators above: MinHash/SimHash score
+    whole-doc similarity; this localizes WHICH spans are boilerplate
+    (licence headers, templated paragraphs) so a filter can cut spans, not
+    documents. Shape, stage by stage, each 100 TB-safe:
+
+    1. grams: `token_shingles` (linear zip_with build) + posexplode —
+       scan-side, no shuffle. Docs shorter than k tokens have no k-span
+       and drop out here (they rejoin with coverage 0 at step 4).
+    2. cross-doc duplicated grams: aggregate on the sha2-256 gram key
+       (`text_hash` contract — the wide gram string is pruned before the
+       exchange; map-side combine collapses per-partition repeats), with
+       two distinct doc_ids required so within-doc repetition alone never
+       marks a span. The duplicated-key table then re-joins the gram
+       stream on the same hash — an equi-join AQE can skew-split; at
+       typical boilerplate rates it lands a broadcast.
+    3. interval union per doc: duplicated spans [pos, pos+k) merge via
+       gaps-and-islands — running max(end) over a window partitioned by
+       the HIGH-CARDINALITY doc key (bounded rows per task), cumulative
+       new-island sum, then covered = max(end)-min(pos) per island.
+       Pure integer arithmetic: the DuckDB differential is exact.
+    4. left join back to (doc, n_tokens) so clean documents report 0.
+
+    Returns (id, n_tokens, n_dup_grams, n_spans, covered_tokens,
+    dup_coverage) — dup_coverage on the 1e-4 grid via portable_round.
+    """
+    from pyspark.sql.window import Window
+
+    from eurostat_energy_etl_pipeline_spark.functions.numeric import portable_round
+    from eurostat_energy_etl_pipeline_spark.operators.text import whitespace_tokens
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        whitespace_tokens(F.col(text_col)).alias("tk"),
+    ).select("id", F.size("tk").alias("n_tokens"), "tk")
+
+    grams = (
+        base.where(F.col("n_tokens") >= k)
+        .select(
+            "id",
+            F.posexplode(shingles_from_tokens(F.col("tk"), k)).alias("pos0", "gram"),
+        )
+        .select("id", (F.col("pos0") + 1).alias("pos"), text_hash(F.col("gram")).alias("gh"))
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    spans = grams.join(dup, "gh").select("id", "pos", (F.col("pos") + k).alias("end"))
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    island = F.sum(
+        (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    per_doc = (
+        spans.withColumn("island", island)
+        .groupBy("id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("g"),
+            (F.max("end") - F.min("pos")).alias("cov"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("g").alias("n_dup_grams"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("cov").alias("covered_tokens"),
+        )
+    )
+    return base.select("id", "n_tokens").join(per_doc, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+        portable_round(
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("dup_coverage"),
     )

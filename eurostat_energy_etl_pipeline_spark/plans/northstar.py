@@ -1137,3 +1137,78 @@ def q91(spark, sf_dir):
         for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
     ]
     return lloyd_update(e, cents).orderBy("cid", "pos")
+
+
+@query(
+    "q92_dup_span_coverage",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents
+    ),
+    base AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM tok),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+                 generate_series(1, len(tk) - 7),
+                 i -> {'pos': i,
+                       'gram': array_to_string(list_slice(tk, i, i + 7), ' ')}
+             )) AS u
+      FROM base WHERE n_tokens >= 8
+    ),
+    gg AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+    dup AS (SELECT gram FROM gg GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2),
+    spans AS (
+      SELECT doc_id, pos, pos + 8 AS e
+      FROM gg WHERE gram IN (SELECT gram FROM dup)
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             sum(CASE WHEN prev_e IS NULL OR pos > prev_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM (SELECT doc_id, pos, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_e
+            FROM spans) s
+    ),
+    per_island AS (
+      SELECT doc_id, island, count(*) AS gr, max(e) - min(pos) AS cov
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(gr) AS n_dup_grams, count(*) AS n_spans,
+             sum(cov) AS covered_tokens
+      FROM per_island GROUP BY doc_id
+    )
+    SELECT b.doc_id AS id, CAST(b.n_tokens AS INT) AS n_tokens,
+           CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           floor(CAST(coalesce(p.covered_tokens, 0) AS DOUBLE)
+                 / CAST(b.n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4
+             AS dup_coverage
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY id
+    """,
+)
+def q92(spark, sf_dir):
+    """Exact substring-duplication span coverage
+    (`operators/dedup.dup_span_coverage`, k=8): per document, the token
+    fraction covered by 8-gram spans that also occur in ANOTHER document —
+    the Lee-et-al. span-level dedup signal that localizes boilerplate
+    (licence headers, templated paragraphs) instead of scoring whole
+    documents. Grams build scan-side (linear zip_with shingles +
+    posexplode), duplicate detection aggregates on the sha2-256 gram key
+    (text never shuffles; two DISTINCT doc_ids required), interval union
+    runs gaps-and-islands under a doc-keyed window (high-cardinality
+    partitioning, pure integer arithmetic — the DuckDB differential is
+    exact), clean docs rejoin with coverage 0."""
+    t = load_tables(spark, sf_dir)
+    return (
+        D.dup_span_coverage(widen_if_narrow(t["documents"]), k=8)
+        .orderBy("id")
+    )

@@ -136,3 +136,36 @@ def test_row_fold_signature_equals_aggregate_signature(spark, docs):
     assert set(agg.index) == set(fold.index)
     for i in agg.index:
         assert list(agg[i]) == list(fold[i]), f"doc {i} signatures diverge"
+
+
+def test_dup_span_coverage_planted(spark):
+    # d10/d11 share one 8-gram region; d11's copy sits mid-doc. d12 repeats
+    # an 8-gram WITHIN itself only — must not count (cross-doc requires two
+    # distinct ids). d13 is short (<8 tokens) — no spans, coverage 0.
+    # d14/d15 share a 9-token run — two overlapping 8-grams that must merge
+    # into ONE island covering 9 tokens, not 16.
+    shared8 = "alpha beta gamma delta epsilon zeta eta theta"
+    run9 = shared8 + " iota"
+    rows = [
+        Row(doc_id=10, text=shared8 + " filler1 filler2"),
+        Row(doc_id=11, text="pre1 pre2 " + shared8 + " post1"),
+        Row(doc_id=12, text="self1 self2 " + " ".join(["loop"] * 20)),
+        Row(doc_id=13, text="tiny doc only six tokens here"),
+        Row(doc_id=14, text=run9 + " tail1 tail2"),
+        Row(doc_id=15, text="lead1 " + run9),
+    ]
+    out = {
+        r["id"]: r
+        for r in D.dup_span_coverage(spark.createDataFrame(rows), k=8).collect()
+    }
+    assert out[10]["covered_tokens"] >= 8 and out[10]["n_tokens"] == 10
+    assert out[11]["covered_tokens"] >= 8
+    assert out[12]["covered_tokens"] == 0  # within-doc repeats don't count
+    assert out[13]["covered_tokens"] == 0 and out[13]["dup_coverage"] == 0.0
+    # the 9-token shared run merges into one island of exactly 9
+    assert out[14]["n_spans"] >= 1
+    covered_14 = out[14]["covered_tokens"]
+    assert covered_14 >= 9  # overlapping grams merged, 9-token union...
+    assert covered_14 < 16  # ...never double-counted
+    assert out[15]["covered_tokens"] >= 9
+    assert abs(out[10]["dup_coverage"] - out[10]["covered_tokens"] / 10) < 1e-9

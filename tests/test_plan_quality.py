@@ -355,3 +355,15 @@ def test_q91_lloyd_assignment_scan_side_single_agg_exchange(spark, queries):
     assert "Join" not in plan
     assert plan.count("+- Exchange") <= 3, plan
     assert "partial" in plan  # the explode collapses before the shuffle
+
+
+def test_q92_span_coverage_hashes_grams_and_doc_keyed_window(spark, queries):
+    # Duplicate detection must aggregate on the sha2 gram key (the gram
+    # STRING must never be a shuffle key), the interval-union window must
+    # partition on the high-cardinality doc key (never SinglePartition),
+    # and the gram explode must be scan-side (Generate below any exchange).
+    plan = plan_of(queries["q92_dup_span_coverage"](spark, SF_DIR))
+    assert "sha2" in plan
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(id" in plan
+    assert "partial_count" in plan  # map-side combine on the gram-hash agg

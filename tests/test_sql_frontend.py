@@ -61,6 +61,7 @@ DUCKDB_ONLY = {
     "q89_bpe_pair_stats",    # duckdb string_split_regex/list_transform
     "q90_trailing_burst",    # duckdb epoch() (Spark: cast ts to long)
     "q91_kmeans_update",     # duckdb list_sum/generate_series table fn
+    "q92_dup_span_coverage", # duckdb string_split_regex/struct-literal lambda
 }
 
 
