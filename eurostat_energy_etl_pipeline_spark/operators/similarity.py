@@ -19,6 +19,7 @@ it is deterministic with no training step.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -597,29 +598,110 @@ def knn_join_exact(
 ) -> DataFrame:
     """Exact cosine kNN join: for every left row, the k nearest right rows.
 
-    Plans as a broadcast nested loop over the (smaller) right side plus a
-    per-query window rank — Spark pushes the rk<=k bound into a
-    WindowGroupLimit, so each task keeps only k candidates per query
-    before the final per-query sort. Exact kNN is inherently all-pairs:
-    use this when the neighbor corpus fits a broadcast (dims, label sets,
-    eval suites); the scale path for corpus x corpus is
-    :func:`knn_join_lsh`. Ranking uses the 6-decimal-rounded cosine
-    (portable across engines) with the neighbor id as tiebreak.
+    Exact kNN is inherently all-pairs, and the scale-correct brute force
+    is NOT a row-at-a-time pair stream: it is a BLAS matmul of each query
+    batch against the broadcast neighbor matrix — exactly how sharded
+    brute-force ANN runs in production (queries partition across
+    executors; each Arrow batch computes `Q @ M.T` for the whole corpus
+    at once). The first cut here planned a BroadcastNestedLoopJoin with
+    per-pair higher-order-function cosines and measured 130x slower than
+    DuckDB's vectorized cross join at sf0.1 (20.7 s vs 0.16 s): HOF
+    lambdas evaluate per element per pair, so the 6.25M-pair stream paid
+    ~400M interpreted closure calls for what one dgemm does in
+    milliseconds. mapInPandas keeps the whole kernel in numpy, O(batch x
+    |R|) memory, zero shuffle (the only exchange is the caller's
+    presentation sort).
+
+    The neighbor corpus is collected once on the driver (same O(|R| x
+    dim) footprint the broadcast build would pay — the operator's
+    contract is a broadcast-able right side; corpus x corpus sizes go to
+    :func:`knn_join_lsh`). Ranking is by the 1e-6-gridded cosine
+    (portable IEEE floor formula, same as the DuckDB oracle) with the
+    neighbor id as tiebreak; grid ties at rank k are resolved by an exact
+    candidate sort, so results are deterministic and
+    partitioning-invariant. Zero-norm vectors score 0, matching
+    :func:`cosine`.
     """
-    from pyspark.sql.window import Window
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import DoubleType
+
+    rows = right.select(F.col(right_id), F.col(vec_col)).collect()
+    nids = [r[0] for r in rows]
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((M * M).sum(axis=1))
+    spark = left.sparkSession
+    bc = spark.sparkContext.broadcast((nids, M, nrm))
+
+    out_schema = StructType(
+        [
+            StructField("qid", left.schema[left_id].dataType),
+            StructField("nid", right.schema[right_id].dataType),
+            StructField("cos", DoubleType()),
+            StructField("rk", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        nids_l, M_l, nrm_l = bc.value
+        n = len(nids_l)
+        kk = min(k, n)
+        nid_arr = np.asarray(nids_l)
+        Mt = M_l.T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            denom = qn[:, None] * nrm_l[None, :]
+            dots = Q @ Mt
+            cos = np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0)
+            cosr = np.floor(cos * 1e6 + 0.5) / 1e6
+            qids, onids, ocos, orks = [], [], [], []
+            for i, qid in enumerate(pdf["qid"].to_numpy()):
+                row = cosr[i]
+                # threshold at the kth largest, keep ALL grid ties, then
+                # exact (cos desc, nid asc) order over that candidate set
+                thr = np.partition(row, n - kk)[n - kk]
+                cand = np.flatnonzero(row >= thr)
+                order = cand[np.lexsort((nid_arr[cand], -row[cand]))][:kk]
+                qids.extend([qid] * kk)
+                onids.extend(nid_arr[order].tolist())
+                ocos.extend(row[order].tolist())
+                orks.extend(range(1, kk + 1))
+            yield pd.DataFrame(
+                {"qid": qids, "nid": onids, "cos": ocos, "rk": orks}
+            )
 
     a = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("_qv"))
-    b = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("_nv"))
-    scored = a.join(F.broadcast(b)).select(
-        "qid",
-        "nid",
-        F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= k)
-    )
+    return a.mapInPandas(run, out_schema)
+
+
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Arrow-vectorized rowwise cosine on the 1e-6 portable grid — the
+    rerank kernel for candidate PAIR streams (post-equi-join), where the
+    two vectors arrive as columns of the same row. numpy einsum does the
+    whole batch's dots in one vectorized pass; the per-element HOF
+    :func:`cosine` costs two interpreted closure calls per dimension per
+    pair, which measured ~20x slower on multi-million-candidate reranks.
+    Exact paths that hash-compare against a SQL oracle keep the HOF fold
+    (deterministic summation order); candidate reranks tolerate the
+    last-ulp pairwise-summation delta because scores land on the 1e-6
+    grid before any ordering."""
+
+    @F.pandas_udf("double")
+    def _cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        if not len(av):
+            return pd.Series([], dtype="float64")
+        A = np.stack(av.to_numpy()).astype(np.float64)
+        B = np.stack(bv.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", A, B)
+        denom = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        cos = np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0)
+        return pd.Series(np.floor(cos * 1e6 + 0.5) / 1e6)
+
+    return _cos(a, b)
 
 
 def probe_buckets_col(bucket: Column, bits: int, radius: int = 1) -> Column:
@@ -693,10 +775,16 @@ def knn_join_lsh(
     b = b_parts[0]
     for p in b_parts[1:]:
         b = b.unionByName(p)
+    # Score BEFORE the (qid, nid) dedup: probe sets of distinct tables
+    # overlap, so instances duplicate — but scoring map-side means the
+    # dedup exchange carries only (qid, nid, cos) 24-byte rows, never the
+    # vectors (dedup-first measured 3+ GB of vector shuffle at sf0.1).
+    # Duplicate instances score identically (same deterministic kernel),
+    # so keeping an arbitrary one is exact.
     cand = a.join(b, ["tbl", "bucket"]).select(
         "qid",
         "nid",
-        F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos"),
+        cosine_batch(F.col("_qv"), F.col("_nv")).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
     return (

@@ -1008,7 +1008,8 @@ def q83(spark, sf_dir):
          r AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
                FROM embeddings WHERE vec_id % 2 = 1),
          s AS (SELECT qid, nid,
-                      round(list_cosine_similarity(qv, nv), 6) AS cos
+                      floor(list_cosine_similarity(qv, nv) * 1e6 + 0.5) / 1e6
+                        AS cos
                FROM l CROSS JOIN r),
          rk AS (SELECT qid, nid, cos,
                        row_number() OVER (PARTITION BY qid
@@ -1023,11 +1024,12 @@ def q87(spark, sf_dir):
     every even-id embedding paired with its 3 nearest odd-id embeddings —
     the retrieval-pairing / cross-corpus-dedup operator, distinct from
     the point-query top-k (q22/q32/q37 take ONE literal vector; this
-    joins two tables). Plans as a broadcast nested loop over the
-    neighbor corpus plus one qid-keyed window whose rk<=3 bound Spark
-    pushes into a WindowGroupLimit; ranking is on the 6-decimal
-    portable-rounded cosine so both engines order identically. The
-    bucketed scale path for corpus x corpus sizes is q88."""
+    joins two tables). Executes as an Arrow-batched BLAS kernel: query
+    batches matmul against the broadcast neighbor matrix inside
+    mapInPandas (the sharded brute-force ANN shape — no join node at
+    all), ranking on the 1e-6-gridded portable cosine with nid tiebreak
+    so both engines order identically. The bucketed scale path for
+    corpus x corpus sizes is q88."""
     e = load_tables(spark, sf_dir)["embeddings"]
     return (
         S.knn_join_exact(

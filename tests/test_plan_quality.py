@@ -285,35 +285,40 @@ def test_q82_bigram_lm_no_skewed_instance_window(spark, queries):
     assert "ReusedExchange" in final_plan  # (doc,lang,bigram) grain shared
 
 
-def test_q87_knn_join_broadcasts_neighbors_and_group_limits(spark, queries):
-    # Exact kNN join: the (smaller) neighbor corpus must broadcast —
-    # all-pairs is inherent to EXACT kNN, so the only acceptable plan is
-    # BNLJ over a broadcast build, never a shuffled CartesianProduct —
-    # and the rk<=k bound must reach a WindowGroupLimit so each task
-    # keeps k candidates per query instead of materializing |L|x|R| rows
-    # into the rank sort.
+def test_q87_knn_join_is_blas_kernel_no_join_no_shuffle(spark, queries):
+    # Exact kNN join executes as the Arrow-batched BLAS kernel (queries
+    # matmul the broadcast neighbor matrix inside MapInPandas) — there
+    # must be NO join node and no pair-stream materialization; the only
+    # exchange is the presentation sort. (The BNLJ + per-pair HOF cosine
+    # shape measured 130x slower than DuckDB at sf0.1.)
     plan = plan_of(queries["q87_knn_join_exact"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    assert "WindowGroupLimit" in plan
+    assert plan.count("+- Exchange") <= 2, plan  # widen + presentation sort
 
 
 def test_q88_lsh_knn_candidates_are_equi_join(spark, queries):
     # The scale path must NEVER plan an unconditioned pair stream for
     # candidate generation: candidates come from an EQUI-join on the
-    # (table, bucket) key (hash-joinable, AQE skew-split-able). The plan
-    # carries exactly ONE nested loop — the brute-force exact-topk the
-    # self-certification columns compare against (deliberately all-pairs,
-    # it IS the ground truth); a second one would mean the candidate path
-    # degenerated to a cross product.
+    # (table, bucket) key (hash-joinable, AQE skew-split-able), scored
+    # map-side by the vectorized kernel BEFORE the dedup exchange so the
+    # shuffle carries (qid, nid, cos) and never the vectors. The exact
+    # ground-truth side the certification columns compare against is the
+    # MapInPandas BLAS kernel — no nested loop or cross product anywhere.
     plan = plan_of(queries["q88_knn_join_lsh"](spark, SF_DIR))
-    # formatted mode prints each node in the tree AND the detail section
-    assert plan.count("- BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin Inner" in plan  # the (tbl, bucket) equi-join
+    assert "MapInPandas" in plan  # the exact certification side
     assert "WindowGroupLimit" in plan  # rerank bound pushed down
     # candidate dedup is an aggregate (map-side combinable), not a sort
     assert "HashAggregate" in plan
+    # the vectors must be pruned before every exchange: no shuffle may
+    # carry an embedding column
+    import re as _re
+    for mt in _re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "_qv" not in mt.group(1) and "_nv" not in mt.group(1), mt.group(1)
 
 
 def test_q89_bpe_pairs_aggregate_on_type_grain_no_window(spark, queries):

@@ -244,7 +244,7 @@ def test_knn_join_exact_matches_numpy(vectors):
     assert by_q[0][0] == 1
 
 
-def test_knn_join_exact_plan_broadcast_and_group_limit(vectors):
+def test_knn_join_exact_plan_is_blas_kernel(vectors):
     df, _ = vectors
     left = df.where(F.col("vec_id") % 2 == 0)
     right = df.where(F.col("vec_id") % 2 == 1)
@@ -254,12 +254,11 @@ def test_knn_join_exact_plan_broadcast_and_group_limit(vectors):
     with contextlib.redirect_stdout(buf):
         S.knn_join_exact(left, right, k=3).explain("formatted")
     plan = buf.getvalue()
-    # Neighbor corpus broadcasts (never a shuffled cartesian); the rk<=k
-    # bound must reach WindowGroupLimit so tasks keep k rows per query
-    # before the per-query sort.
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
-    assert "WindowGroupLimit" in plan
+    # The kernel is MapInPandas over the broadcast neighbor matrix: no
+    # join node, no pair-stream materialization, no shuffle at all.
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_knn_join_lsh_equi_join_no_cross_product(vectors):
