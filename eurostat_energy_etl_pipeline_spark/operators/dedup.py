@@ -813,10 +813,14 @@ def dup_span_coverage(
         )
         .select("id", (F.col("pos0") + 1).alias("pos"), text_hash(F.col("gram")).alias("gh"))
     )
+    # ">= 2 distinct docs" as min(id) != max(id): countDistinct would
+    # expand to a two-level aggregate (partial-distinct exchange + count
+    # exchange); min/max is ONE map-side-combined exchange and the exact
+    # same predicate for any orderable id.
     dup = (
         grams.groupBy("gh")
-        .agg(F.countDistinct("id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
         .select("gh")
     )
     spans = grams.join(dup, "gh").select("id", "pos", (F.col("pos") + k).alias("end"))
