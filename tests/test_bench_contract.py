@@ -22,11 +22,14 @@ def test_short_keys_are_unique_and_line_fits_tail_capture():
         "cold_sec": 9999.9999,
         "core_q1_q22_sec": 9999.9999,
         "throughput_wall_clock_sec": 9999.9999,
-        "seq_walls": [9999.9999, 9999.9999, 9999.9999],
-        "seq_median": 9999.9999,
+        "seq_min": 9999.99,
+        "seq_median": 9999.99,
         "ratio_x_gt": 99.999,
         "ratio_i_gt": 99.999,
         "full": "bench_full.json",
     }
     line = json.dumps(summary, separators=(",", ":"))
-    assert len(line) < 1800, f"summary line {len(line)} chars risks tail truncation"
+    # The summary is the LAST line bench.py prints, so tail truncation clips
+    # the noise BEFORE it, not the line itself — the budget is the full ~2 KB
+    # window for the line alone (BENCH_r03's captured tail held ~2.2 KB).
+    assert len(line) < 1950, f"summary line {len(line)} chars risks tail truncation"
