@@ -1,0 +1,155 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, the algorithm
+behind the reference stack's tokenizers; no counterpart file in
+/root/reference — this is north-star LLM-pipeline scope, SURVEY.md §2.9).
+
+Scale shape
+-----------
+Everything runs on the **word-type grain**, never the token-instance
+stream: the corpus is reduced once to ``(word, multiplicity)`` by a
+map-side-combined aggregate (Zipf makes the type table orders of
+magnitude smaller than the corpus — "the" is one row no matter how many
+billion times it occurs), and every merge iteration is
+
+  1. one ``groupBy(a, b).sum(m)`` over the cached type table (shuffle
+     volume O(distinct pairs), corpus-size independent), plus
+  2. a ``TakeOrderedAndProject``-style ``orderBy(...).limit(1)`` argmax —
+     the driver receives exactly ONE row per iteration, and
+  3. a narrow string ``replace`` re-encoding (no shuffle at all).
+
+So an N-merge training run is N tiny aggregation jobs over a persisted
+vocabulary-sized table — the same driver-coordinated-iteration shape as
+the full-corpus Lloyd step (``operators/clustering.lloyd_update``), with
+O(1) driver traffic per step.
+
+Greedy-merge encoding
+---------------------
+A merge must replace **non-overlapping occurrences left-to-right**
+(greedy): applying ``(a, a)`` to ``a a a`` yields ``aa a``. Word symbol
+sequences are encoded as delimiter-doubled strings::
+
+    ['a', 'b', 'c']  ->  '_a__b__c_'
+
+so the single builtin ``replace(enc, '_a__b_', '_ab_')`` IS exactly the
+greedy merge: adjacent occurrences each own one ``_`` of the shared
+``__`` separator, so consuming a match never steals the next match's
+leading delimiter (the classic failure of space-separated encodings,
+where ``replace(' a b ', ...)`` skips every other occurrence in a run).
+The oracle SQL in ``plans/corpus.py`` (q93) runs the SAME encoding
+through DuckDB's ``replace``, and ``tests/test_bpe.py`` pins both
+against a pure-Python greedy reference. Words are restricted to
+``^[a-z]+$`` (tokenizer training normalizes its corpus first), so the
+``_`` delimiter can never collide with symbol text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from eurostat_energy_etl_pipeline_spark.operators.text import whitespace_tokens
+
+#: Words eligible for training: pure ASCII-lowercase, >= 2 chars (a
+#: 1-char word has no pair and only bloats the type table).
+WORD_RE = "^[a-z]+$"
+
+
+def word_type_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Reduce a corpus to its (word type, multiplicity) table — the one
+    instance-grain shuffle in the whole training run."""
+    tok = docs.select(F.explode(whitespace_tokens(F.col(text_col))).alias("w"))
+    return (
+        tok.where((F.length("w") >= 2) & F.col("w").rlike(WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+
+
+def encode_symbols(word: Column) -> Column:
+    """Delimiter-doubled single-character seed segmentation:
+    'abc' -> '_a__b__c_'."""
+    return F.concat(F.lit("_"), F.array_join(F.split(word, ""), "__"), F.lit("_"))
+
+
+def _symbols(enc_col: str) -> Column:
+    """Inverse of the encoding: '_ab__c_' -> ['ab', 'c']."""
+    return F.split(F.expr(f"trim(BOTH '_' FROM {enc_col})"), "__")
+
+
+def _pair_counts(encoded: DataFrame, enc_col: str = "enc") -> DataFrame:
+    """Adjacent-symbol pair frequencies weighted by word multiplicity.
+    Pure Catalyst (transform over sequence + explode); one
+    map-side-combined aggregate."""
+    syms = _symbols(enc_col)
+    # Adjacent pairs as zip(syms[:-1], syms[1:]): slice-based so a fully
+    # merged single-symbol word degrades to an empty pair list (sequence()
+    # would flip to a descending [1, 0] range there and index out of bounds).
+    n1 = F.size(syms) - 1
+    pairs = encoded.select(
+        F.explode(
+            F.zip_with(
+                F.slice(syms, 1, n1),
+                F.slice(syms, 2, n1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+        "m",
+    )
+    return pairs.groupBy("p.a", "p.b").agg(F.sum("m").alias("n"))
+
+
+def apply_merge(encoded: DataFrame, a: str, b: str, enc_col: str = "enc") -> DataFrame:
+    """Apply one merge rule greedily (narrow map — no shuffle)."""
+    return encoded.withColumn(
+        enc_col,
+        F.replace(F.col(enc_col), F.lit(f"_{a}__{b}_"), F.lit(f"_{a}{b}_")),
+    )
+
+
+def train_bpe(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from a corpus.
+
+    Returns a driver-built DataFrame (rank, left_sym, right_sym, merged,
+    n) — n_merges rows, the argmax pair of each iteration with its
+    corpus frequency. Ties break on (count DESC, a ASC, b ASC) so the
+    result is deterministic and oracle-comparable.
+    """
+    spark = docs.sparkSession
+    base = word_type_table(docs, text_col).select(
+        encode_symbols(F.col("w")).alias("enc"), "m"
+    )
+    # The type table is vocabulary-sized (Zipf-bounded), not corpus-sized:
+    # persisting it is what makes each of the N iterations a small job
+    # instead of a corpus re-scan.
+    base = base.persist()
+    try:
+        cur = base
+        rows: list[tuple[int, str, str, str, int]] = []
+        for rank in range(1, n_merges + 1):
+            top = (
+                _pair_counts(cur)
+                .orderBy(F.desc("n"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:  # corpus exhausted (every word a single symbol)
+                break
+            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+            rows.append((rank, a, b, a + b, n))
+            cur = apply_merge(cur, a, b)
+        return spark.createDataFrame(
+            rows, "rank INT, left_sym STRING, right_sym STRING, merged STRING, n BIGINT"
+        )
+    finally:
+        base.unpersist()
+
+
+def segment_words(words: DataFrame, merges: list[tuple[str, str]],
+                  word_col: str = "w") -> DataFrame:
+    """Tokenize with a trained merge list: adds a ``pieces`` array column
+    by replaying the merges in rank order over the encoded word. Narrow
+    expressions only — composes onto any plan without a shuffle, which is
+    how a trained tokenizer is meant to be applied at corpus scale."""
+    enc = encode_symbols(F.col(word_col))
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"_{a}__{b}_"), F.lit(f"_{a}{b}_"))
+    pieces = F.split(F.regexp_replace(enc, "^_|_$", ""), "__")
+    return words.withColumn("pieces", pieces)

@@ -1137,3 +1137,67 @@ def q89(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+# q93's DuckDB oracle: the 5 merge iterations unrolled as chained CTEs.
+# Each level recomputes pair stats from the re-encoded word-type table,
+# picks the argmax pair with the same (n DESC, a, b) tiebreak, and applies
+# the merge through the delimiter-doubled replace() — the identical
+# encoding trick the Spark operator uses (operators/bpe.py module
+# docstring), so both engines execute the same greedy left-to-right
+# merge. Unrolling is what makes an inherently iterative algorithm
+# SQL-expressible (vs q91's single-iteration closed form).
+_BPE_LEVEL_SQL = """
+    p{k} AS (
+      SELECT pr[1] AS a, pr[2] AS b, CAST(sum(m) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                                     i -> [syms[i], syms[i+1]])) AS pr, m
+        FROM (SELECT string_split(trim(enc, '_'), '__') AS syms, m FROM w{j})
+      ) GROUP BY a, b
+    ),
+    b{k} AS (SELECT a, b, n FROM p{k} ORDER BY n DESC, a, b LIMIT 1),
+    w{k} AS (
+      SELECT replace(enc, '_' || a || '__' || b || '_',
+                     '_' || a || b || '_') AS enc, m
+      FROM w{j}, b{k}
+    )"""
+
+_BPE_ORACLE = (
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS m FROM tok
+           WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z]+$') GROUP BY w),
+    w0 AS (SELECT '_' || array_to_string(string_split(w, ''), '__') || '_'
+                    AS enc, m
+           FROM wf)"""
+    + "".join("," + _BPE_LEVEL_SQL.format(k=k, j=k - 1) for k in range(1, 6))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {k} AS rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, n FROM b{k}"
+        for k in range(1, 6)
+    )
+    + "\n    ORDER BY rank"
+)
+
+
+@query("q93_bpe_train", oracle=_BPE_ORACLE)
+def q93(spark, sf_dir):
+    """Full BPE tokenizer training, 5 merges (`operators/bpe.train_bpe`) —
+    the iterative completion of q89's single-iteration pair statistics.
+    Per merge: one map-side-combined pair aggregate over the PERSISTED
+    word-type table (vocabulary-sized, corpus-size independent) + a
+    limit(1) argmax collecting exactly one row to the driver + a narrow
+    greedy string-replace re-encoding — the driver-coordinated-iteration
+    shape of q91's Lloyd step. The delimiter-doubled encoding makes
+    builtin replace() exactly the greedy non-overlapping merge on both
+    engines, so the 5 learned (pair, frequency) rules hash-match the
+    unrolled DuckDB derivation."""
+    from eurostat_energy_etl_pipeline_spark.operators.bpe import train_bpe
+
+    t = load_tables(spark, sf_dir)
+    return train_bpe(widen_if_narrow(t["documents"]), n_merges=5).orderBy("rank")

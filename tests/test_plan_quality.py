@@ -372,3 +372,33 @@ def test_q92_span_coverage_hashes_grams_and_doc_keyed_window(spark, queries):
     assert "SinglePartition" not in plan
     assert "windowspecdefinition(id" in plan
     assert "partial_count" in plan  # map-side combine on the gram-hash agg
+
+
+def test_bpe_training_iteration_plan(spark):
+    # q93's per-merge iteration, asserted on the operator pieces (the
+    # query itself executes eagerly, driver-coordinated like Lloyd's):
+    # the pair-count argmax must be a map-side-combined aggregate feeding
+    # TakeOrderedAndProject (one row to the driver), and applying a merge
+    # must be a narrow string map — zero additional exchanges.
+    from pyspark.sql import functions as F
+
+    from eurostat_energy_etl_pipeline_spark.operators.bpe import (
+        _pair_counts,
+        apply_merge,
+        encode_symbols,
+        word_type_table,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = word_type_table(docs).select(
+        encode_symbols(F.col("w")).alias("enc"), "m"
+    )
+    argmax = _pair_counts(base).orderBy(F.desc("n"), "a", "b").limit(1)
+    plan = plan_of(argmax)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan  # pair counts combine map-side
+    assert ") Window" not in plan
+    # word-type agg + pair agg: exactly two exchanges
+    assert plan.count("+- Exchange") == 2, plan
+    merged_plan = plan_of(apply_merge(base, "e", "r"))
+    assert merged_plan.count("Exchange") == plan_of(base).count("Exchange")
