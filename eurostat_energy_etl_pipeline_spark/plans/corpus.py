@@ -14,6 +14,7 @@ from eurostat_energy_etl_pipeline_spark.catalog import load_tables
 from eurostat_energy_etl_pipeline_spark.functions import (
     exact_sum,
     portable_round,
+    portable_round_sql,
     presentation_sort,
     widen_if_narrow,
 )
@@ -1201,3 +1202,46 @@ def q93(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return train_bpe(widen_if_narrow(t["documents"]), n_merges=5).orderBy("rank")
+
+
+@query(
+    "q94_char_entropy",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents WHERE len(text) > 0
+    ),
+    e AS (SELECT doc_id, count(*) AS n_chars, entropy(c) AS ent
+          FROM ch GROUP BY doc_id)
+    SELECT d.doc_id, d.lang, CAST(coalesce(e.n_chars, 0) AS INT) AS n_chars,
+           {portable_round_sql('coalesce(e.ent, 0)', 4)} AS entropy,
+           CASE WHEN {portable_round_sql('coalesce(e.ent, 0)', 4)} < 4.0
+                THEN 1 ELSE 0 END AS low_entropy
+    FROM documents d LEFT JOIN e USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q94(spark, sf_dir):
+    """Per-document character-entropy quality screen — the CCNet/Gopher
+    gibberish filter (`operators/entropy.char_entropy_table`). Dense
+    byte-level counting is the workload class where the Arrow-batched
+    numpy kernel wins (the q87 BLAS lesson): the whole batch reduces
+    through ONE np.unique over a packed (doc << 32 | codepoint) key —
+    no per-char explode/shuffle, no O(len x distinct) HOF histogram, no
+    per-row Python. Scan-side mapInPandas: zero shuffle, parallel per
+    partition. The low-entropy flag cuts on the GRID-ROUNDED value on
+    both engines so the boundary can never flip between them."""
+    from eurostat_energy_etl_pipeline_spark.operators.entropy import (
+        char_entropy_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    e = char_entropy_table(t["documents"])
+    ent_r = portable_round("entropy", 4)
+    return e.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        ent_r.alias("entropy"),
+        F.when(ent_r < 4.0, 1).otherwise(0).alias("low_entropy"),
+    ).orderBy("doc_id")

@@ -62,6 +62,8 @@ DUCKDB_ONLY = {
     "q90_trailing_burst",    # duckdb epoch() (Spark: cast ts to long)
     "q91_kmeans_update",     # duckdb list_sum/generate_series table fn
     "q92_dup_span_coverage", # duckdb string_split_regex/struct-literal lambda
+    "q93_bpe_train",         # duckdb string_split/list_transform CTE ladder
+    "q94_char_entropy",      # duckdb entropy() aggregate + unnest
 }
 
 
