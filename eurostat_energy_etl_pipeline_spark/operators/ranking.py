@@ -28,32 +28,90 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Boundary-sample keys per target partition. ~200 gives <2% expected
+#: bucket-size imbalance at any scale (standard TeraSort sampling rate).
+_SAMPLE_PER_PART = 200
+
+
 def _ranked_with_total(
     df: DataFrame,
     order_cols: list[str],
     out_col: str,
     num_partitions: int | None,
 ) -> tuple[DataFrame, int]:
-    """Shared kernel: (globally ranked DataFrame, total row count). The
-    total falls out of the per-partition offsets pass for free, so callers
-    that need N (ntile) never schedule a separate count() job."""
+    """Shared kernel: (globally ranked DataFrame, total row count).
+
+    The bucket layout MUST be identical across the two actions this
+    kernel schedules (the offsets collect and the final ranked plan).
+    ``repartitionByRange`` cannot provide that: its boundary sampler
+    reseeds per ACTION (``byteswap32(-rdd.id - 1)`` over a fresh RDD id),
+    so two consecutive jobs see different partition layouts and the
+    offsets land on the wrong partitions — observed as ~2% scrambled
+    ranks at sf0.1 under a default session (round-4 q53/q60 sweep).
+    Instead the boundaries are computed ONCE on the driver from a
+    deterministic sample — the ``parts * 200`` keys with the smallest
+    ``xxhash64`` (a TakeOrdered job collecting O(parts) rows; hash-order
+    is a uniform pseudo-random sample, independent of partition layout,
+    scheduling, and run) — and rows are assigned to buckets scan-side by
+    a codegen'd when-chain of struct comparisons. Every downstream step
+    keys on the computed ``__b`` column, so layout determinism is by
+    construction, not by sampler luck.
+
+    Order keys must be non-null (engines disagree on null ordering, and
+    the struct comparison would bucket nulls nowhere); callers pass a
+    unique total order per the public contract.
+    """
     cols = [F.col(c) for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(parts, *cols)
-        .withColumn("__part", F.spark_partition_id())
-        # Sortedness inside each range partition gives the local window a
-        # pre-ordered input; the window below re-states the order for
-        # correctness (sortWithinPartitions is an optimization, not load-
-        # bearing).
-        .sortWithinPartitions(*cols)
+    key = F.struct(*[F.col(c).alias(c) for c in order_cols])
+    dtypes = {f.name: f.dataType for f in df.select(*cols).schema.fields}
+
+    # Job 1: deterministic boundary sample — TakeOrderedAndProject on the
+    # hash, O(parts * 200) rows to the driver (the same cost class as a
+    # sort's range-bound sample, but run-stable).
+    sampled = (
+        df.select(key.alias("__k"), F.xxhash64(*cols).alias("__h"))
+        .orderBy("__h", "__k")
+        .limit(parts * _SAMPLE_PER_PART)
+        .select("__k")
+        .collect()
     )
-    # One row per partition: (partition id, row count). Collecting P rows
-    # to the driver is the same cost class as a global sort's range-bound
-    # sample — O(#partitions), independent of data size.
+    keys = sorted(tuple(r["__k"]) for r in sampled)
+    bounds: list[tuple] = []
+    if keys:
+        seen = set()
+        for i in range(1, parts):
+            b = keys[(i * len(keys)) // parts]
+            if b not in seen:
+                seen.add(b)
+                bounds.append(b)
+        bounds.sort()
+
+    def lit_key(b: tuple):
+        return F.struct(
+            *[
+                F.lit(v).cast(dtypes[c]).alias(c)
+                for v, c in zip(b, order_cols)
+            ]
+        )
+
+    if bounds:
+        bucket = F.when(key < lit_key(bounds[0]), 0)
+        for i, b in enumerate(bounds[1:], start=1):
+            bucket = bucket.when(key < lit_key(b), i)
+        bucket = bucket.otherwise(len(bounds))
+    else:
+        bucket = F.lit(0)
+    n_buckets = len(bounds) + 1
+    bucketed = df.withColumn("__b", bucket.cast("int")).repartition(
+        n_buckets, F.col("__b")
+    )
+
+    # Job 2: one row per bucket; the exact total falls out of the sum, so
+    # ntile callers never schedule a separate count().
     counts = {
-        r["__part"]: r["n"]
-        for r in ranged.groupBy("__part").agg(F.count(F.lit(1)).alias("n")).collect()
+        r["__b"]: r["n"]
+        for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     offsets = {}
     acc = 0
@@ -71,12 +129,12 @@ def _ranked_with_total(
                 for x in (F.lit(p), F.lit(offsets[p]).cast("long"))
             ]
         ),
-        F.col("__part"),
+        F.col("__b"),
     )
-    local = Window.partitionBy("__part").orderBy(*cols)
-    ranked = ranged.withColumn(
+    local = Window.partitionBy("__b").orderBy(*cols)
+    ranked = bucketed.withColumn(
         out_col, F.row_number().over(local).cast("long") + offset_expr
-    ).drop("__part")
+    ).drop("__b")
     return ranked, acc
 
 

@@ -148,14 +148,17 @@ def test_q56_tombstone_anti_join_broadcasts(spark, queries):
 
 
 def test_q53_global_ntile_never_single_partition(spark, queries):
-    # NTILE over a total order must come from the range-partition +
-    # per-partition-offset kernel (operators/ranking.py), never from a
+    # NTILE over a total order must come from the deterministic-bucket +
+    # per-bucket-offset kernel (operators/ranking.py), never from a
     # single-partition window: every row through one task is the canonical
-    # 100 TB scale-killer.
+    # 100 TB scale-killer. The bucket column must come from the codegen'd
+    # boundary when-chain (run-stable layout), not repartitionByRange,
+    # whose per-action sampler reseed scrambled ranks at sf0.1 (round 4).
     plan = plan_of(queries["q53_quality_deciles"](spark, SF_DIR))
     assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning(quality" in plan  # TeraSort-style layout
-    assert "windowspecdefinition(__part" in plan  # window is partitioned
+    assert "rangepartitioning" not in plan.lower()  # layout-luck-free
+    assert "hashpartitioning(__b" in plan  # deterministic bucket exchange
+    assert "windowspecdefinition(__b" in plan  # window is partitioned
 
 
 def test_q62_json_extraction_stays_scan_side(spark, queries):

@@ -44,10 +44,34 @@ class TestGlobalRowNumber:
         ]
         assert sorted(ranks) == list(range(1, 51))
 
+    def test_rank_exact_and_stable_across_actions(self, spark):
+        """Round-4 regression: the kernel schedules two actions (offsets
+        collect + final plan) that MUST see the same bucket layout.
+        repartitionByRange reseeds its boundary sampler per action
+        (byteswap32(-rdd.id-1)), which scrambled ~2% of ranks at sf0.1
+        under a default session; the deterministic-boundary kernel must
+        match the exact sort position on every run."""
+        df = spark.range(20000, numPartitions=16).select(
+            F.col("id"), ((F.col("id") * 2654435761) % 97777).alias("v")
+        )
+        want = {
+            id_: i + 1
+            for i, (_, id_) in enumerate(
+                sorted((r.v, r.id) for r in df.collect())
+            )
+        }
+        for _ in range(3):
+            got = {
+                r.id: r.rank
+                for r in global_row_number(df, ["v", "id"], "rank").collect()
+            }
+            assert got == want
+
     def test_no_single_partition_window(self, spark):
         plan = global_row_number(_df(spark), ["v", "id"])._jdf.queryExecution().executedPlan().toString()
-        # The window must be keyed by the range-partition id, never empty.
-        assert "windowspecdefinition(__part" in plan.replace(" ", "").lower() or "__part" in plan
+        # The window must be keyed by the deterministic bucket id, never empty.
+        assert "windowspecdefinition(__b" in plan.replace(" ", "").lower() or "__b" in plan
+        assert "SinglePartition" not in plan
 
 
 class TestGlobalNtile:
