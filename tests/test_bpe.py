@@ -122,3 +122,42 @@ def test_driver_traffic_is_one_row_per_merge(spark, adv_docs):
         "struct<rank:int,left_sym:string,right_sym:string,"
         "merged:string,n:bigint>"
     )
+
+
+# ---- property fuzz: the delimiter-doubled encoding IS greedy merge ----
+# Python's str.replace has the same left-to-right non-overlapping contract
+# as Spark's and DuckDB's replace, so the encoding claim — one replace()
+# call == one greedy BPE merge — is fuzzable at zero Spark cost.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SYMS = ["a", "b", "c", "ab", "ba", "aa"]
+
+
+def _greedy(syms, a, b):
+    out, pend = [], None
+    for s in syms:
+        if pend == a and s == b:
+            out.append(a + b)
+            pend = None
+        else:
+            if pend is not None:
+                out.append(pend)
+            pend = s
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    syms=st.lists(st.sampled_from(_SYMS), min_size=1, max_size=12),
+    a=st.sampled_from(_SYMS),
+    b=st.sampled_from(_SYMS),
+)
+def test_replace_on_doubled_encoding_is_greedy_merge(syms, a, b):
+    enc = "_" + "__".join(syms) + "_"
+    merged = enc.replace(f"_{a}__{b}_", f"_{a}{b}_")
+    got = merged.strip("_").split("__")
+    assert got == _greedy(syms, a, b), (syms, a, b)

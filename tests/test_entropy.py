@@ -66,3 +66,27 @@ def test_table_is_scan_side_no_shuffle(spark, sf_dir):
     for did, t in list(raw.items())[:50]:
         assert rows[did]["n_chars"] == len(t)
         assert abs(rows[did]["entropy"] - _ref(t)) < 1e-9
+
+
+# ---- property fuzz: the packed-key batch kernel vs per-doc reference ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-32-le", max_codepoint=0x10FFFF),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_kernel_fuzz_matches_reference(texts):
+    lens, ent = _batch_entropy(pd.Series(texts, dtype=object))
+    for t, n, e in zip(texts, lens, ent):
+        assert n == len(t)
+        assert abs(e - _ref(t)) < 1e-9, repr(t)
