@@ -768,3 +768,49 @@ def q86(spark, sf_dir):
         .select("o_custkey", "n", "n_keys", "max_n", "skew_factor")
         .transform(presentation_sort, "o_custkey")
     )
+
+
+@query(
+    "q95_cube_grouping",
+    oracle="""
+    SELECT CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           coalesce(l_returnflag, '*') AS rf,
+           coalesce(l_linestatus, '*') AS ls,
+           count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, rf, ls
+    """,
+)
+def q95(spark, sf_dir):
+    """CUBE + grouping flags — completes the grouping-sets surface next
+    to q40's ROLLUP: all four (returnflag, linestatus) subtotal
+    combinations in one expand + one map-side-combined hash aggregate,
+    with `grouping()` bits distinguishing a real NULL group from an ALL
+    subtotal (the correctness trap coalesce-only rollups fall into).
+    Exact decimal sums; shared SQL dialect, so the oracle runs on both
+    engines verbatim."""
+    t = load_tables(spark, sf_dir)
+    dec = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec).cast("double"), 4).alias("sum_qty"),
+        )
+        .select(
+            "g_rf",
+            "g_ls",
+            F.coalesce("l_returnflag", F.lit("*")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+        .transform(presentation_sort, "g_rf", "g_ls", "rf", "ls")
+    )
