@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_CHECK_PRIORITY = [
     # never driver-checked (repo-oracle only so far)
     "q93_bpe_train", "q94_char_entropy", "q95_cube_grouping",
+    "q96_vocab_coverage",
     "q87_knn_join_exact", "q88_knn_join_lsh", "q89_bpe_pair_stats",
     "q90_trailing_burst", "q91_kmeans_update", "q92_dup_span_coverage",
     "q34_media_meta", "q39_frame_sample", "q45_dedup_clusters",

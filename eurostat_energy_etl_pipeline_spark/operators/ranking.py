@@ -1,20 +1,24 @@
-"""Distributed global ranking: row_number / ntile over a TOTAL order
-without a single-partition window.
+"""Distributed global order statistics — row_number / ntile / prefix sum
+over a TOTAL order without a single-partition window.
 
 `Window.orderBy(...)` with no partition key moves EVERY row to one task
 (Spark even warns: "No Partition Defined for Window operation"), which is
-a non-starter at corpus scale. The classic fix (TeraSort-style) is:
+a non-starter at corpus scale. The TeraSort-style fix, made run-stable:
 
-1. range-partition the input on the order key, so partition p holds a
-   contiguous, disjoint key range and partitions are mutually ordered;
-2. count rows per partition — a tiny aggregate (one row per partition)
-   collected to the driver, exactly like a sort's boundary sample;
-3. broadcast the cumulative offsets back and add them to a PARTITIONED
-   window's local row_number: global_rank = offset[p] + local_rank.
+1. bucket the input on the order key using DETERMINISTIC driver-computed
+   boundaries (see ``_bucketize`` — NOT repartitionByRange, whose
+   boundary sampler reseeds per action and desynchronizes the two jobs
+   this kernel schedules), so bucket b holds a contiguous, disjoint key
+   range and buckets are mutually ordered;
+2. aggregate one row per bucket (count for ranks, value sum for prefix
+   sums) — a tiny collect, O(#buckets), independent of data size;
+3. broadcast the cumulative per-bucket offsets back and add them to a
+   BUCKET-PARTITIONED window's local statistic:
+   global = offset[b] + local.
 
 Every step is a narrow scan or a partitioned window; the only driver-side
-data is #partitions integers. The total order must be unique (pass a
-tie-break column) or ranks within a tie are partition-layout-dependent.
+data is O(#buckets) rows. The total order must be unique (pass a
+tie-break column) and non-null.
 
 ntile(k) is then pure arithmetic on the global rank: with N rows, the
 first N % k buckets get ceil(N/k) rows and the rest floor(N/k) — the
@@ -33,20 +37,20 @@ from pyspark.sql import functions as F
 _SAMPLE_PER_PART = 200
 
 
-def _ranked_with_total(
+def _bucketize(
     df: DataFrame,
     order_cols: list[str],
-    out_col: str,
     num_partitions: int | None,
-) -> tuple[DataFrame, int]:
-    """Shared kernel: (globally ranked DataFrame, total row count).
+) -> DataFrame:
+    """Assign every row a deterministic, order-contiguous bucket id
+    ``__b`` and shuffle on it.
 
-    The bucket layout MUST be identical across the two actions this
-    kernel schedules (the offsets collect and the final ranked plan).
-    ``repartitionByRange`` cannot provide that: its boundary sampler
-    reseeds per ACTION (``byteswap32(-rdd.id - 1)`` over a fresh RDD id),
-    so two consecutive jobs see different partition layouts and the
-    offsets land on the wrong partitions — observed as ~2% scrambled
+    The bucket layout MUST be identical across the multiple actions the
+    order-statistic kernels schedule (an offsets collect, then the final
+    plan). ``repartitionByRange`` cannot provide that: its boundary
+    sampler reseeds per ACTION (``byteswap32(-rdd.id - 1)`` over a fresh
+    RDD id), so two consecutive jobs see different partition layouts and
+    the offsets land on the wrong partitions — observed as ~2% scrambled
     ranks at sf0.1 under a default session (round-4 q53/q60 sweep).
     Instead the boundaries are computed ONCE on the driver from a
     deterministic sample — the ``parts * 200`` keys with the smallest
@@ -66,9 +70,6 @@ def _ranked_with_total(
     key = F.struct(*[F.col(c).alias(c) for c in order_cols])
     dtypes = {f.name: f.dataType for f in df.select(*cols).schema.fields}
 
-    # Job 1: deterministic boundary sample — TakeOrderedAndProject on the
-    # hash, O(parts * 200) rows to the driver (the same cost class as a
-    # sort's range-bound sample, but run-stable).
     sampled = (
         df.select(key.alias("__k"), F.xxhash64(*cols).alias("__h"))
         .orderBy("__h", "__k")
@@ -102,26 +103,16 @@ def _ranked_with_total(
         bucket = bucket.otherwise(len(bounds))
     else:
         bucket = F.lit(0)
-    n_buckets = len(bounds) + 1
-    bucketed = df.withColumn("__b", bucket.cast("int")).repartition(
-        n_buckets, F.col("__b")
+    return df.withColumn("__b", bucket.cast("int")).repartition(
+        len(bounds) + 1, F.col("__b")
     )
 
-    # Job 2: one row per bucket; the exact total falls out of the sum, so
-    # ntile callers never schedule a separate count().
-    counts = {
-        r["__b"]: r["n"]
-        for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
+
+def _offset_expr(offsets: dict[int, int]):
     # Offsets are pinned to LongType: a Python int literal under 2^31 turns
     # into IntegerType, so at >2^31 rows the map would mix Integer and Long
-    # values (type error) — and the rank itself must be 64-bit anyway.
-    offset_expr = F.element_at(
+    # values (type error) — and the statistic itself must be 64-bit anyway.
+    return F.element_at(
         F.create_map(
             *[
                 x
@@ -131,11 +122,69 @@ def _ranked_with_total(
         ),
         F.col("__b"),
     )
-    local = Window.partitionBy("__b").orderBy(*cols)
+
+
+def _ranked_with_total(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Shared rank kernel: (globally ranked DataFrame, total row count).
+    See ``_bucketize`` for the determinism contract."""
+    bucketed = _bucketize(df, order_cols, num_partitions)
+    # One row per bucket; the exact total falls out of the sum, so ntile
+    # callers never schedule a separate count().
+    counts = {
+        r["__b"]: r["n"]
+        for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    local = Window.partitionBy("__b").orderBy(*order_cols)
     ranked = bucketed.withColumn(
-        out_col, F.row_number().over(local).cast("long") + offset_expr
+        out_col, F.row_number().over(local).cast("long") + _offset_expr(offsets)
     ).drop("__b")
     return ranked, acc
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``value_col`` over a global total order —
+    ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` without the
+    single-partition window: deterministic buckets, per-bucket value
+    totals (one O(#buckets) collect), local bucket-partitioned cumsum +
+    broadcast bucket offset. Values are summed as 64-bit integers (cast
+    ``value_col`` accordingly); the result is exact and run-stable."""
+    bucketed = _bucketize(df, order_cols, num_partitions)
+    sums = {
+        r["__b"]: r["s"]
+        for r in bucketed.groupBy("__b")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p] or 0
+    local = (
+        Window.partitionBy("__b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bucketed.withColumn(
+        out_col,
+        F.sum(F.col(value_col).cast("long")).over(local) + _offset_expr(offsets),
+    ).drop("__b")
 
 
 def global_row_number(

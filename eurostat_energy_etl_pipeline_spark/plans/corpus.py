@@ -151,10 +151,12 @@ def q52(spark, sf_dir):
 def q53(spark, sf_dir):
     """Quality-decile stratification (curriculum/filtering readout): ntile
     over the composite quality score with a deterministic doc_id tie-break,
-    rolled up per decile. Uses the distributed TeraSort-style global ntile
-    (`operators/ranking.global_ntile`: range partition + per-partition
-    offsets) instead of `ntile OVER (ORDER BY ...)`, which would move every
-    row through one task — row-identical by construction, scales linearly."""
+    rolled up per decile. Uses the distributed global ntile
+    (`operators/ranking.global_ntile`: deterministic driver-computed
+    bucket boundaries + per-bucket offsets — run-stable where
+    repartitionByRange's per-action sampler reseed is not) instead of
+    `ntile OVER (ORDER BY ...)`, which would move every row through one
+    task — row-identical by construction, scales linearly."""
     t = load_tables(spark, sf_dir)
     scored = widen_if_narrow(t["documents"]).select(
         "doc_id", T.quality_score(F.col("text")).alias("quality")
@@ -1245,3 +1247,69 @@ def q94(spark, sf_dir):
         ent_r.alias("entropy"),
         F.when(ent_r < 4.0, 1).otherwise(0).alias("low_entropy"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q96_vocab_coverage",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS m FROM tok
+           WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z]+$') GROUP BY w),
+    tot AS (SELECT CAST(sum(m) AS BIGINT) AS t FROM wf),
+    c AS (
+      SELECT w, m,
+             CAST(sum(m) OVER (ORDER BY m DESC, w
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum
+      FROM wf
+    )
+    SELECT pct,
+           CAST(sum(CASE WHEN (cum - m) * 100 < pct * t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_types,
+           CAST(max(CASE WHEN (cum - m) * 100 < pct * t THEN cum END)
+                AS BIGINT) AS covered_tokens,
+           CAST(max(t) AS BIGINT) AS total_tokens
+    FROM c, tot, (VALUES (90), (95), (99)) AS pv(pct)
+    GROUP BY pct ORDER BY pct
+    """,
+)
+def q96(spark, sf_dir):
+    """Zipf vocabulary-coverage curve — the tokenizer-design readout "how
+    many word types cover 90/95/99% of token mass" (what sets vocabulary
+    size budgets). The running total over the frequency-sorted vocabulary
+    uses `operators/ranking.global_prefix_sum`: the same deterministic-
+    bucket kernel as the global rank/ntile — per-bucket value totals (one
+    O(#buckets) collect) + a bucket-partitioned local cumsum — so the
+    corpus-wide cumulative distribution never moves through a
+    single-partition window. Pure 64-bit integer arithmetic end to end
+    ((cum_before)*100 < pct*total), so the oracle comparison is exact at
+    any scale."""
+    from eurostat_energy_etl_pipeline_spark.operators.bpe import word_type_table
+    from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    t = load_tables(spark, sf_dir)
+    wf = word_type_table(widen_if_narrow(t["documents"]))
+    totals = wf.agg(F.sum("m").cast("long").alias("t"))
+    cum = global_prefix_sum(
+        wf.withColumn("negm", -F.col("m")), ["negm", "w"], "m", "cum"
+    )
+    before = (F.col("cum") - F.col("m")) * F.lit(100)
+    aggs = []
+    for p in (90, 95, 99):
+        hit = before < F.lit(p) * F.col("t")
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(f"n{p}")
+        )
+        aggs.append(F.max(F.when(hit, F.col("cum"))).cast("long").alias(f"c{p}"))
+    one = cum.crossJoin(F.broadcast(totals)).agg(*aggs, F.max("t").alias("t"))
+    return one.select(
+        F.expr(
+            "stack(3, 90, n90, c90, 95, n95, c95, 99, n99, c99)"
+        ).alias("pct", "n_types", "covered_tokens"),
+        F.col("t").alias("total_tokens"),
+    ).transform(presentation_sort, "pct")

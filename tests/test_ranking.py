@@ -100,3 +100,41 @@ class TestGlobalNtile:
         for r in out:
             sizes[r.b] = sizes.get(r.b, 0) + 1
         assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+
+
+class TestGlobalPrefixSum:
+    def test_matches_single_partition_window(self, spark):
+        from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+            global_prefix_sum,
+        )
+
+        df = _df(spark, 300).withColumn("m", (F.col("id") % 13) + 1)
+        got = {
+            r.id: r.cumsum
+            for r in global_prefix_sum(df, ["v", "id"], "m").collect()
+        }
+        w = Window.orderBy("v", "id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = {
+            r.id: r.cumsum
+            for r in df.withColumn("cumsum", F.sum("m").over(w)).collect()
+        }
+        assert got == want
+
+    def test_stable_across_actions(self, spark):
+        from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+            global_prefix_sum,
+        )
+
+        df = spark.range(5000, numPartitions=11).select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 7777).alias("v"),
+            ((F.col("id") % 7) + 1).alias("m"),
+        )
+        runs = [
+            sorted((r.id, r.cumsum) for r in
+                   global_prefix_sum(df, ["v", "id"], "m").collect())
+            for _ in range(2)
+        ]
+        assert runs[0] == runs[1]

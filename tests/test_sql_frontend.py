@@ -64,6 +64,7 @@ DUCKDB_ONLY = {
     "q92_dup_span_coverage", # duckdb string_split_regex/struct-literal lambda
     "q93_bpe_train",         # duckdb string_split/list_transform CTE ladder
     "q94_char_entropy",      # duckdb entropy() aggregate + unnest
+    "q96_vocab_coverage",    # duckdb string_split_regex + VALUES lateral
 }
 
 
