@@ -31,36 +31,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return insights_table(spark, "/root/testdata/sf0.001")
 
 
-# Driver-coverage rotation (VERDICT r3 item 6): the driver correctness
-# harness samples the FIRST 50 registry entries, so iteration order decides
-# which oracles it exercises. Entries the driver has never hash-checked
-# (absent from CORRECTNESS_r02/r03) lead, then the ones last checked in r2,
-# then the r3-checked tail. Names and callables are unchanged — only dict
-# order. Regenerate after a round by diffing the new CORRECTNESS file.
+# Driver-coverage rotation (VERDICT r3 item 6, reordered per r4 item 4):
+# the driver correctness harness samples the FIRST 50 registry entries, so
+# iteration order decides which oracles it exercises. Round-5 order, by
+# last-driver-checked round ascending (union of CORRECTNESS_r01..r04):
+# the 6 never-driver-checked entries lead (q82 first — rewritten in r4),
+# then q74 (fixed in r4, driver record still shows the r3 FAIL) and q81
+# (oracle fixed this round), then the r2-checked four, then the r3 tail,
+# then the r4-checked 50 last. Names and callables are unchanged — only
+# dict order. Regenerate after a round by diffing the new CORRECTNESS file.
 _DRIVER_CHECK_PRIORITY = [
-    # never driver-checked (repo-oracle only so far)
-    "q93_bpe_train", "q94_char_entropy", "q95_cube_grouping",
-    "q96_vocab_coverage",
-    "q87_knn_join_exact", "q88_knn_join_lsh", "q89_bpe_pair_stats",
-    "q90_trailing_burst", "q91_kmeans_update", "q92_dup_span_coverage",
-    "q34_media_meta", "q39_frame_sample", "q45_dedup_clusters",
-    "q47_hash_sample", "q48_stratified_cap", "q49_sequence_pack",
-    "q67_cluster_canonical", "q79_quantize_audit", "q80_ivf_sq8_ann",
-    "q83_crossmodal_audit", "q_events_tumbling", "q_events_type_stats",
-    "q_events_sessionize", "q_events_asof_join", "q_events_sliding",
-    "q46_range_join", "q64_funnel", "q65_retention", "q81_rolling_dau",
-    "q85_median_bridge", "q50_doc_chunks", "q51_pii_scan",
-    "q52_decontaminate", "q53_quality_deciles", "q54_token_percentiles",
-    "q55_label_cohesion", "q56_tombstone_delete", "q57_mixture_weights",
-    "q73_mixture_sample", "q58_repetition_ratio", "q59_cross_source_overlap",
+    # never driver-checked (repo-oracle only so far) + freshly-fixed
+    "q82_bigram_lm_score", "q35_forecast", "q36_tfidf_search",
+    "q75_bm25_search", "q76_length_histogram", "q78_vocab_topk",
+    "q74_forecast_features", "q81_rolling_dau", "q31_embedding_neardup",
+    "q32_lsh_ann", "q33_multimodal_features", "q37_ivf_ann",
+    # last driver-checked in round 3
+    "q01_filter_project", "q02_in_list", "q03_distinct_notnull",
+    "q04_union_all", "q05_year_extract", "q06_topk_avg",
+    "q07_topk_sum", "q08_latest_period", "q09_between",
+    "q10_pivot_conditional", "q11_lag", "q12_rolling_mean",
+    "q13_row_number", "q14_join_agg", "q15_left_join_coalesce",
+    "q16_left_semi", "q17_insights_trend", "q17b_insights_full",
+    "q18_fastest_rising", "q19_dedup_exact", "q20_text_stats",
+    "q21_word_count", "q22_embedding_topk", "q23_dedup_hash_groups",
+    "q24_ngram_jaccard", "q25_minhash_lsh_pairs", "q26_simhash_pairs",
+    "q27_fingerprint", "q28_lang_id", "q29_token_stats",
+    "q30_quality_buckets", "q38_set_ops", "q40_rollup",
+    "q41_approx_distinct", "q42_stats_agg", "q43_join_chain",
+    "q44_like_scan", "q69_salted_join_agg", "q77_anomaly_zscore",
+    "q84_shipping_revenue", "q86_join_skew_profile", "q_dash_between_top10",
+    "q_dash_country_series", "q_dash_domains", "q_dash_heatmap",
+    "q_dash_pivot_types", "q_dash_top10_latest", "q_dash_year_range",
+    "q_dq_probes",
+    # last driver-checked in round 4 (most recent — checked again last)
+    "q34_media_meta", "q39_frame_sample",
+    "q45_dedup_clusters", "q46_range_join", "q47_hash_sample",
+    "q48_stratified_cap", "q49_sequence_pack", "q50_doc_chunks",
+    "q51_pii_scan", "q52_decontaminate", "q53_quality_deciles",
+    "q54_token_percentiles", "q55_label_cohesion", "q56_tombstone_delete",
+    "q57_mixture_weights", "q58_repetition_ratio", "q59_cross_source_overlap",
     "q60_global_ids", "q61_canonical_docs", "q62_json_props",
-    "q63_incremental_dedup", "q66_rare_word_filter", "q68_topk_per_group",
+    "q63_incremental_dedup", "q64_funnel", "q65_retention",
+    "q66_rare_word_filter", "q67_cluster_canonical", "q68_topk_per_group",
     "q70_dataset_split", "q71_jsonstat_decode", "q72_source_audit",
-    "q76_length_histogram", "q78_vocab_topk", "q82_bigram_lm_score",
-    "q35_forecast", "q36_tfidf_search", "q75_bm25_search",
-    # last driver-checked in round 2
-    "q31_embedding_neardup", "q32_lsh_ann", "q37_ivf_ann",
-    "q33_multimodal_features",
+    "q73_mixture_sample", "q79_quantize_audit", "q80_ivf_sq8_ann",
+    "q83_crossmodal_audit", "q85_median_bridge", "q87_knn_join_exact",
+    "q88_knn_join_lsh", "q89_bpe_pair_stats", "q90_trailing_burst",
+    "q91_kmeans_update", "q92_dup_span_coverage", "q93_bpe_train",
+    "q94_char_entropy", "q95_cube_grouping", "q96_vocab_coverage",
+    "q_events_asof_join", "q_events_sessionize", "q_events_sliding",
+    "q_events_tumbling", "q_events_type_stats",
 ]
 
 

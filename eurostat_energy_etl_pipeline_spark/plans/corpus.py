@@ -806,7 +806,9 @@ def q70(spark, sf_dir):
 @query(
     "q71_jsonstat_decode",
     oracle="""
-    SELECT * FROM (VALUES
+    SELECT indicator_code, country_code, country_name, time_iso,
+           CAST(value AS DOUBLE) AS value
+    FROM (VALUES
       ('GEP', 'DE', 'Germany', '2022-01-01', 100.5),
       ('GEP', 'DE', 'Germany', '2023-01-01', 101.0),
       ('GEP', 'FR', 'France', '2022-01-01', 200.0),

@@ -419,8 +419,8 @@ def q65(spark, sf_dir):
     SELECT strftime(d, '%Y-%m-%d') AS day, dau, n_events,
            round(avg(dau) OVER (ORDER BY d
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS dau_7d_avg,
-           sum(n_events) OVER (ORDER BY d
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS events_7d
+           CAST(sum(n_events) OVER (ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS events_7d
     FROM daily ORDER BY day
     """,
 )

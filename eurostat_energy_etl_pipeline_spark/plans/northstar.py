@@ -1050,19 +1050,31 @@ def q88(spark, sf_dir):
     (table, bucket) key (shuffle-by-key, AQE skew-split-able — never a
     cross product), exact per-query rerank over the deduped union.
     Approximate by construction -> no SQL oracle, but self-certifying
-    like q32/q37: each row carries `in_exact_topk` from the brute-force
-    join in the same plan, plus the per-query `recall_at_k` (~0.9 at
-    these params on the near-uniform fixtures — LSH's hardest case, same
-    lever-depth note as q32). At rest the neighbor side is written
-    bucket-partitioned (write_ann_index) so probes prune partitions;
-    candidate volume is sum of probed-bucket products, not |L| x |R|."""
+    like q32/q37: a deterministic hash-sampled ~25% of the QUERIES carry
+    `in_exact_topk` from the brute-force kernel plus per-query
+    `recall_at_k` (~0.9 at these params on the near-uniform fixtures —
+    LSH's hardest case); unsampled queries carry nulls. Sampling the
+    certification is the scale contract (VERDICT r4 item 3): the exact
+    side costs O(sample x |R|), not O(|L| x |R|), so the registered plan
+    runs at 100 TB — the FULL-corpus exact differential lives in
+    tests/test_similarity.py::test_knn_join_lsh_recall_floor_and_no_dupes.
+    At rest the neighbor side is written bucket-partitioned
+    (write_ann_index) so probes prune partitions; candidate volume is sum
+    of probed-bucket products, not |L| x |R|."""
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
+        hash_sample,
+        sample_predicate,
+    )
+
+    cert_rate, cert_salt = 0.25, "q88cert"
     e = load_tables(spark, sf_dir)["embeddings"]
     left = e.where(F.col("vec_id") % 2 == 0)
     right = e.where(F.col("vec_id") % 2 == 1)
     approx = S.knn_join_lsh(left, right, k=3, bits=6, probe_radius=2, num_tables=3)
-    exact = S.knn_join_exact(left, right, k=3).select(
-        F.col("qid").alias("_xq"), F.col("nid").alias("_xn")
-    )
+    exact = S.knn_join_exact(
+        hash_sample(left, "vec_id", cert_rate, salt=cert_salt), right, k=3
+    ).select(F.col("qid").alias("_xq"), F.col("nid").alias("_xn"))
+    certified = sample_predicate(F.col("qid"), cert_rate, salt=cert_salt)
     flagged = approx.join(
         F.broadcast(exact),
         (approx["qid"] == F.col("_xq")) & (approx["nid"] == F.col("_xn")),
@@ -1072,7 +1084,9 @@ def q88(spark, sf_dir):
         "nid",
         "cos",
         "rk",
-        F.col("_xq").isNotNull().cast("int").alias("in_exact_topk"),
+        F.when(certified, F.col("_xq").isNotNull().cast("int")).alias(
+            "in_exact_topk"
+        ),
     )
     from pyspark.sql.window import Window
 

@@ -6,15 +6,23 @@ defaults; this script reproduces that harness faithfully: a bare
 entry executed at sf0.01, oracles run through DuckDB on the same parquet,
 values compared after sorting columns by name (the driver's hash scheme).
 
-Usage: python scripts/driver_sim.py [sf_dir] [--exact] [--first N]
+Usage: python scripts/driver_sim.py [sf_dir] [--exact] [--hash] [--lint] [--first N]
 
 --exact compares values exactly (the driver hashes values, so an rtol-level
 match can still be a driver hash-fail — the round-3 q74 lesson); numeric
 columns are normalised to float64 on both sides first, mirroring a
-representation-insensitive value hash. --first N checks only the first N
-registry entries (the driver samples the first 50).
+representation-insensitive value hash. --hash goes one step further and is
+the driver-faithful mode (the round-4 q81 lesson): cells are RENDERED to
+strings first and the strings are hashed, so a DuckDB HUGEINT window sum
+printing `188.0` against Spark's BIGINT `188` fails here exactly as it
+fails in the driver, even though the parsed values are equal. --lint
+DESCRIBEs every oracle in DuckDB and flags HUGEINT/DECIMAL result columns
+(the types whose pandas rendering diverges from Spark's BIGINT/DOUBLE) so
+the class of bug is caught before a query is ever registered. --first N
+checks only the first N registry entries (the driver samples the first 50).
 """
 
+import hashlib
 import json
 import sys
 
@@ -39,9 +47,55 @@ def norm(df: pd.DataFrame, exact: bool = False) -> pd.DataFrame:
     return df
 
 
+def render(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-faithful canonicalisation: sort columns by name, stringify
+    every cell AS RENDERED (no numeric parsing), sort rows on the rendered
+    strings. Two frames are driver-hash-equal iff these frames are equal."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        out[c] = df[c].map(lambda v: "NULL" if v is None or v != v else str(v))
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    h.update("\x1f".join(df.columns).encode())
+    for row in df.itertuples(index=False):
+        h.update(("\x1f".join(row) + "\x1e").encode())
+    return h.hexdigest()
+
+
+def lint_oracles(con, oracles: dict) -> int:
+    """Flag oracle result columns whose DuckDB type renders differently from
+    the Spark type a correct query would produce: HUGEINT (DuckDB sum()/
+    windowed sum() over BIGINT) prints `188.0` via pandas float64 where
+    Spark's BIGINT prints `188`; DECIMAL renders with fixed scale. Any hit
+    needs an explicit CAST in the oracle SQL."""
+    n_bad = 0
+    for name, sql in oracles.items():
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print("LINT-ERR", name, repr(e)[:200])
+            n_bad += 1
+            continue
+        bad = [
+            (col, typ)
+            for col, typ, *_ in desc
+            if "HUGEINT" in typ.upper() or "DECIMAL" in typ.upper()
+        ]
+        if bad:
+            n_bad += 1
+            print("LINT", name, bad)
+    return n_bad
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     exact = "--exact" in sys.argv
+    hash_mode = "--hash" in sys.argv
+    lint = "--lint" in sys.argv
     first_n = None
     if "--first" in sys.argv:
         first_n = int(sys.argv[sys.argv.index("--first") + 1])
@@ -61,8 +115,16 @@ def main() -> int:
         )
 
     queries, oracles = m.queries(), m.oracle_sql()
+    if lint:
+        n_bad = lint_oracles(con, oracles)
+        print(json.dumps({"lint_flagged": n_bad, "oracles": len(oracles)}))
+        spark.stop()
+        return 0 if n_bad == 0 else 1
     if first_n is not None:
         queries = dict(list(queries.items())[:first_n])
+    if "--only" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        queries = {k: v for k, v in queries.items() if k in wanted}
     results, n_match, n_rows_only, n_fail = {}, 0, 0, 0
     for name, fn in queries.items():
         try:
@@ -73,13 +135,28 @@ def main() -> int:
                 n_rows_only += 1
                 continue
             odf = con.execute(sql).df()
-            s, o = norm(sdf, exact), norm(odf, exact)
+            if hash_mode:
+                s, o = render(sdf), render(odf)
+            else:
+                s, o = norm(sdf, exact), norm(odf, exact)
             rows_ok = len(s) == len(o)
             cols_ok = list(s.columns) == list(o.columns)
             vals_ok = False
             if rows_ok and cols_ok:
                 try:
-                    if exact:
+                    if hash_mode:
+                        hs, ho = value_hash(s), value_hash(o)
+                        if hs != ho:
+                            diff = s.compare(o) if s.shape == o.shape else None
+                            raise AssertionError(
+                                f"hash {hs[:12]} != {ho[:12]}"
+                                + (
+                                    f"; first diffs: {diff.head(3).to_dict()}"
+                                    if diff is not None and len(diff)
+                                    else ""
+                                )
+                            )
+                    elif exact:
                         pd.testing.assert_frame_equal(
                             s, o, check_dtype=False, check_exact=True
                         )

@@ -308,12 +308,17 @@ def test_q88_lsh_knn_candidates_are_equi_join(spark, queries):
     # map-side by the vectorized kernel BEFORE the dedup exchange so the
     # shuffle carries (qid, nid, cos) and never the vectors. The exact
     # ground-truth side the certification columns compare against is the
-    # MapInPandas BLAS kernel — no nested loop or cross product anywhere.
+    # MapInPandas BLAS kernel — no nested loop or cross product anywhere —
+    # and it must be SAMPLED (VERDICT r4 item 3): the hash-sample
+    # predicate has to reach the query-side scan feeding the kernel, so
+    # the certification costs O(sample x |R|) and the registered plan has
+    # no full-width |L| x |R| stage left.
     plan = plan_of(queries["q88_knn_join_lsh"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin Inner" in plan  # the (tbl, bucket) equi-join
     assert "MapInPandas" in plan  # the exact certification side
+    assert "md5" in plan  # the hash-sample predicate on the exact side
     assert "WindowGroupLimit" in plan  # rerank bound pushed down
     # candidate dedup is an aggregate (map-side combinable), not a sort
     assert "HashAggregate" in plan

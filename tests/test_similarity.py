@@ -296,3 +296,40 @@ def test_knn_join_lsh_recall_floor_and_no_dupes(vectors):
     from collections import Counter
 
     assert max(Counter(q for q, _ in pairs).values()) <= 3
+
+
+def test_q88_certification_is_sampled(spark):
+    """The registered q88 certifies recall on a deterministic hash-sampled
+    query subset (VERDICT r4 item 3): sampled queries carry non-null
+    in_exact_topk / recall_at_k from the O(sample x |R|) exact kernel,
+    unsampled queries carry nulls, and the sampled set is exactly the
+    sample_predicate set — so the registered plan has no full-width
+    |L| x |R| stage (the full-exact differential lives in
+    test_knn_join_lsh_recall_floor_and_no_dupes above)."""
+    import __spark_entry__ as entry_mod
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
+        sample_threshold,
+    )
+    import hashlib
+
+    rows = entry_mod.queries()["q88_knn_join_lsh"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    thr = sample_threshold(0.25)
+    want_cert = {
+        r["qid"]
+        for r in rows
+        if hashlib.md5(f"{r['qid']}q88cert".encode()).hexdigest()[:4] < thr
+    }
+    got_cert = {r["qid"] for r in rows if r["in_exact_topk"] is not None}
+    got_null = {r["qid"] for r in rows if r["in_exact_topk"] is None}
+    assert got_cert == want_cert
+    assert got_cert.isdisjoint(got_null)
+    # Certified queries: recall is the mean of their in_exact_topk flags;
+    # uncertified queries carry null recall.
+    for r in rows:
+        if r["in_exact_topk"] is None:
+            assert r["recall_at_k"] is None
+        else:
+            assert r["recall_at_k"] is not None
