@@ -169,7 +169,12 @@ def _short(name: str) -> str:
     m = re.match(r"^q(\d+[a-z]?)_", name)
     if m:
         return "q" + m.group(1)
-    for prefix, tag in (("q_dash_", "d_"), ("q_events_", "e_"), ("q_dq_", "dq_")):
+    for prefix, tag in (
+        ("q_dash_", "d_"),
+        ("q_events_", "e_"),
+        ("q_dq_", "dq_"),
+        ("q_stream_", "s_"),
+    ):
         if name.startswith(prefix):
             return tag + name[len(prefix):]
     return name

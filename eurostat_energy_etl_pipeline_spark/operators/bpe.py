@@ -104,6 +104,12 @@ def apply_merge(encoded: DataFrame, a: str, b: str, enc_col: str = "enc") -> Dat
     )
 
 
+#: Merges between cache re-pins in train_bpe. Within a window the encoded
+#: table carries at most this many stacked replace() expressions; the
+#: per-iteration cost is flat in the number of merges already learned.
+_REPERSIST_EVERY = 16
+
+
 def train_bpe(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules from a corpus.
 
@@ -118,10 +124,16 @@ def train_bpe(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> Dat
     )
     # The type table is vocabulary-sized (Zipf-bounded), not corpus-sized:
     # persisting it is what makes each of the N iterations a small job
-    # instead of a corpus re-scan.
-    base = base.persist()
+    # instead of a corpus re-scan. Each merge stacks one replace() on the
+    # plan, so without re-pinning, iteration k would re-apply k-1 prior
+    # merges over the persisted base — O(N^2) work and unbounded
+    # plan-analysis cost at tokenizer-realistic merge counts (10k+). Every
+    # _REPERSIST_EVERY merges the encoded table is therefore materialised
+    # into a fresh persist and the predecessor dropped, keeping both the
+    # executed lineage and the analyzed plan bounded by the window size.
+    pinned = base.persist()
+    cur = pinned
     try:
-        cur = base
         rows: list[tuple[int, str, str, str, int]] = []
         for rank in range(1, n_merges + 1):
             top = (
@@ -135,11 +147,16 @@ def train_bpe(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> Dat
             a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
             rows.append((rank, a, b, a + b, n))
             cur = apply_merge(cur, a, b)
+            if rank % _REPERSIST_EVERY == 0:
+                nxt = cur.persist()
+                nxt.count()  # materialise BEFORE dropping the predecessor
+                pinned.unpersist()
+                pinned = cur = nxt
         return spark.createDataFrame(
             rows, "rank INT, left_sym STRING, right_sym STRING, merged STRING, n BIGINT"
         )
     finally:
-        base.unpersist()
+        pinned.unpersist()
 
 
 def segment_words(words: DataFrame, merges: list[tuple[str, str]],

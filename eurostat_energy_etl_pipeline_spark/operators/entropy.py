@@ -18,6 +18,14 @@ Determinism: both engines sum -p*log2(p) over a per-doc char histogram
 in different orders; the 1e-4 floor-grid round (`portable_round`) is the
 same accepted tolerance class as q82's log-ratio scores, verified
 mismatch-free across sf0.01 and sf0.1 corpora.
+
+Character model (the operator contract): a "character" is one UNICODE
+CODE POINT — the UTF-32 unit the kernel encodes to. No grapheme
+clustering (a combining sequence counts one unit per combining mark)
+and no UTF-16 surrogate splitting (an astral-plane char counts once).
+Any differential oracle must split the same way; DuckDB's
+string_split(text, '') is code-point-splitting and agrees, but
+UTF-16-unit engines would not on astral-plane text.
 """
 
 from __future__ import annotations

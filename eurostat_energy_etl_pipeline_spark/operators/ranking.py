@@ -36,6 +36,18 @@ from pyspark.sql import functions as F
 #: bucket-size imbalance at any scale (standard TeraSort sampling rate).
 _SAMPLE_PER_PART = 200
 
+#: Hard cap on bucket count. The scan-side bucket assignment is a chained
+#: CASE WHEN of up to (buckets-1) struct comparisons, so unbounded bucket
+#: counts (num_partitions defaults to defaultParallelism — hundreds+ on a
+#: real cluster) would generate O(P) comparisons per row and code large
+#: enough to fall out of whole-stage codegen. 256 buckets keeps the chain
+#: short while the per-bucket driver cost (one collected row) stays tiny;
+#: per-bucket window size is N/256, still far below executor memory at any
+#: sane partition sizing.
+_MAX_BUCKETS = 256
+
+_INTEGRAL_TYPES = ("byte", "short", "int", "integer", "bigint", "long")
+
 
 def _bucketize(
     df: DataFrame,
@@ -61,23 +73,39 @@ def _bucketize(
     keys on the computed ``__b`` column, so layout determinism is by
     construction, not by sampler luck.
 
-    Order keys must be non-null (engines disagree on null ordering, and
-    the struct comparison would bucket nulls nowhere); callers pass a
-    unique total order per the public contract.
+    Order keys must be non-null AND non-NaN (engines disagree on null
+    ordering, Spark orders NaN after all doubles while Python NaN
+    comparisons are incoherent — a NaN boundary would mis-sort the bounds
+    and break bucket contiguity — and the struct comparison would bucket
+    either nowhere); NaN in the sampled keys raises. Callers pass a
+    unique total order per the public contract. Bucket count is capped at
+    ``_MAX_BUCKETS`` so the assignment when-chain stays codegen-friendly
+    on large clusters.
     """
     cols = [F.col(c) for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(parts, _MAX_BUCKETS))
     key = F.struct(*[F.col(c).alias(c) for c in order_cols])
     dtypes = {f.name: f.dataType for f in df.select(*cols).schema.fields}
 
+    # Spark returns the sample ALREADY sorted by __k (hash-order picks the
+    # sample, key-order arranges it), so the boundary list never depends
+    # on Python tuple ordering — which diverges from Spark's for doubles.
     sampled = (
         df.select(key.alias("__k"), F.xxhash64(*cols).alias("__h"))
         .orderBy("__h", "__k")
         .limit(parts * _SAMPLE_PER_PART)
+        .orderBy("__k")
         .select("__k")
         .collect()
     )
-    keys = sorted(tuple(r["__k"]) for r in sampled)
+    keys = [tuple(r["__k"]) for r in sampled]
+    for t in keys:
+        if any(v != v for v in t):  # NaN: the one value where v != v
+            raise ValueError(
+                f"NaN order key {t!r}: global order statistics require "
+                "non-null, non-NaN order columns"
+            )
     bounds: list[tuple] = []
     if keys:
         seen = set()
@@ -86,7 +114,6 @@ def _bucketize(
             if b not in seen:
                 seen.add(b)
                 bounds.append(b)
-        bounds.sort()
 
     def lit_key(b: tuple):
         return F.struct(
@@ -162,8 +189,17 @@ def global_prefix_sum(
     ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` without the
     single-partition window: deterministic buckets, per-bucket value
     totals (one O(#buckets) collect), local bucket-partitioned cumsum +
-    broadcast bucket offset. Values are summed as 64-bit integers (cast
-    ``value_col`` accordingly); the result is exact and run-stable."""
+    broadcast bucket offset. Values are summed as 64-bit integers — the
+    value column must already be an integral type (enforced: a fractional
+    column would be silently truncated per-row, making the running total
+    quietly wrong); the result is exact and run-stable."""
+    vt = dict(df.dtypes).get(value_col)
+    if vt not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"global_prefix_sum requires an integral value column; "
+            f"{value_col!r} is {vt!r} — cast explicitly (and accept the "
+            "semantics) before calling"
+        )
     bucketed = _bucketize(df, order_cols, num_partitions)
     sums = {
         r["__b"]: r["s"]

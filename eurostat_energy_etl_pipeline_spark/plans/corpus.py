@@ -1234,7 +1234,17 @@ def q94(spark, sf_dir):
     no per-char explode/shuffle, no O(len x distinct) HOF histogram, no
     per-row Python. Scan-side mapInPandas: zero shuffle, parallel per
     partition. The low-entropy flag cuts on the GRID-ROUNDED value on
-    both engines so the boundary can never flip between them."""
+    both engines so the boundary can never flip between them.
+
+    Character model: the kernel counts UNICODE CODE POINTS (UTF-32
+    units) — so does DuckDB's string_split(text, '') on this corpus, but
+    the two characterizations are not identical in general: combining
+    sequences count per combining mark here (no grapheme clustering),
+    and any engine splitting on UTF-16 units would count astral-plane
+    chars twice. The oracle equivalence therefore assumes
+    code-point-splitting parity, which the test corpora satisfy; the
+    operator contract (operators/entropy.py) states the code-point
+    semantics explicitly."""
     from eurostat_energy_etl_pipeline_spark.operators.entropy import (
         char_entropy_table,
     )

@@ -554,3 +554,49 @@ def q90(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTES, ts)) AS BIGINT) AS bucket_s,
+           event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+    FROM events GROUP BY 1, 2 ORDER BY bucket_s, event_type
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """The tumbling rollup executed by STRUCTURED STREAMING under the
+    driver's oracle gate (VERDICT r4 item 6): the static events table is
+    drained through `streaming/events.tumbling_counts` (file source ->
+    watermarked 5-minute window aggregate -> memory sink) with the
+    production Trigger.AvailableNow shape, then the sink table is
+    returned as the query result. The oracle is the SAME SQL as
+    q_events_tumbling, so the driver's hash compare certifies that the
+    incremental micro-batch execution produces bit-identical rows to the
+    batch plan — counts AND the exact-decimal value totals (accumulation
+    order cannot perturb a decimal sum). Complete output mode because an
+    append-mode drain would hold back every window the final watermark
+    has not passed; at production scale the same plan runs append with a
+    live watermark and a kafka source, as streaming/events.py documents."""
+    import re as _re
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    sink = "q_stream_tumbling_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+    q = run_to_memory(
+        tumbling_counts(read_events_stream(spark, sf_dir)),
+        sink,
+        "complete",
+        available_now=True,
+    )
+    q.stop()
+    return (
+        spark.table(sink)
+        .select("bucket_s", "event_type", "n", "total")
+        .orderBy("bucket_s", "event_type")
+    )

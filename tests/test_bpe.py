@@ -161,3 +161,27 @@ def test_replace_on_doubled_encoding_is_greedy_merge(syms, a, b):
     merged = enc.replace(f"_{a}__{b}_", f"_{a}{b}_")
     got = merged.strip("_").split("__")
     assert got == _greedy(syms, a, b), (syms, a, b)
+
+
+def test_train_crosses_repersist_window(spark):
+    """A merge count past _REPERSIST_EVERY exercises the cache re-pin
+    (bounded-lineage) path: results must still match the pure-Python
+    greedy reference exactly across the window boundary."""
+    from eurostat_energy_etl_pipeline_spark.operators.bpe import (
+        _REPERSIST_EVERY,
+    )
+
+    texts = [
+        "interdependence independence interdependent dependency",
+        "the theory there then these those theater",
+        "banana bananas bandana bandanas anagram",
+        "abracadabra cadabra abra abracadabras",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    n = _REPERSIST_EVERY + 4
+    got = [tuple(r) for r in train_bpe(docs, n_merges=n).orderBy("rank").collect()]
+    want, _ = _ref_bpe(texts, n)
+    assert got == want
+    assert len(got) > _REPERSIST_EVERY  # the window boundary was crossed

@@ -138,3 +138,44 @@ class TestGlobalPrefixSum:
             for _ in range(2)
         ]
         assert runs[0] == runs[1]
+
+
+class TestContractGuards:
+    def test_nan_order_key_raises(self, spark):
+        """NaN order keys would mis-sort the driver-computed boundaries
+        (Python NaN comparisons are incoherent, Spark orders NaN last):
+        the kernel must refuse them instead of silently scrambling ranks."""
+        df = spark.range(100).select(
+            F.col("id"),
+            F.when(F.col("id") == 37, F.lit(float("nan")))
+            .otherwise(F.col("id").cast("double"))
+            .alias("v"),
+        )
+        with pytest.raises(ValueError, match="NaN"):
+            global_row_number(df, ["v", "id"]).collect()
+
+    def test_prefix_sum_rejects_fractional_values(self, spark):
+        """A fractional value column would be truncated per-row by the
+        64-bit integer sum — the kernel raises instead of quietly
+        returning a wrong running total."""
+        from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+            global_prefix_sum,
+        )
+
+        df = _df(spark, 50).withColumn("m", F.col("id") / 2.0)
+        with pytest.raises(TypeError, match="integral"):
+            global_prefix_sum(df, ["v", "id"], "m")
+
+    def test_bucket_count_capped(self, spark):
+        """num_partitions far above _MAX_BUCKETS must not generate an
+        O(P) when-chain: the kernel caps the bucket count (ranks stay
+        exact — only the layout changes)."""
+        from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+            _MAX_BUCKETS,
+        )
+
+        df = _df(spark, 400)
+        out = global_row_number(df, ["v", "id"], "rank", num_partitions=100000)
+        assert out.rdd.getNumPartitions() <= _MAX_BUCKETS
+        ranks = sorted(r.rank for r in out.collect())
+        assert ranks == list(range(1, 401))
