@@ -1156,6 +1156,64 @@ def q91(spark, sf_dir):
 
 
 @query(
+    "q97_semantic_dedup",
+    oracle="""
+    WITH c AS (SELECT CAST(vec_id AS INT) AS ccid,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+         p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pv
+               FROM embeddings),
+         d AS (SELECT vec_id, pv, ccid,
+                      floor(list_sum(list_transform(
+                          generate_series(1, 64),
+                          i -> (pv[i] - cv[i]) * (pv[i] - cv[i])
+                      )) * 1e6 + 0.5) / 1e6 AS d2r
+               FROM p CROSS JOIN c),
+         asg AS (SELECT vec_id, pv, ccid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2r, ccid) AS rk
+                 FROM d),
+         m AS (SELECT vec_id, pv, ccid AS cid FROM asg WHERE rk = 1),
+         pairs AS (SELECT a.vec_id AS hi, b.vec_id AS lo
+                   FROM m a JOIN m b
+                     ON a.cid = b.cid AND b.vec_id < a.vec_id
+                   WHERE floor(list_cosine_similarity(a.pv, b.pv) * 1e6
+                               + 0.5) / 1e6 >= 0.30),
+         dups AS (SELECT hi, min(lo) AS dup_of FROM pairs GROUP BY hi)
+    SELECT m.vec_id, CAST(m.cid AS INT) AS cid,
+           CASE WHEN d.hi IS NULL THEN 1 ELSE 0 END AS keep,
+           CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of
+    FROM m LEFT JOIN dups d ON m.vec_id = d.hi
+    ORDER BY m.vec_id
+    """,
+)
+def q97(spark, sf_dir):
+    """SemDeDup semantic dedup keep-list (`operators/semdedup.
+    semantic_dedup_keep_list`): embeddings are assigned scan-side to IVF
+    cells (deterministic seed quantizer — the first 8 vectors, the q91
+    convention), candidate pairs come from ONE equi-join on the cell id
+    (pair stream bounded by sum(|cell|^2), never |corpus|^2 — the no
+    all-pairs contract), and a vector is dropped iff a lower-id
+    cell-mate sits within gridded cosine eps, keeping the lowest such id
+    as `dup_of`. eps=0.30 on these near-uniform random fixtures plays
+    the role 0.95+ plays on real (anisotropic) embedding corpora — the
+    fixture's cosine mass tops out ~0.51, so a production threshold
+    would test nothing. Exact DuckDB differential: assignment, pair
+    generation, and keep rule replayed relationally; cosines/distances
+    gridded before every comparison so the boundary can never flip."""
+    from eurostat_energy_etl_pipeline_spark.operators.semdedup import (
+        semantic_dedup_keep_list,
+    )
+
+    e = widen_if_narrow(load_tables(spark, sf_dir)["embeddings"])
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return semantic_dedup_keep_list(e, cents, eps=0.30).orderBy("vec_id")
+
+
+@query(
     "q92_dup_span_coverage",
     oracle=r"""
     WITH tok AS (
