@@ -1208,6 +1208,116 @@ def q93(spark, sf_dir):
     return train_bpe(widen_if_narrow(t["documents"]), n_merges=5).orderBy("rank")
 
 
+# q98: tokenizer APPLICATION at corpus grain. The merge list is static
+# (a fixed, documented rule set — common English pairs, chained so later
+# merges consume earlier outputs), because a corpus-LEARNED list cannot
+# be inlined into a static oracle string; training itself is certified by
+# q93, application by this query. Both engines replay the identical
+# delimiter-doubled replace chain.
+_BPE_APPLY_RULES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+    ("i", "n"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _bpe_apply_enc_sql() -> str:
+    enc = "'_' || array_to_string(string_split(w, ''), '__') || '_'"
+    for a, b in _BPE_APPLY_RULES:
+        enc = f"replace({enc}, '_{a}__{b}_', '_{a}{b}_')"
+    return enc
+
+
+@query(
+    "q98_bpe_encode",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    wdm AS (SELECT doc_id, w, count(*) AS m FROM tok
+            WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
+            GROUP BY doc_id, w),
+    vocab AS (SELECT DISTINCT w FROM wdm),
+    np AS (SELECT w,
+                  len(string_split(trim({_bpe_apply_enc_sql()}, '_'), '__'))
+                    AS np
+           FROM vocab),
+    agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_words,
+                   CAST(sum(m * np) AS BIGINT) AS n_pieces
+            FROM wdm JOIN np USING (w) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+           CASE WHEN a.n_words > 0
+                THEN {portable_round_sql(
+                    'CAST(a.n_pieces AS DOUBLE) / a.n_words', 6)}
+                ELSE CAST(0 AS DOUBLE) END AS fertility
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q98(spark, sf_dir):
+    """Corpus-scale BPE tokenizer APPLICATION (`operators/bpe.
+    segment_words`) — the other half of the q93 loop: every document
+    scored with per-doc word count, BPE piece count, and fertility
+    (pieces per word, the tokenizer-efficiency metric every multilingual
+    corpus report tracks). The scale shape is the broadcast-vocabulary
+    join: the instance stream reduces to (doc, word-TYPE, multiplicity)
+    grain in one map-side-combined shuffle, the encode/replace chain
+    runs once per TYPE over the Zipf-bounded vocabulary (corpus-size
+    independent), and the piece counts flow back through a broadcast
+    hash join — no shuffle ever carries an encoded string, and the
+    replace chain never touches the instance stream. Exact DuckDB
+    differential over the identical static merge rules."""
+    from eurostat_energy_etl_pipeline_spark.operators.bpe import (
+        segment_words,
+    )
+    from eurostat_energy_etl_pipeline_spark.operators.text import (
+        whitespace_tokens,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = widen_if_narrow(t["documents"])
+    wdm = (
+        docs.select(
+            "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("w")
+        )
+        .where((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    vocab = wdm.select("w").distinct()
+    np_tbl = segment_words(vocab, _BPE_APPLY_RULES).select(
+        "w", F.size("pieces").alias("np")
+    )
+    agg = (
+        wdm.join(F.broadcast(np_tbl), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_words"),
+            F.sum(F.col("m") * F.col("np")).alias("n_pieces"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
+            F.when(
+                F.col("n_words") > 0,
+                portable_round(
+                    F.col("n_pieces").cast("double") / F.col("n_words"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q94_char_entropy",
     oracle=f"""

@@ -410,3 +410,27 @@ def test_bpe_training_iteration_plan(spark):
     assert plan.count("+- Exchange") == 2, plan
     merged_plan = plan_of(apply_merge(base, "e", "r"))
     assert merged_plan.count("Exchange") == plan_of(base).count("Exchange")
+
+
+def test_q98_vocab_join_broadcasts_and_no_encoded_shuffle(spark, queries):
+    # Tokenizer application must pay the encode/replace chain once per
+    # word TYPE (Zipf-bounded vocabulary) and flow piece counts back via
+    # a BROADCAST hash join — no shuffle may carry an encoded string or
+    # pieces array, and no cartesian/BNLJ anywhere.
+    import re as _re
+
+    plan = plan_of(queries["q98_bpe_encode"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for mt in _re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        cols = mt.group(1)
+        assert not _re.search(r"(?<![A-Za-z0-9_])(pieces|enc)#", cols), cols
+
+
+def test_q97_semdedup_cell_equi_join_no_all_pairs(spark, queries):
+    # SemDeDup candidates come from the cell-id equi-join; there must be
+    # no cartesian/BNLJ pair stage in the registered plan.
+    plan = plan_of(queries["q97_semantic_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

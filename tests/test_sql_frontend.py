@@ -58,6 +58,9 @@ DUCKDB_ONLY = {
     "q83_crossmodal_audit",  # duckdb list_transform/list_aggregate
     "q85_median_bridge",     # duckdb quantile_cont (Spark: percentile)
     "q87_knn_join_exact",    # duckdb list_cosine_similarity
+    "q97_semantic_dedup",    # duckdb list_* vector arithmetic (q91 idiom)
+    "q98_bpe_encode",        # duckdb string_split_regex + string_split
+    "q_stream_tumbling",     # duckdb time_bucket/epoch (same as q_events_tumbling)
     "q89_bpe_pair_stats",    # duckdb string_split_regex/list_transform
     "q90_trailing_burst",    # duckdb epoch() (Spark: cast ts to long)
     "q91_kmeans_update",     # duckdb list_sum/generate_series table fn
