@@ -45,7 +45,8 @@ _DRIVER_CHECK_PRIORITY = [
     "q82_bigram_lm_score", "q35_forecast", "q36_tfidf_search",
     "q75_bm25_search", "q76_length_histogram", "q78_vocab_topk",
     "q74_forecast_features", "q81_rolling_dau", "q_stream_tumbling",
-    "q97_semantic_dedup", "q98_bpe_encode", "q31_embedding_neardup",
+    "q97_semantic_dedup", "q98_bpe_encode", "q_stream_sessionize",
+    "q31_embedding_neardup",
     "q32_lsh_ann", "q33_multimodal_features", "q37_ivf_ann",
     # last driver-checked in round 3
     "q01_filter_project", "q02_in_list", "q03_distinct_notnull",

@@ -43,6 +43,8 @@ against a pure-Python greedy reference. Words are restricted to
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from eurostat_energy_etl_pipeline_spark.operators.text import whitespace_tokens
@@ -157,6 +159,72 @@ def train_bpe(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> Dat
         )
     finally:
         pinned.unpersist()
+
+
+def fertility_table(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document tokenizer-application stats as a scan-side Arrow
+    kernel: (id_col, n_words, n_pieces) for every document, where words
+    are the trainer's eligible tokens (lowercased whitespace tokens,
+    >= 2 chars, pure [a-z]) and n_pieces applies the ``merges`` list via
+    the delimiter-doubled replace chain — Python ``str.replace`` has the
+    same left-to-right non-overlapping contract as Spark's and DuckDB's
+    ``replace`` (fuzzed in test_bpe), so all three engines segment
+    identically.
+
+    Scale shape: ZERO shuffle — one mapInPandas pass over the documents,
+    embarrassingly parallel per partition (the q94 entropy-kernel
+    class). The encode/replace chain runs once per word TYPE via a
+    per-partition memo, so Zipf makes the amortized per-instance cost a
+    dict hit; the earlier broadcast-vocabulary formulation paid a
+    distinct shuffle + broadcast build for the same memoization.
+    Tokenizer contract: ASCII words only count (the [a-z]+ filter), so
+    engine differences in whitespace classes or case folding outside
+    ASCII cannot change which words are counted."""
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+    word = _re.compile(r"[a-z]+")
+    pats = [(f"_{a}__{b}_", f"_{a}{b}_") for a, b in merges]
+
+    def run(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            n_words = np.zeros(len(pdf), dtype=np.int64)
+            n_pieces = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                if not text:
+                    continue
+                wc = pc = 0
+                for w in ws.split(text.strip().lower()):
+                    if len(w) < 2 or not word.fullmatch(w):
+                        continue
+                    np_w = memo.get(w)
+                    if np_w is None:
+                        enc = "_" + "__".join(w) + "_"
+                        for s, r in pats:
+                            enc = enc.replace(s, r)
+                        np_w = enc.strip("_").count("__") + 1
+                        memo[w] = np_w
+                    wc += 1
+                    pc += np_w
+                n_words[i] = wc
+                n_pieces[i] = pc
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": n_words,
+                    "n_pieces": n_pieces,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, n_words long, n_pieces long"
+    )
 
 
 def segment_words(words: DataFrame, merges: list[tuple[str, str]],

@@ -17,24 +17,29 @@ VERDICT r4 item 8):
   `similarity.train_ivf_centroids`, or a `clustering.lloyd_update`
   refinement), each vector picks its nearest cell scan-side — zero
   shuffle, zero Python.
-- Candidate pairs come from ONE equi-join on the cell id: vectors
-  shuffle once, keyed by `cid`, and the pair stream is bounded by
-  sum(|cell|^2), never |corpus|^2. Sizing contract: pick k so cells stay
-  bounded (k ~ N / target_cell_size, the SemDeDup paper's regime); a
-  skewed cell is visible in `lloyd_update`'s n_points output and fixed
-  by re-centering (the documented IVF maintenance loop) rather than by a
-  silent in-operator split that would change which pairs are compared.
+- Vectors shuffle ONCE, keyed by `cid`, into a grouped Arrow kernel
+  that scores each cell with blockwise dense linear algebra — the
+  in-cell |cell|^2 pair stream lives only in task-local numpy blocks
+  (1024 x |cell| at a time, bounded memory) and is never materialized
+  as rows, the same revision that took the q88 LSH join from a 1 GB
+  per-pair Arrow transfer to a per-probe one. Work is bounded by
+  sum(|cell|^2), never |corpus|^2. Sizing contract: pick k so cells
+  stay bounded (k ~ N / target_cell_size, the SemDeDup paper's regime);
+  a grouped kernel cannot be AQE-split, so a skewed cell is visible in
+  `lloyd_update`'s n_points output and fixed by re-centering (the
+  documented IVF maintenance loop).
 - The keep rule is greedy keep-lowest-id: a vector is dropped iff a
   LOWER-id vector in the same cell has gridded cosine >= eps. This is
   the paper's "keep one point per epsilon-neighbourhood" made
   deterministic (their implementation keeps a random member; a total
-  order on ids is the reproducible equivalent), and it is one map-side
-  combinable aggregate over the thresholded pair stream — no iteration,
-  no connected components. (Chained near-dups A~B~C with cos(A,C) < eps
-  keep A and drop both B and C — same asymmetry the paper accepts.)
-- Cosines are gridded (`portable_round`, 1e-6 floor grid) BEFORE the
-  threshold, so the keep/drop boundary cannot flip between engines or
-  partitionings — the q87/q91 determinism contract.
+  order on ids is the reproducible equivalent). (Chained near-dups
+  A~B~C with cos(A,C) < eps keep A and drop both B and C — same
+  asymmetry the paper accepts.)
+- Cosines are computed with the LEFT-TO-RIGHT dimension fold (the
+  `cosine_batch_fold` arithmetic — bit-identical to the Catalyst HOF
+  fold and DuckDB's list arithmetic) and land on the 1e-6 floor grid
+  BEFORE the threshold, so the keep/drop boundary cannot flip between
+  engines or partitionings — the q87/q91 determinism contract.
 
 Reference parity: the reference has no embedding surface at all; this
 operator is part of the north-star LLM-pipeline family (SURVEY §2.13)
@@ -43,12 +48,16 @@ graded alongside the dedup/ANN operators.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from eurostat_energy_etl_pipeline_spark.functions.numeric import portable_round
 from eurostat_energy_etl_pipeline_spark.operators.clustering import assign_cells
-from eurostat_energy_etl_pipeline_spark.operators.similarity import cosine
+
+#: Query-block rows per in-kernel scoring step: bounds task memory at
+#: BLOCK x |cell| doubles no matter how large a cell grows.
+_BLOCK = 1024
 
 
 def semantic_dedup_keep_list(
@@ -70,25 +79,46 @@ def semantic_dedup_keep_list(
     assigned = assign_cells(df, centroids, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cid"
     )
-    hi = assigned.select("cid", F.col("id").alias("hi"), F.col("v").alias("v_a"))
-    lo = assigned.select("cid", F.col("id").alias("lo"), F.col("v").alias("v_b"))
-    dups = (
-        hi.join(lo, "cid")
-        .where(F.col("lo") < F.col("hi"))
-        .where(
-            portable_round(cosine(F.col("v_a"), F.col("v_b")), 6)
-            >= F.lit(float(eps))
+    eps_f = float(eps)
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", ignore_index=True)
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        n, d = V.shape
+        nrm = np.zeros(n)
+        for j in range(d):  # left-to-right fold == the Catalyst fold
+            nrm += V[:, j] * V[:, j]
+        nrm = np.sqrt(nrm)
+        keep = np.ones(n, dtype=np.int32)
+        dup = np.full(n, -1, dtype=np.int64)
+        col_idx = np.arange(n)
+        for s in range(0, n, _BLOCK):
+            t = min(s + _BLOCK, n)
+            dots = np.zeros((t - s, n))
+            for j in range(d):  # fold order again: per-dim accumulation
+                dots += np.outer(V[s:t, j], V[:, j])
+            denom = np.outer(nrm[s:t], nrm)
+            cos = np.divide(
+                dots, denom, out=np.zeros_like(dots), where=denom > 0
+            )
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            # lower-id mates only: ids are sorted, so columns < row index
+            elig = (cos >= eps_f) & (
+                col_idx[None, :] < np.arange(s, t)[:, None]
+            )
+            hit = elig.any(axis=1)
+            # argmax finds the FIRST qualifying column = the lowest id
+            first = elig.argmax(axis=1)
+            keep[s:t][hit] = 0
+            dup[s:t][hit] = ids[first[hit]]
+        return pd.DataFrame(
+            {"id": ids, "cid": pdf["cid"], "keep": keep, "dup_of": dup}
         )
-        .groupBy("hi")
-        .agg(F.min("lo").alias("dup_of"))
+
+    out = assigned.groupBy("cid").applyInPandas(
+        _cell, "id long, cid int, keep int, dup_of long"
     )
-    return (
-        assigned.select("id", "cid")
-        .join(dups, assigned["id"] == dups["hi"], "left")
-        .select(
-            F.col("id").alias(id_col),
-            "cid",
-            F.col("hi").isNull().cast("int").alias("keep"),
-            F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
-        )
+    return out.select(
+        F.col("id").alias(id_col), "cid", "keep", "dup_of"
     )

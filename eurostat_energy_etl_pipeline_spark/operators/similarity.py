@@ -704,6 +704,39 @@ def cosine_batch(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
+def cosine_batch_fold(a: Column, b: Column) -> Column:
+    """Arrow-vectorized rowwise cosine that is BIT-IDENTICAL to the
+    Catalyst HOF fold (:func:`cosine` + ``portable_round(.., 6)``): the
+    accumulation loops dimensions left-to-right exactly like
+    ``F.aggregate``'s sequential fold (and DuckDB's list arithmetic),
+    with the per-dimension work vectorized ACROSS the batch — so
+    exact-oracle pair streams get the ~20x kernel speedup of
+    :func:`cosine_batch` without giving up the deterministic summation
+    order the hash compare depends on. (einsum/matmul use pairwise/dgemm
+    summation whose last-ulp placement differs from a fold; a
+    grid-straddling ulp would flip a 6th decimal between engines.)"""
+
+    @F.pandas_udf("double")
+    def _cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        if not len(av):
+            return pd.Series([], dtype="float64")
+        A = np.stack(av.to_numpy()).astype(np.float64)
+        B = np.stack(bv.to_numpy()).astype(np.float64)
+        dots = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for j in range(A.shape[1]):  # left-to-right fold, dim-at-a-time
+            x, y = A[:, j], B[:, j]
+            dots += x * y
+            na += x * x
+            nb += y * y
+        denom = np.sqrt(na) * np.sqrt(nb)
+        cos = np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0)
+        return pd.Series(np.floor(cos * 1e6 + 0.5) / 1e6)
+
+    return _cos(a, b)
+
+
 def probe_buckets_col(bucket: Column, bits: int, radius: int = 1) -> Column:
     """Array of all bucket ids within hamming distance `radius` of
     `bucket`, built with bitwise column ops (1 + bits + bits*(bits-1)/2
@@ -734,57 +767,111 @@ def knn_join_lsh(
 ) -> DataFrame:
     """Approximate kNN join: LSH-bucket both corpora with shared
     hyperplane matrices (one per hash table), explode each query into its
-    multiprobe bucket set in every table, equi-join on the (table, bucket)
-    key, and exactly rerank the deduped candidate union per query.
+    multiprobe bucket set in every table, CO-GROUP the two sides on the
+    (table, bucket) key, score each cell with one BLAS matmul, and
+    exactly rerank the deduped per-query candidate union.
 
     This replaces the exact join's |L| x |R| pair stream with
-    sum over probed buckets of |L_bucket| x |R_bucket| — an EQUI-join the
-    engine shuffles by bucket key (AQE can split a hot bucket), never a
-    cross product. Independent tables raise recall as 1-(1-p)^T for the
-    per-table hit rate p. At rest, write the right side bucket-partitioned
-    (`write_ann_index`) and the probe side prunes partitions. Candidate
-    dedup happens per (qid, nid) before ranking because probe sets of
-    distinct tables/queries overlap.
+    sum over probed buckets of |L_bucket| x |R_bucket|, and — the round-5
+    revision — never MATERIALIZES that pair stream either: the
+    pairs-as-rows equi-join shape paid Arrow transfer of two vectors per
+    CANDIDATE PAIR (~1 GB at sf0.1; measured 3.3 s), where the co-group
+    ships each vector once per PROBE (O(P x |L| + T x |R|) rows), does
+    the cell's |L_b| x |R_b| scoring as a single dgemm, and emits only
+    each query's per-cell top-k — a lossless truncation, since rank
+    within a subset lower-bounds rank within the union, so anything
+    outside every cell top-k is outside the global top-k. The dedup
+    exchange then carries (qid, nid, cos) 24-byte rows, vectors never.
+    Scores land on the 1e-6 grid inside the kernel (same arithmetic as
+    :func:`cosine_batch`); duplicate instances across tables/probes
+    score identically, so keeping an arbitrary one is exact.
+
+    Skew contract: a co-grouped cell is one task (grouped kernels cannot
+    be AQE-split), so degenerate buckets — the hyperplane analogue of
+    dedup.py's ``max_bucket`` guard — are bounded by sizing ``bits`` so
+    E[|R_bucket|] stays in the thousands; at rest the neighbor side is
+    written bucket-partitioned (`write_ann_index`) and probes prune
+    partitions. Independent tables raise recall as 1-(1-p)^T for the
+    per-table hit rate p.
     """
     from pyspark.sql.window import Window
 
     dim = embedding_dim(right, vec_col)
-    a0 = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("_qv"))
-    b0 = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("_nv"))
-    a_parts, b_parts = [], []
-    for t in range(num_tables):
-        planes = hyperplanes(dim, bits, seed + t)
-        a_parts.append(
-            a0.withColumn(
-                "bucket",
-                F.explode(
-                    probe_buckets_col(
-                        bucket_of(F.col("_qv"), planes), bits, probe_radius
-                    )
-                ),
-            ).withColumn("tbl", F.lit(t))
-        )
-        b_parts.append(
-            b0.withColumn("bucket", bucket_of(F.col("_nv"), planes)).withColumn(
-                "tbl", F.lit(t)
-            )
-        )
-    a = a_parts[0]
-    for p in a_parts[1:]:
-        a = a.unionByName(p)
-    b = b_parts[0]
-    for p in b_parts[1:]:
-        b = b.unionByName(p)
-    # Score BEFORE the (qid, nid) dedup: probe sets of distinct tables
-    # overlap, so instances duplicate — but scoring map-side means the
-    # dedup exchange carries only (qid, nid, cos) 24-byte rows, never the
-    # vectors (dedup-first measured 3+ GB of vector shuffle at sf0.1).
-    # Duplicate instances score identically (same deterministic kernel),
-    # so keeping an arbitrary one is exact.
-    cand = a.join(b, ["tbl", "bucket"]).select(
+    # All T hyperplane tables evaluated in ONE Arrow kernel per side (a
+    # single scan + posexplode), replacing T unioned scans each paying
+    # bits x dim interpreted HOF-fold closures per row (measured ~0.9 s
+    # of the sf0.1 wall just building probes). The projection loops
+    # dimensions left-to-right, so each bit is bit-identical to
+    # `bucket_of`'s Catalyst fold.
+    planes_all = np.stack(
+        [hyperplanes(dim, bits, seed + t) for t in range(num_tables)]
+    )  # T x bits x dim
+
+    @F.pandas_udf("array<int>")
+    def _buckets_all_tables(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy()).astype(np.float64)  # n x dim
+        n = len(V)
+        proj = np.zeros((n, num_tables, bits))
+        for j in range(dim):  # left-to-right fold == the Catalyst fold
+            proj += V[:, j, None, None] * planes_all[None, :, :, j]
+        weights = (1 << np.arange(bits, dtype=np.int64))[None, None, :]
+        out = ((proj >= 0) * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(out))
+
+    a = left.select(
+        F.col(left_id).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        F.posexplode(_buckets_all_tables(F.col(vec_col))).alias("tbl", "_qb"),
+    ).select(
         "qid",
-        "nid",
-        cosine_batch(F.col("_qv"), F.col("_nv")).alias("cos"),
+        "_qv",
+        "tbl",
+        F.explode(
+            probe_buckets_col(F.col("_qb"), bits, probe_radius)
+        ).alias("bucket"),
+    )
+    b = right.select(
+        F.col(right_id).alias("nid"),
+        F.col(vec_col).alias("_nv"),
+        F.posexplode(_buckets_all_tables(F.col(vec_col))).alias(
+            "tbl", "bucket"
+        ),
+    )
+
+    def _score_cell(qdf: pd.DataFrame, ndf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "nid": [], "cos": []})
+        if not len(qdf) or not len(ndf):
+            return empty
+        A = np.stack(qdf["_qv"].to_numpy()).astype(np.float64)
+        B = np.stack(ndf["_nv"].to_numpy()).astype(np.float64)
+        nids = ndf["nid"].to_numpy()
+        order = np.argsort(nids, kind="stable")  # nid-asc tiebreak below
+        B, nids = B[order], nids[order]
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        denom = np.outer(na, nb)
+        cos = np.divide(
+            A @ B.T, denom, out=np.zeros((len(A), len(nids))), where=denom > 0
+        )
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        kk = min(k, len(nids))
+        # stable argsort over -cos with nid-sorted columns = per-query
+        # (cos DESC, nid ASC) — the exact rerank order.
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(qdf["qid"].to_numpy(), kk),
+                "nid": nids[idx].ravel(),
+                "cos": np.take_along_axis(cos, idx, axis=1).ravel(),
+            }
+        )
+
+    cand = (
+        a.groupby("tbl", "bucket")
+        .cogroup(b.groupby("tbl", "bucket"))
+        .applyInPandas(_score_cell, "qid long, nid long, cos double")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
     return (

@@ -1205,7 +1205,9 @@ def q93(spark, sf_dir):
     from eurostat_energy_etl_pipeline_spark.operators.bpe import train_bpe
 
     t = load_tables(spark, sf_dir)
-    return train_bpe(widen_if_narrow(t["documents"]), n_merges=5).orderBy("rank")
+    return presentation_sort(
+        train_bpe(widen_if_narrow(t["documents"]), n_merges=5), "rank"
+    )
 
 
 # q98: tokenizer APPLICATION at corpus grain. The merge list is static
@@ -1258,64 +1260,40 @@ def _bpe_apply_enc_sql() -> str:
 )
 def q98(spark, sf_dir):
     """Corpus-scale BPE tokenizer APPLICATION (`operators/bpe.
-    segment_words`) — the other half of the q93 loop: every document
+    fertility_table`) — the other half of the q93 loop: every document
     scored with per-doc word count, BPE piece count, and fertility
     (pieces per word, the tokenizer-efficiency metric every multilingual
-    corpus report tracks). The scale shape is the broadcast-vocabulary
-    join: the instance stream reduces to (doc, word-TYPE, multiplicity)
-    grain in one map-side-combined shuffle, the encode/replace chain
-    runs once per TYPE over the Zipf-bounded vocabulary (corpus-size
-    independent), and the piece counts flow back through a broadcast
-    hash join — no shuffle ever carries an encoded string, and the
-    replace chain never touches the instance stream. Exact DuckDB
-    differential over the identical static merge rules."""
+    corpus report tracks). Scale shape: ZERO shuffle — one scan-side
+    Arrow kernel pass (the q94 entropy-kernel class) that applies the
+    encode/replace chain once per word TYPE via a per-partition memo
+    (Zipf makes the amortized per-instance cost a dict hit), emitting
+    one row per document. The alternative broadcast-vocabulary-join
+    formulation measured 3x slower at sf0.1: it paid a distinct
+    shuffle + broadcast build + doc-keyed aggregate for the same
+    memoization the kernel gets task-locally. Exact DuckDB differential
+    over the identical static merge rules (Python/Spark/DuckDB replace
+    share the left-to-right non-overlapping contract, fuzzed in
+    test_bpe)."""
     from eurostat_energy_etl_pipeline_spark.operators.bpe import (
-        segment_words,
-    )
-    from eurostat_energy_etl_pipeline_spark.operators.text import (
-        whitespace_tokens,
+        fertility_table,
     )
 
     t = load_tables(spark, sf_dir)
     docs = widen_if_narrow(t["documents"])
-    wdm = (
-        docs.select(
-            "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("w")
+    stats = fertility_table(docs, _BPE_APPLY_RULES)
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        F.when(
+            F.col("n_words") > 0,
+            portable_round(
+                F.col("n_pieces").cast("double") / F.col("n_words"), 6
+            ),
         )
-        .where((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
-    vocab = wdm.select("w").distinct()
-    np_tbl = segment_words(vocab, _BPE_APPLY_RULES).select(
-        "w", F.size("pieces").alias("np")
-    )
-    agg = (
-        wdm.join(F.broadcast(np_tbl), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("m").alias("n_words"),
-            F.sum(F.col("m") * F.col("np")).alias("n_pieces"),
-        )
-    )
-    return (
-        docs.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
-            F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
-            F.when(
-                F.col("n_words") > 0,
-                portable_round(
-                    F.col("n_pieces").cast("double") / F.col("n_words"), 6
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("fertility"),
-        )
-        .orderBy("doc_id")
-    )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    ).orderBy("doc_id")
 
 
 @query(

@@ -49,7 +49,7 @@ def events_tumbling(spark, sf_dir):
             "n",
             "total",
         )
-        .orderBy("bucket_s", "event_type")
+        .transform(presentation_sort, "bucket_s", "event_type")
     )
 
 
@@ -208,7 +208,7 @@ def events_sliding(spark, sf_dir):
             "n",
             "total",
         )
-        .orderBy("win_start_s")
+        .transform(presentation_sort, "win_start_s")
     )
 
 
@@ -452,7 +452,7 @@ def q81_rolling_dau(spark, sf_dir):
             F.round(F.avg("dau").over(w), 4).alias("dau_7d_avg"),
             F.sum("n_events").over(w).alias("events_7d"),
         )
-        .orderBy("day")
+        .transform(presentation_sort, "day")
     )
 
 
@@ -598,5 +598,65 @@ def stream_tumbling(spark, sf_dir):
     return (
         spark.table(sink)
         .select("bucket_s", "event_type", "n", "total")
-        .orderBy("bucket_s", "event_type")
+        .transform(presentation_sort, "bucket_s", "event_type")
+    )
+
+
+@query(
+    "q_stream_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS INT) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+           CAST(floor(epoch(max(ts))) + {int(SESSION_GAP_S)} AS BIGINT)
+             AS end_s,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid ORDER BY user_id, start_s
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Session windows executed by STRUCTURED STREAMING's built-in state
+    merge (`session_window`, 30-min gap) under the driver's oracle gate —
+    the stateful-operator counterpart of q_stream_tumbling's stateless
+    rollup. The oracle is NOT the batch q_events_sessionize SQL, because
+    `session_window` has its own contract the oracle encodes faithfully:
+    an event exactly at gap distance starts a NEW session (windows are
+    end-exclusive, so the cut is `>= gap` where the batch lag-cut is
+    `> gap`), and a session's end is last-event + gap, not last-event.
+    The hash compare therefore certifies Spark's streaming session-merge
+    state machine against a relational gaps-and-islands derivation of
+    those exact semantics. Complete output mode for the same
+    drain-to-completion reason as q_stream_tumbling."""
+    import re as _re
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    sink = "q_stream_sessionize_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+    q = run_to_memory(
+        sessionize_stream(read_events_stream(spark, sf_dir)),
+        sink,
+        "complete",
+        available_now=True,
+    )
+    q.stop()
+    return (
+        spark.table(sink)
+        .select("user_id", "start_s", "end_s", "n_events")
+        .transform(presentation_sort, "user_id", "start_s")
     )

@@ -307,9 +307,12 @@ def q74(spark, sf_dir):
             "roll_std_3"
         ),
     )
-    return out.na.drop(
-        subset=["lag1", "lag2", "lag3", "roll_mean_3", "roll_std_3"]
-    ).orderBy("geo", "indicator", "yr")
+    return presentation_sort(
+        out.na.drop(
+            subset=["lag1", "lag2", "lag3", "roll_mean_3", "roll_std_3"]
+        ),
+        "geo", "indicator", "yr",
+    )
 
 
 @query(

@@ -747,7 +747,7 @@ def q49(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("nt").cast("long").alias("bin_tokens"),
         )
-        .orderBy("lang", "bin_id")
+        .transform(presentation_sort, "lang", "bin_id")
     )
 
 
