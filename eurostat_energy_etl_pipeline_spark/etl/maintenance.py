@@ -112,8 +112,13 @@ def compact_warehouse(
 
     # Broadcast-sized control tables: affected partitions + per-partition
     # output file counts. Partition counts are datasets x years — tiny.
+    import pandas as pd
+
     targets = spark.createDataFrame(
-        [(s.dataset_code, s.year, tgt) for s, tgt in todo],
+        pd.DataFrame(
+            [(s.dataset_code, s.year, tgt) for s, tgt in todo],
+            columns=["dataset_code", "year", "_n_out"],
+        ),
         "dataset_code string, year int, _n_out int",
     )
     existing = spark.read.parquet(warehouse_dir)

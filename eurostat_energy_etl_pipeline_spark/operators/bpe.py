@@ -154,8 +154,18 @@ def train_bpe(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> Dat
                 nxt.count()  # materialise BEFORE dropping the predecessor
                 pinned.unpersist()
                 pinned = cur = nxt
+        # Return as an Arrow-backed LocalTableScan: createDataFrame over a
+        # plain Python list parallelizes into a defaultParallelism-wide
+        # python RDD, and every later execution pays one Python-worker
+        # round-trip PER PARTITION (~3.3 s for 5 rows under coalesce(1),
+        # which folds all 32 evals into one task). The pandas path embeds
+        # the rows in the plan — execution is driver-local and free.
+        out = pd.DataFrame(
+            rows, columns=["rank", "left_sym", "right_sym", "merged", "n"]
+        )
         return spark.createDataFrame(
-            rows, "rank INT, left_sym STRING, right_sym STRING, merged STRING, n BIGINT"
+            out,
+            "rank INT, left_sym STRING, right_sym STRING, merged STRING, n BIGINT",
         )
     finally:
         pinned.unpersist()

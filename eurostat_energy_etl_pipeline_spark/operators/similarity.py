@@ -530,7 +530,13 @@ def write_ivf_index(
         .parquet(path)
     )
     spark = df.sparkSession
-    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    rows = pd.DataFrame(
+        {
+            "cell": range(len(cents)),
+            "centroid": [[float(x) for x in c] for c in cents],
+        }
+    )
+    # pandas -> LocalTableScan (no python-RDD partitions; the q93 lesson)
     spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}_centroids")

@@ -249,7 +249,14 @@ def events_range_join(spark, sf_dir):
     from eurostat_energy_etl_pipeline_spark.operators.temporal import range_join
 
     t = load_tables(spark, sf_dir)
-    iv = spark.createDataFrame(_CAMPAIGNS, ["campaign", "start_s", "end_s"]).select(
+    import pandas as pd
+
+    # pandas -> Arrow LocalTableScan: a plain-list createDataFrame slices
+    # 4 rows across defaultParallelism python-RDD partitions, each costing
+    # a Python-worker round-trip per execution (the q93 lesson).
+    iv = spark.createDataFrame(
+        pd.DataFrame(_CAMPAIGNS, columns=["campaign", "start_s", "end_s"])
+    ).select(
         "campaign",
         F.to_timestamp("start_s").alias("start_ts"),
         F.to_timestamp("end_s").alias("end_ts"),
