@@ -67,4 +67,5 @@ def load_all() -> None:
         northstar,
         events,
         corpus,
+        graph,
     )
