@@ -119,20 +119,23 @@ def pil_decode_features(payload: np.ndarray, dim: int = 8):
 
 def fake_decode_features(payload: np.ndarray, dim: int = 8) -> np.ndarray:
     """Deterministic stand-in decoder: fixed-size features from byte
-    statistics (vectorized numpy over the Arrow batch). Shape-compatible
-    with a real embedding extractor."""
-    out = np.zeros((len(payload), dim), dtype=np.float64)
-    for i, buf in enumerate(payload):
-        arr = np.frombuffer(buf, dtype=np.uint8) if len(buf) else np.zeros(1, np.uint8)
-        # chunk means via one cumsum + boundary differences (array_split
-        # allocates dim slices per row — measurably slower on small payloads)
-        edges = (np.arange(dim + 1) * len(arr)) // dim
-        csum = np.concatenate(([0.0], np.cumsum(arr, dtype=np.float64)))
-        widths = np.diff(edges)
-        with np.errstate(invalid="ignore"):
-            means = np.diff(csum[edges]) / widths
-        out[i] = np.where(widths > 0, means, 0.0)
-    return out
+    statistics. Fully batch-vectorized (round 5): ONE cumsum over the
+    batch's concatenated bytes + a 2-D gather at per-row slice edges —
+    no per-row Python loop. Chunk sums are exact float64 integers
+    (< 2^53), so the means are bit-identical to the per-row formulation.
+    Shape-compatible with a real embedding extractor."""
+    n = len(payload)
+    if n == 0:
+        return np.zeros((0, dim), dtype=np.float64)
+    lens = np.fromiter((len(b) for b in payload), np.int64, count=n)
+    buf = np.frombuffer(b"".join(payload), dtype=np.uint8)
+    csum = np.concatenate(([0.0], np.cumsum(buf, dtype=np.float64)))
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    k = np.arange(dim + 1, dtype=np.int64)
+    edges = starts[:, None] + (k[None, :] * lens[:, None]) // dim
+    widths = np.diff(edges, axis=1)
+    sums = np.diff(csum[edges], axis=1)
+    return np.where(widths > 0, sums / np.maximum(widths, 1), 0.0)
 
 
 def extract_features(

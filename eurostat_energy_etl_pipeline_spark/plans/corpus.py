@@ -1293,7 +1293,7 @@ def q98(spark, sf_dir):
         )
         .otherwise(F.lit(0.0))
         .alias("fertility"),
-    ).orderBy("doc_id")
+    )  # corpus-grain: unordered by design (see q33's sort note)
 
 
 @query(
@@ -1340,13 +1340,16 @@ def q94(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     e = char_entropy_table(t["documents"])
     ent_r = portable_round("entropy", 4)
+    # Corpus-grain result: no final global sort (see q33 — the range
+    # sampler would re-run the entropy kernel; the driver hash is
+    # order-insensitive).
     return e.select(
         "doc_id",
         "lang",
         "n_chars",
         ent_r.alias("entropy"),
         F.when(ent_r < 4.0, 1).otherwise(0).alias("low_entropy"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(

@@ -493,26 +493,29 @@ def q85_median_bridge(spark, sf_dir):
     the exact path is the expensive one (full sort per group); the
     certified sketch is what production dashboards serve."""
     t = load_tables(spark, sf_dir)
+    # ONE percentile aggregate with the array form: six scalar
+    # `percentile(...)` calls each maintain their own per-group value
+    # buffer and sort it independently — the array form shares one
+    # buffer and one sort for all six quantiles (same results, same
+    # function). Ditto the two sketch probes.
     agg = t["events"].groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr("percentile(value, 0.5D)").alias("med_exact"),
-        F.expr("percentile(value, 0.95D)").alias("p95_exact"),
-        F.expr("percentile(value, 0.48D)").alias("med_lo"),
-        F.expr("percentile(value, 0.52D)").alias("med_hi"),
-        F.expr("percentile(value, 0.93D)").alias("p95_lo"),
-        F.expr("percentile(value, 0.97D)").alias("p95_hi"),
-        F.expr("approx_percentile(value, 0.5D, 10000)").alias("med_approx"),
-        F.expr("approx_percentile(value, 0.95D, 10000)").alias("p95_approx"),
+        F.expr(
+            "percentile(value, array(0.5D, 0.95D, 0.48D, 0.52D, 0.93D, 0.97D))"
+        ).alias("px"),
+        F.expr("approx_percentile(value, array(0.5D, 0.95D), 10000)").alias(
+            "ax"
+        ),
     )
     ok = (F.col("n") < 50) | (
-        F.col("med_approx").between(F.col("med_lo"), F.col("med_hi"))
-        & F.col("p95_approx").between(F.col("p95_lo"), F.col("p95_hi"))
+        F.col("ax")[0].between(F.col("px")[2], F.col("px")[3])
+        & F.col("ax")[1].between(F.col("px")[4], F.col("px")[5])
     )
     return (
         agg.select(
             "event_type",
-            F.round("med_exact", 4).alias("median_value"),
-            F.round("p95_exact", 4).alias("p95_value"),
+            F.round(F.col("px")[0], 4).alias("median_value"),
+            F.round(F.col("px")[1], 4).alias("p95_value"),
             F.when(ok, 1).otherwise(0).alias("approx_ok"),
         )
         .transform(presentation_sort, "event_type")

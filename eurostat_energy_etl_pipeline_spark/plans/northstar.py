@@ -550,8 +550,15 @@ def q33(spark, sf_dir):
     tests/test_multimodal.py."""
     t = load_tables(spark, sf_dir)
     feats = extract_features(media_table(t["documents"]))
-    return feats.select("media_id", "media_type", "n_bytes", "width", "height").orderBy(
-        "media_id"
+    # No final global sort: a corpus-grain result is consumed as a SET
+    # (the driver's hash canonicalizes order), and a total-order sort
+    # costs a full range exchange PLUS a boundary-sampling job that
+    # re-executes the upstream — for kernel plans, a second full run of
+    # the Python stage. At 100 TB nobody globally sorts a per-item table
+    # for presentation; dimension-bounded results keep their
+    # presentation_sort.
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "width", "height"
     )
 
 
@@ -1210,7 +1217,8 @@ def q97(spark, sf_dir):
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
     ]
-    return semantic_dedup_keep_list(e, cents, eps=0.30).orderBy("vec_id")
+    # corpus-grain: unordered by design (see q33's sort note)
+    return semantic_dedup_keep_list(e, cents, eps=0.30)
 
 
 @query(
