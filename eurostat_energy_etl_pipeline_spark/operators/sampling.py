@@ -141,3 +141,59 @@ def hash_split(
             F.lit("test")
         ),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsamp",
+    out_col: str = "samp_key",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis-Spirakis A-ES scheme in log space: each row draws
+    u ~ Uniform(0,1) from the CONTENT HASH of ``key_col`` (the
+    hash_sample contract extended to weighted draws — no seed, no
+    shuffle, reproducible on any partitioning), scores
+    ``key = ln(u) / w``, and the global top-``k`` by key is the weighted
+    sample (P(row in sample) rises with w exactly as A-ES promises).
+
+    This is the quality-weighted corpus subsetting step of LLM data
+    curation ("sample 10M docs proportional to quality^alpha") made
+    reproducible: re-running over a regrown corpus keeps every previous
+    draw whose key still ranks.
+
+    Scale shape: u and key are scan-side expressions; the top-k is
+    ``orderBy(...).limit(k)`` → TakeOrderedAndProject (per-partition
+    heaps + a k-row driver merge, never a global sort). Keys land on a
+    1e-9 grid before ranking; at |key| <= ~20 that grid sits ~6 orders
+    of magnitude above cross-engine libm noise in ln/pow, so the DuckDB
+    differential is stable, and grid ties break on ``key_col``.
+
+    Weights must be positive; non-positive weights clamp to 1e-9
+    (effectively never sampled), matching the oracle's `greatest`.
+    """
+    from eurostat_energy_etl_pipeline_spark.functions.numeric import (
+        portable_round,
+    )
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-9))
+    key = portable_round(F.log(u) / w, 9)
+    return (
+        df.withColumn(out_col, key)
+        .orderBy(F.desc(out_col), key_col)
+        .limit(k)
+    )

@@ -1416,3 +1416,40 @@ def q96(spark, sf_dir):
         ).alias("pct", "n_types", "covered_tokens"),
         F.col("t").alias("total_tokens"),
     ).transform(presentation_sort, "pct")
+
+
+@query(
+    "q100_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           {portable_round_sql(
+               "ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) "
+               "|| 'wsamp'), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0) "
+               "/ greatest(CAST(n_chars AS DOUBLE), 0.000000001)", 9)}
+             AS samp_key
+    FROM documents
+    ORDER BY samp_key DESC, doc_id LIMIT 25
+    """,
+)
+def q100(spark, sf_dir):
+    """Deterministic quality-weighted corpus sampling
+    (`operators/sampling.weighted_sample_topk`): the Efraimidis-Spirakis
+    A-ES draw in log space with u derived from the content hash — the
+    "sample docs proportional to weight" step of corpus curation, made
+    seedless and partitioning-invariant (the hash_sample contract
+    extended to weighted draws). Weight here is n_chars, so longer
+    documents are proportionally likelier; the top-25 plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort). The
+    oracle replays the identical hash->uniform->ln(u)/w arithmetic;
+    keys land on the 1e-9 grid before ranking on both engines."""
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return weighted_sample_topk(
+        widen_if_narrow(t["documents"]).select("doc_id", "n_chars"),
+        "doc_id",
+        "n_chars",
+        k=25,
+    )

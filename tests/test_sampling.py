@@ -139,3 +139,53 @@ def test_mixture_sample_allocations_and_determinism(spark, sf_dir):
     ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
     reparted = mixture_sample(docs.repartition(7), "lang", "doc_id", budget=100)
     assert sorted(r["doc_id"] for r in reparted.select("doc_id").collect()) == ids
+
+
+class TestWeightedSample:
+    def test_matches_reference_formula_and_is_layout_invariant(self, spark):
+        """A-ES keys replayed in pure Python must pick the same top-k, and
+        the draw must be identical under a different partitioning (the
+        hash_sample reproducibility contract extended to weighted draws)."""
+        import hashlib
+        import math
+
+        from pyspark.sql import functions as F
+
+        from eurostat_energy_etl_pipeline_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+
+        rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, "id LONG, w LONG")
+
+        def ref_key(i, w):
+            u = (int(hashlib.md5(f"{i}wsamp".encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+            return math.floor(math.log(u) / w * 1e9 + 0.5) / 1e9
+
+        want = sorted(((ref_key(i, w), i) for i, w in rows), key=lambda t: (-t[0], t[1]))[:25]
+        got = [
+            (r["samp_key"], r["id"])
+            for r in weighted_sample_topk(df, "id", "w", k=25).collect()
+        ]
+        assert got == want
+        got13 = [
+            (r["samp_key"], r["id"])
+            for r in weighted_sample_topk(
+                df.repartition(13), "id", "w", k=25
+            ).collect()
+        ]
+        assert got13 == want
+
+    def test_weights_bias_inclusion(self, spark):
+        """Heavier rows must be sampled disproportionately: with weights
+        1 vs 100 split half/half, the heavy half should dominate the
+        sample (A-ES inclusion probability rises with weight)."""
+        from eurostat_energy_etl_pipeline_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+
+        rows = [(i, 100 if i < 500 else 1) for i in range(1000)]
+        df = spark.createDataFrame(rows, "id LONG, w LONG")
+        got = weighted_sample_topk(df, "id", "w", k=50).collect()
+        heavy = sum(1 for r in got if r["id"] < 500)
+        assert heavy >= 45, heavy
