@@ -46,7 +46,8 @@ _DRIVER_CHECK_PRIORITY = [
     "q75_bm25_search", "q76_length_histogram", "q78_vocab_topk",
     "q74_forecast_features", "q81_rolling_dau", "q_stream_tumbling",
     "q97_semantic_dedup", "q98_bpe_encode", "q_stream_sessionize",
-    "q99_pagerank", "q100_weighted_sample", "q31_embedding_neardup",
+    "q99_pagerank", "q100_weighted_sample", "q101_state_history",
+    "q31_embedding_neardup",
     "q32_lsh_ann", "q33_multimodal_features", "q37_ivf_ann",
     # last driver-checked in round 3
     "q01_filter_project", "q02_in_list", "q03_distinct_notnull",

@@ -670,3 +670,72 @@ def stream_sessionize(spark, sf_dir):
         .select("user_id", "start_s", "end_s", "n_events")
         .transform(presentation_sort, "user_id", "start_s")
     )
+
+
+@query(
+    "q101_state_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    transitions AS (
+      SELECT user_id, ts, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    hist AS (
+      SELECT user_id, event_type AS state,
+             CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+             CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts))) AS BIGINT)
+               AS valid_to_s
+      FROM transitions
+    )
+    SELECT user_id, state, valid_from_s,
+           coalesce(valid_to_s, -1) AS valid_to_s,
+           CASE WHEN valid_to_s IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM hist ORDER BY user_id, valid_from_s
+    """,
+)
+def q101_state_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension history built from an event
+    stream (`valid_from`/`valid_to`/`is_current` rows per state run) —
+    the temporal-table surface every warehouse needs for as-of
+    semantics, and the q_events_asof_join's natural companion: an as-of
+    probe against this table is an interval containment. Shape: one
+    window pass partitioned by the high-cardinality user key detects
+    state transitions (lag), a second pass closes each version with the
+    next transition's timestamp (lead) — two window functions over ONE
+    shuffle on user_id, no self-join, bounded rows per task. The open
+    version's valid_to is the -1 sentinel (nulls render differently
+    across engines), with is_current flagging it. At 100 TB this is the
+    standard CDC-to-SCD2 compaction run per partition of the change
+    log."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = t["events"].withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    transitions = ordered.where(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    hist = transitions.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.floor(F.col("ts").cast("double")).cast("long").alias("valid_from_s"),
+        F.floor(F.lead(F.col("ts").cast("double")).over(w2))
+        .cast("long")
+        .alias("valid_to_s"),
+    )
+    return hist.select(
+        "user_id",
+        "state",
+        "valid_from_s",
+        F.coalesce("valid_to_s", F.lit(-1)).alias("valid_to_s"),
+        F.col("valid_to_s").isNull().cast("int").alias("is_current"),
+    ).orderBy("user_id", "valid_from_s")

@@ -63,6 +63,7 @@ DUCKDB_ONLY = {
     "q_stream_tumbling",     # duckdb time_bucket/epoch (same as q_events_tumbling)
     "q_stream_sessionize",   # duckdb epoch/WINDOW idiom (same as q_events_sessionize)
     "q100_weighted_sample",  # duckdb CAST('0x..') hex parse (Spark: conv)
+    "q101_state_history",    # duckdb epoch/WINDOW idiom (same as q_events_sessionize)
     "q89_bpe_pair_stats",    # duckdb string_split_regex/list_transform
     "q90_trailing_burst",    # duckdb epoch() (Spark: cast ts to long)
     "q91_kmeans_update",     # duckdb list_sum/generate_series table fn
