@@ -103,7 +103,20 @@ def main() -> int:
             args = args[:-1]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     # Plain session: deliberately none of the repo's conf defaults.
-    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    # --weird swaps in a deliberately hostile configuration (local[3],
+    # shuffle.partitions=7, default.parallelism=5, 1k-row Arrow batches)
+    # for the parallelism/config-invariance sweep: results must be
+    # identical under any layout, batch shape, and bucket count.
+    b = SparkSession.builder.master("local[8]").appName("driver-sim")
+    if "--weird" in sys.argv:
+        b = (
+            SparkSession.builder.master("local[3]")
+            .appName("driver-sim-weird")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.default.parallelism", "5")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        )
+    spark = b.getOrCreate()
     import __spark_entry__ as m
 
     con = duckdb.connect()

@@ -431,3 +431,35 @@ def test_q97_semdedup_cell_equi_join_no_all_pairs(spark, queries):
     plan = plan_of(queries["q97_semantic_dedup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q99_pagerank_iterations_read_pinned_edges(spark, queries):
+    # Each power iteration must join against the PINNED, pre-partitioned
+    # edge table (InMemoryTableScan), never re-derive the fact-fact join
+    # per iteration (the 5.3s -> 1.2s round-5 fix); no cartesian/BNLJ.
+    df = queries["q99_pagerank"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()  # materialize pins
+    plan = plan_of(df)
+    assert "InMemoryTableScan" in plan or "Scan In-memory" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q100_weighted_sample_is_take_ordered(spark, queries):
+    # The weighted draw is a scan-side expression + TakeOrderedAndProject:
+    # per-partition heaps, never a global sort, no shuffle beyond the
+    # k-row driver merge.
+    plan = plan_of(queries["q100_weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert ") Window" not in plan
+    assert plan.count("+- Exchange") <= 1, plan  # widen only
+
+
+def test_q101_state_history_single_user_shuffle(spark, queries):
+    # SCD2 compaction is two window passes over ONE user-keyed exchange —
+    # no self-join, no second instance-grain shuffle.
+    plan = plan_of(queries["q101_state_history"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") >= 1
+    # exchanges: widen + the user_id window shuffle + presentation sort
+    assert plan.count("+- Exchange") <= 3, plan
