@@ -463,3 +463,48 @@ def test_q101_state_history_single_user_shuffle(spark, queries):
     assert plan.count("hashpartitioning(user_id") >= 1
     # exchanges: widen + the user_id window shuffle + presentation sort
     assert plan.count("+- Exchange") <= 3, plan
+
+
+def test_runtime_bloom_filter_injects_on_fact_fact_join(spark, queries):
+    """At 100 TB the selective side of a fact-fact join prunes the big
+    side via Spark's runtime bloom filter (row-level semi-join pushdown
+    into the scan). The size thresholds that gate injection are
+    production-scale, so this pins the CAPABILITY at fixture scale by
+    lowering them for one plan build: the filtered orders side must
+    inject `might_contain(...)` into the lineitem scan filter."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_orderstatus") == "F"
+        )
+        plan = plan_of(
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
