@@ -19,11 +19,12 @@ def test_short_keys_are_unique_and_line_fits_tail_capture():
         "queries": {s: 123.45 for s in shorts},
         "sf": 0.1,
         "n_queries": len(shorts),
-        "cold_sec": 9999.9999,
-        "core_q1_q22_sec": 9999.9999,
-        "throughput_wall_clock_sec": 9999.9999,
-        "seq_min": 9999.99,
-        "seq_median": 9999.99,
+        "cold": 9999.99,
+        "core": 9999.9999,
+        "tput": 9999.9999,
+        "smin": 9999.99,
+        "smed": 9999.99,
+        "xtra": 2,
         "ratio_x_gt": 99.999,
         "ratio_i_gt": 99.999,
         "full": "bench_full.json",
