@@ -1453,3 +1453,160 @@ def q100(spark, sf_dir):
         "n_chars",
         k=25,
     )
+
+
+# q102: the held-out evaluation composition — train the corpus bigram LM
+# on the content-hash train split, score the VAL split with Laplace
+# smoothing (unseen bigrams must not produce ln(0); alpha=1 over the
+# train vocabulary), roll up per language. This is how a production
+# pipeline actually uses q82's LM: quality-score NEW data against
+# counts from CURATED data, with a real train/test boundary.
+_LM_SPLIT_SALT = "lmsplit"
+_LM_TRAIN_RATE = 0.8
+
+
+@query(
+    "q102_heldout_lm",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS tk,
+             substr(md5(CAST(doc_id AS VARCHAR) || '{_LM_SPLIT_SALT}'), 1, 4)
+               < 'cccc' AS is_train
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, is_train,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM docs WHERE len(tk) >= 2
+    ),
+    vocab AS (
+      SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(tk) AS w FROM docs WHERE is_train)
+    ),
+    bgc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_bg
+            FROM bg WHERE is_train GROUP BY bigram),
+    pfc AS (SELECT split_part(bigram, ' ', 1) AS pfx,
+                   CAST(sum(c_bg) AS BIGINT) AS c_pfx
+            FROM bgc GROUP BY split_part(bigram, ' ', 1)),
+    vb AS (SELECT doc_id, lang, bigram, count(*) AS m
+           FROM bg WHERE NOT is_train GROUP BY doc_id, lang, bigram),
+    scored AS (
+      SELECT vb.doc_id, vb.lang, vb.m,
+             ln((CAST(coalesce(b.c_bg, 0) AS DOUBLE) + 1.0)
+                / (CAST(coalesce(p.c_pfx, 0) AS DOUBLE) + vocab.v)) AS lp,
+             CASE WHEN b.c_bg IS NULL THEN vb.m ELSE 0 END AS m_oov
+      FROM vb CROSS JOIN vocab
+      LEFT JOIN bgc b USING (bigram)
+      LEFT JOIN pfc p ON split_part(vb.bigram, ' ', 1) = p.pfx
+    ),
+    docscore AS (
+      SELECT doc_id, lang,
+             sum(m * lp) / sum(m) AS avg_logprob,
+             CAST(sum(m_oov) AS DOUBLE) / sum(m) AS oov_ratio
+      FROM scored GROUP BY doc_id, lang
+    )
+    SELECT lang, count(*) AS n_val_docs,
+           round(avg(avg_logprob), 4) AS mean_logprob,
+           round(avg(oov_ratio), 4) AS mean_oov_ratio
+    FROM docscore GROUP BY lang ORDER BY lang
+    """,
+)
+def q102(spark, sf_dir):
+    """Held-out bigram-LM evaluation (`the q82 LM with a real train/val
+    boundary`): counts train on the deterministic content-hash 80%
+    split (the q70 split contract — no seed, partitioning-invariant),
+    VAL documents score with Laplace smoothing
+    ln((c_bg+1)/(c_pfx+|V_train|)) so unseen bigrams contribute finite
+    mass, and the per-language rollup reports mean score plus the OOV
+    bigram-instance ratio (the distribution-shift signal). Same grain
+    discipline as q82: instances reduce to (doc, bigram, m) before any
+    corpus-wide key is touched; the smoothing scalar |V| broadcasts as
+    a 1-row cross join. At 100 TB this is the nightly
+    score-new-data-against-curated-counts job."""
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
+        sample_predicate,
+    )
+
+    t = load_tables(spark, sf_dir)
+    toks = F.filter(T.whitespace_tokens(F.col("text")), lambda x: x != "")
+    docs = (
+        widen_if_narrow(t["documents"])
+        .select(
+            "doc_id",
+            "lang",
+            toks.alias("tk"),
+            sample_predicate(
+                F.col("doc_id"), _LM_TRAIN_RATE, salt=_LM_SPLIT_SALT
+            ).alias("is_train"),
+        )
+    )
+    bg = (
+        docs.where(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "is_train",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram"),
+        )
+    )
+    v = (
+        docs.where("is_train")
+        .select(F.explode("tk").alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("v"))
+    )
+    bgc = (
+        bg.where("is_train")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+    )
+    pfc = bgc.groupBy(F.split(F.col("bigram"), " ")[0].alias("pfx")).agg(
+        F.sum("c_bg").alias("c_pfx")
+    )
+    vb = (
+        bg.where(~F.col("is_train"))
+        .groupBy("doc_id", "lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    scored = (
+        vb.crossJoin(F.broadcast(v))
+        .join(bgc, "bigram", "left")
+        .join(
+            pfc.withColumnRenamed("pfx", "_pfx"),
+            F.split(F.col("bigram"), " ")[0] == F.col("_pfx"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "m",
+            F.log(
+                (F.coalesce("c_bg", F.lit(0)).cast("double") + 1.0)
+                / (F.coalesce("c_pfx", F.lit(0)).cast("double") + F.col("v"))
+            ).alias("lp"),
+            F.when(F.col("c_bg").isNull(), F.col("m"))
+            .otherwise(F.lit(0))
+            .alias("m_oov"),
+        )
+    )
+    docscore = scored.groupBy("doc_id", "lang").agg(
+        (F.sum(F.col("m") * F.col("lp")) / F.sum("m")).alias("avg_logprob"),
+        (F.sum("m_oov").cast("double") / F.sum("m")).alias("oov_ratio"),
+    )
+    return (
+        docscore.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_val_docs"),
+            F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+            F.round(F.avg("oov_ratio"), 4).alias("mean_oov_ratio"),
+        )
+        .transform(presentation_sort, "lang")
+    )
