@@ -739,3 +739,144 @@ def q101_state_history(spark, sf_dir):
         F.coalesce("valid_to_s", F.lit(-1)).alias("valid_to_s"),
         F.col("valid_to_s").isNull().cast("int").alias("is_current"),
     ).orderBy("user_id", "valid_from_s")
+
+
+@query(
+    "q103_drift_psi",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
+      FROM events
+    ),
+    tagged AS (
+      SELECT e.event_type, e.value,
+             CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT) * 2
+                       < bounds.t0 + bounds.t1
+                  THEN 0 ELSE 1 END AS half
+      FROM events e CROSS JOIN bounds
+    ),
+    edges AS (
+      SELECT event_type,
+             list_transform(
+               quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9]),
+               x -> floor(x * 1e6 + 0.5) / 1e6) AS e
+      FROM tagged WHERE half = 0 GROUP BY event_type
+    ),
+    bucketed AS (
+      SELECT t.event_type, t.half,
+             CAST(len(list_filter(edges.e, x -> t.value > x)) AS INT)
+               AS bucket
+      FROM tagged t JOIN edges USING (event_type)
+    ),
+    counts AS (
+      SELECT event_type, bucket,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n_base,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n_cur
+      FROM bucketed GROUP BY event_type, bucket
+    ),
+    tot AS (
+      SELECT event_type, sum(n_base) AS tb, sum(n_cur) AS tc
+      FROM counts GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type,
+             (greatest(c.n_cur / t.tc, 0.000001)
+              - greatest(c.n_base / t.tb, 0.000001))
+             * ln(greatest(c.n_cur / t.tc, 0.000001)
+                  / greatest(c.n_base / t.tb, 0.000001)) AS term,
+             c.n_base, c.n_cur
+      FROM counts c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           round(sum(term), 4) AS psi,
+           CAST(sum(n_base) AS BIGINT) AS n_base,
+           CAST(sum(n_cur) AS BIGINT) AS n_cur,
+           CASE WHEN round(sum(term), 4) > 0.1 THEN 1 ELSE 0 END AS drifted
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q103_drift_psi(spark, sf_dir):
+    """Population-stability-index drift monitor — the production
+    data-quality check every feature/ingest pipeline schedules: per
+    event type, split the stream at its time midpoint, bucket CURRENT
+    values into the BASELINE half's deciles, and report
+    PSI = sum((q-p) * ln(q/p)) with the standard >0.1 drift flag.
+    Shape: one tiny bounds aggregate broadcast back (1 row), the decile
+    edges per type from ONE array-form percentile aggregate (the q85
+    buffer-sharing lesson) broadcast to the scan, bucket assignment as
+    a gridded array comparison (no join explosion — edges are 9 doubles
+    per type), then two map-side-combined aggregates. Proportions are
+    exact count ratios; edges grid to 1e-6 BEFORE bucketing and PSI
+    rounds to 1e-4, the q82 log-arithmetic tolerance class. Zero-count
+    current buckets smooth at 1e-6 (the PSI convention) so the log is
+    finite on both engines."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    bounds = ev.agg(
+        F.floor(F.min(F.col("ts").cast("double"))).cast("long").alias("t0"),
+        F.floor(F.max(F.col("ts").cast("double"))).cast("long").alias("t1"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        F.when(
+            F.floor(F.col("ts").cast("double")).cast("long") * 2
+            < F.col("t0") + F.col("t1"),
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    edges = (
+        tagged.where(F.col("half") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform("
+                "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,"
+                "0.6D,0.7D,0.8D,0.9D)), "
+                "x -> floor(x * 1e6 + 0.5) / 1e6)"
+            ).alias("e")
+        )
+    )
+    bucketed = tagged.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        "half",
+        F.size(
+            F.filter(F.col("e"), lambda x: F.col("value") > x)
+        ).cast("int").alias("bucket"),
+    )
+    counts = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n_base"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n_cur"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    p = F.greatest(F.col("n_base") / F.col("tb"), F.lit(1e-6))
+    q = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(1e-6))
+    terms = counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        ((q - p) * F.log(q / p)).alias("term"),
+        "n_base",
+        "n_cur",
+    )
+    psi = F.round(F.sum("term"), 4)
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            psi.alias("psi"),
+            F.sum("n_base").cast("long").alias("n_base"),
+            F.sum("n_cur").cast("long").alias("n_cur"),
+            F.when(psi > 0.1, 1).otherwise(0).alias("drifted"),
+        )
+        .transform(presentation_sort, "event_type")
+    )

@@ -65,6 +65,7 @@ DUCKDB_ONLY = {
     "q100_weighted_sample",  # duckdb CAST('0x..') hex parse (Spark: conv)
     "q101_state_history",    # duckdb epoch/WINDOW idiom (same as q_events_sessionize)
     "q102_heldout_lm",       # duckdb string_split_regex/list_* (same as q82)
+    "q103_drift_psi",        # duckdb epoch/quantile_cont-list (Spark: percentile array)
     "q89_bpe_pair_stats",    # duckdb string_split_regex/list_transform
     "q90_trailing_burst",    # duckdb epoch() (Spark: cast ts to long)
     "q91_kmeans_update",     # duckdb list_sum/generate_series table fn
