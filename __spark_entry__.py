@@ -47,7 +47,8 @@ _DRIVER_CHECK_PRIORITY = [
     "q74_forecast_features", "q81_rolling_dau", "q_stream_tumbling",
     "q97_semantic_dedup", "q98_bpe_encode", "q_stream_sessionize",
     "q99_pagerank", "q100_weighted_sample", "q101_state_history",
-    "q102_heldout_lm", "q103_drift_psi", "q31_embedding_neardup",
+    "q102_heldout_lm", "q103_drift_psi", "q104_ri_audit",
+    "q31_embedding_neardup",
     "q32_lsh_ann", "q33_multimodal_features", "q37_ivf_ann",
     # last driver-checked in round 3
     "q01_filter_project", "q02_in_list", "q03_distinct_notnull",

@@ -830,3 +830,71 @@ def q95(spark, sf_dir):
         )
         .transform(presentation_sort, "g_rf", "g_ls", "rf", "ls")
     )
+
+
+@query(
+    "q104_ri_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_rows,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders r LEFT JOIN customer c ON r.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', count(*),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM customer u LEFT JOIN nation n ON u.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier->nation', count(*),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY fk
+    """,
+)
+def q104_ri_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema — the
+    constraint-checking data-quality job a lakehouse runs after every
+    load (parquet enforces no FKs, so orphan detection IS the
+    constraint): for each declared relationship, total rows and orphan
+    count via a left join + null probe. Plan shape: the dimension sides
+    (orders keys / customer keys / nation) reduce to DISTINCT keys
+    before joining where the optimizer doesn't already, nation
+    broadcasts, and the fact-side joins are AQE skew-split-able; each
+    audit is one pass over its fact table. At 100 TB the same audit
+    runs per ingest partition and the orphan counts feed the DQ
+    dashboard (q_dq_probes' referential sibling)."""
+    t = load_tables(spark, sf_dir)
+
+    def audit(name, fact, fk, dim, pk):
+        return (
+            fact.join(
+                dim.select(F.col(pk).alias("_pk")).distinct(),
+                F.col(fk) == F.col("_pk"),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("_pk").isNull().cast("long")).alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    out = (
+        audit("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey")
+        .unionByName(
+            audit("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey")
+        )
+        .unionByName(
+            audit("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey")
+        )
+        .unionByName(
+            audit("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey")
+        )
+    )
+    return presentation_sort(out, "fk")
