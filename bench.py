@@ -22,6 +22,23 @@ import __spark_entry__ as entry_mod
 from eurostat_energy_etl_pipeline_spark.session import get_spark
 
 
+def _wait_for_quiet_window() -> float:
+    """Best-effort co-tenant-noise mitigation: poll /proc/loadavg and
+    delay the timed passes (bounded) until the 1-min average drops under
+    the threshold. BENCHNOTES r5: identical code measured 2.17-2.30x in
+    idle windows vs 2.42-2.54x under load — the committed snapshot
+    should not be hostage to a burst. Returns the loadavg at start."""
+    thresh = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "240"))
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > thresh and waited < max_wait:
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -41,9 +58,9 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 4)
 
     # Pass 2 (steady state): what a long-lived engine serves — this is the
-    # headline number. THREE full passes (VERDICT r3 item 7: identical code
+    # headline number. FIVE full passes (VERDICT r3 item 7: identical code
     # swung 1.71-2.10x with co-tenant load, so a single pass is not a
-    # reproducible ratio): per-query best-of-3 is the headline, and the
+    # reproducible ratio): per-query best-of-5 is the headline, and the
     # per-pass set walls are reported as min/median so the committed
     # number shows its own spread. The DuckDB baseline passes are
     # INTERLEAVED with the Spark passes (S,D,S,D,S,D) so a co-tenant
@@ -58,7 +75,14 @@ def main() -> None:
     oracles = entry_mod.oracle_sql()
     _duckdb_pass(duck_con, oracles, duck)  # warm DuckDB before timed passes
     duck = {}
-    for _ in range(3):
+    # FIVE interleaved pass-pairs, UNCONDITIONALLY (r5 advice: the old
+    # "add pairs only while the ratio is over target" rule was a
+    # one-sided, outcome-conditioned stopping rule that biased the
+    # committed statistic toward the target; a fixed count is the same
+    # monotone best-of-N minimum without the conditioning).
+    n_pass_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
+    load_start = _wait_for_quiet_window()
+    for _ in range(n_pass_pairs):
         wall = 0.0
         for name in sorted(queries):
             t0 = time.perf_counter()
@@ -108,25 +132,7 @@ def main() -> None:
         return out
 
     ratios = _ratios()
-    # Up to TWO extra interleaved pass-pairs when the ratio lands above
-    # the 2.0 target: per-query minima are monotone on BOTH sides, so an
-    # extra pair is strictly more data for the same statistic, never
-    # selective reporting — it exists because a multi-minute co-tenant
-    # burst can cover all three samples of a query (three same-code
-    # round-5 runs spanned 2.27-2.54x on load alone; see BENCHNOTES).
-    extra_passes = 0
-    while ratios["ratio_x_gt"] is not None and ratios["ratio_x_gt"] > 2.0 and extra_passes < 2:
-        wall = 0.0
-        for name in sorted(queries):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 4)
-            wall += dt
-            timings[name] = min(timings.get(name, dt), dt)
-        seq_walls.append(round(wall, 4))
-        _duckdb_pass(duck_con, oracles, duck)
-        extra_passes += 1
-        ratios = _ratios()
+    load_end = os.getloadavg()[0]
     matched = [n for n in duck if n in timings]
 
     total = round(sum(timings.values()), 4)
@@ -148,13 +154,16 @@ def main() -> None:
         # ~2 KB window (test_bench_contract pins the worst case). Full
         # names live in bench_full.json: cold=cold_sec,
         # core=core_q1_q22_sec, tput=throughput_wall_clock_sec,
-        # smin/smed=seq wall min/median, xtra=extra interleaved passes.
+        # smin/smed=seq wall min/median, xtra=pass-pairs beyond the
+        # historical 3 (now a FIXED count, never outcome-conditioned),
+        # load=[1-min loadavg at pass start, at pass end].
         "cold": round(sum(cold.values()), 2),
         "core": core,
         "tput": throughput_wall,
         "smin": round(min(seq_walls), 2),
         "smed": round(sorted(seq_walls)[len(seq_walls) // 2], 2),
-        "xtra": extra_passes,
+        "xtra": max(0, n_pass_pairs - 3),
+        "load": [round(load_start, 2), round(load_end, 2)],
         **ratios,
         "full": "bench_full.json",
     }
@@ -163,7 +172,9 @@ def main() -> None:
         "cold_sec": round(sum(cold.values()), 2),
         "core_q1_q22_sec": core,
         "throughput_wall_clock_sec": throughput_wall,
-        "extra_passes": extra_passes,
+        "pass_pairs": n_pass_pairs,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
         "seq_walls": seq_walls,
         "queries": timings,
         "queries_cold": cold,

@@ -788,9 +788,10 @@ def knn_join_lsh(
     within a subset lower-bounds rank within the union, so anything
     outside every cell top-k is outside the global top-k. The dedup
     exchange then carries (qid, nid, cos) 24-byte rows, vectors never.
-    Scores land on the 1e-6 grid inside the kernel (same arithmetic as
-    :func:`cosine_batch`); duplicate instances across tables/probes
-    score identically, so keeping an arbitrary one is exact.
+    Scores land on the 1e-6 grid inside the kernel, but the dgemm
+    summation's last ulp depends on cell shape, so duplicate instances
+    across tables/probes are NOT guaranteed bit-equal — the dedup takes
+    max(cos) per (qid, nid), which is deterministic either way.
 
     Skew contract: a co-grouped cell is one task (grouped kernels cannot
     be AQE-split), so degenerate buckets — the hyperplane analogue of
@@ -879,9 +880,15 @@ def knn_join_lsh(
         .cogroup(b.groupby("tbl", "bucket"))
         .applyInPandas(_score_cell, "qid long, nid long, cos double")
     )
+    # BLAS dgemm's last-ulp summation depends on matrix SHAPE, so the same
+    # (qid,nid) pair scored in two different (tbl,bucket) cells is not
+    # guaranteed bit-identical after the 1e-6 grid — dedup with max(cos)
+    # (deterministic regardless of which cell a row came from), never
+    # dropDuplicates (keeps a partition-order-dependent instance).
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
     return (
-        cand.dropDuplicates(["qid", "nid"])
+        cand.groupBy("qid", "nid")
+        .agg(F.max("cos").alias("cos"))
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= k)
     )

@@ -682,7 +682,7 @@ def stream_sessionize(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     transitions AS (
-      SELECT user_id, ts, event_type
+      SELECT user_id, ts, event_id, event_type
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     ),
@@ -690,7 +690,8 @@ def stream_sessionize(spark, sf_dir):
       SELECT user_id, event_type AS state,
              CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
              CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
-                                             ORDER BY ts))) AS BIGINT)
+                                             ORDER BY ts, event_id)))
+                  AS BIGINT)
                AS valid_to_s
       FROM transitions
     )
@@ -723,7 +724,10 @@ def q101_state_history(spark, sf_dir):
         F.col("prev_type").isNull()
         | (F.col("event_type") != F.col("prev_type"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreak: two transitions for one user at the same ts
+    # (possible in principle, like the sessionize queries) would otherwise
+    # make valid_to_s partition-order-dependent on both engines.
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     hist = transitions.select(
         "user_id",
         F.col("event_type").alias("state"),

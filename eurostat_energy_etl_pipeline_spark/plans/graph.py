@@ -45,12 +45,51 @@ def _grid(col):
     return F.floor(col * _G + 0.5) / _G
 
 
+#: q99's prepared graph per (applicationId, sf_dir) — the T4
+#: session-lifetime cache pattern (catalog.cached_view), held here
+#: because the cached value is a (DataFrame, DataFrame, int) triple.
+_PREPARED_GRAPHS: dict[tuple[str, str], tuple[DataFrame, DataFrame, int]] = {}
+
+
+def prepare_graph(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Persist the iteration-invariant graph state for :func:`pagerank`.
+
+    Returns ``(nodes, base, n_nodes)``. Degree-annotated edges and the
+    node set are PINNED: every iteration joins against both, and without
+    the persist each of the N iterations re-derives the edge
+    construction (here: a fact-fact join + distinct) from scratch —
+    measured 5.3 s -> ~1.5 s at sf0.1 for 3 iterations. Bounded state
+    (|E| + |V| rows, no payloads), same lifetime contract as the T4
+    cached views. The pinned table is PRE-PARTITIONED on the join key
+    (the textbook iterative-join layout): the cached partitioning
+    satisfies every iteration's join requirement, so only the O(|V|)
+    rank table shuffles per iteration — the edge table never moves
+    again. THE CALLER OWNS THE LIFETIME: either unpersist after the
+    ranks are materialized (what :func:`pagerank` does when it prepares
+    its own state) or hold it session-long (what q99 does via the
+    prepared-graph cache).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    base = edges.join(deg, src).repartition(F.col(src)).persist()
+    n_nodes = nodes.count()  # O(1) driver scalar, fixes the teleport mass
+    return nodes, base, n_nodes
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = DAMPING,
     n_iter: int = N_ITER,
     src: str = "src",
     dst: str = "dst",
+    prepared: tuple[DataFrame, DataFrame, int] | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -60,27 +99,20 @@ def pagerank(
     symmetric, so there are no dangling nodes — document before reusing
     on one-directional graphs). ``n_iter`` fixed small and unrolled by
     the driver: each iteration is one join + one aggregate.
+
+    When ``prepared`` is None the function pins its own graph state,
+    then MATERIALIZES the final ranks (localCheckpoint — eager, lineage
+    truncated) and unpersists the pins before returning, so repeated
+    invocations do not accumulate session-lifetime cache entries (r5
+    advice). Callers that run many pagerank passes over the same graph
+    should :func:`prepare_graph` once and pass it in; they own that
+    lifetime.
     """
-    spark = edges.sparkSession
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .persist()
-    )
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    # Degree-annotated edges and the node set are PINNED: every iteration
-    # joins against both, and without the persist each of the N
-    # iterations re-derives the edge construction (here: a fact-fact
-    # join + distinct) from scratch — measured 5.3 s -> ~1.5 s at sf0.1
-    # for 3 iterations. Bounded state (|E| + |V| rows, no payloads),
-    # same lifetime contract as the T4 cached views. The pinned table is
-    # PRE-PARTITIONED on the join key (the textbook iterative-join
-    # layout): the cached partitioning satisfies every iteration's join
-    # requirement, so only the O(|V|) rank table shuffles per iteration
-    # — the edge table never moves again.
-    base = edges.join(deg, src).repartition(F.col(src)).persist()
-    n_nodes = nodes.count()  # O(1) driver scalar, fixes the teleport mass
+    own = prepared is None
+    if own:
+        nodes, base, n_nodes = prepare_graph(edges, src=src, dst=dst)
+    else:
+        nodes, base, n_nodes = prepared
     teleport = float((1.0 - damping)) / n_nodes
     init = round(1.0 / n_nodes, 12)
     ranks = nodes.select("node", F.lit(init).alias("rank"))
@@ -107,6 +139,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+    if own:
+        # Materialize before dropping the pins: localCheckpoint executes
+        # the plan and truncates lineage, so the returned DataFrame no
+        # longer references nodes/base and the unpersist is safe.
+        ranks = ranks.localCheckpoint()
+        nodes.unpersist()
+        base.unpersist()
     return ranks
 
 
@@ -129,7 +168,7 @@ def pagerank(
            FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
            GROUP BY e.dst),
     r1 AS (SELECT v.node,
-                  floor(({1.0 - DAMPING:.2f} / n.n
+                  floor(({(1.0 - DAMPING)!r} / n.n
                          + {DAMPING} * CAST(coalesce(s1.m, 0) AS DOUBLE))
                         * 1e12 + 0.5) / 1e12 AS rank
            FROM v CROSS JOIN n LEFT JOIN s1 ON v.node = s1.node),
@@ -139,7 +178,7 @@ def pagerank(
            FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
            GROUP BY e.dst),
     r2 AS (SELECT v.node,
-                  floor(({1.0 - DAMPING:.2f} / n.n
+                  floor(({(1.0 - DAMPING)!r} / n.n
                          + {DAMPING} * CAST(coalesce(s2.m, 0) AS DOUBLE))
                         * 1e12 + 0.5) / 1e12 AS rank
            FROM v CROSS JOIN n LEFT JOIN s2 ON v.node = s2.node),
@@ -149,7 +188,7 @@ def pagerank(
            FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src
            GROUP BY e.dst),
     r3 AS (SELECT v.node,
-                  floor(({1.0 - DAMPING:.2f} / n.n
+                  floor(({(1.0 - DAMPING)!r} / n.n
                          + {DAMPING} * CAST(coalesce(s3.m, 0) AS DOUBLE))
                         * 1e12 + 0.5) / 1e12 AS rank
            FROM v CROSS JOIN n LEFT JOIN s3 ON v.node = s3.node)
@@ -166,21 +205,33 @@ def q99(spark, sf_dir):
     sum as exact decimals, so the DuckDB unrolled-CTE oracle
     hash-matches bit-for-bit (the q91 determinism recipe applied to an
     iterated fixpoint). Ranks are reported in parts-per-million so the
-    presentation grid is well inside the certified precision."""
-    t = load_tables(spark, sf_dir)
-    e0 = (
-        t["orders"]
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    presentation grid is well inside the certified precision.
+
+    The prepared graph (pinned nodes + degree-annotated pre-partitioned
+    edges + |V|) is cached per (session, sf_dir) under the T4 contract —
+    the edge DERIVATION (orders⋈lineitem distinct + symmetrize) runs
+    once per session, not once per invocation, and repeated invocations
+    do not stack fresh persist entries (r5 advice). Each call still
+    executes the three iterations against the pins."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    prepared = _PREPARED_GRAPHS.get(key)
+    if prepared is None:
+        t = load_tables(spark, sf_dir)
+        e0 = (
+            t["orders"]
+            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    ranks = pagerank(edges)
+        edges = e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        prepared = prepare_graph(edges)
+        _PREPARED_GRAPHS[key] = prepared
+    ranks = pagerank(edges=None, prepared=prepared)
     return (
         ranks.select(
             "node", F.round(F.col("rank") * 1e6, 4).alias("rank_ppm")

@@ -25,6 +25,7 @@ def test_short_keys_are_unique_and_line_fits_tail_capture():
         "smin": 9999.99,
         "smed": 9999.99,
         "xtra": 2,
+        "load": [99.99, 99.99],
         "ratio_x_gt": 99.999,
         "ratio_i_gt": 99.999,
         "full": "bench_full.json",
