@@ -19,17 +19,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
-from eurostat_energy_etl_pipeline_spark.session import get_spark
+from eurostat_energy_etl_pipeline_spark.session import autotune_for_input, get_spark
 
 
-def _wait_for_quiet_window() -> float:
+def _wait_for_quiet_window(max_wait: float | None = None) -> float:
     """Best-effort co-tenant-noise mitigation: poll /proc/loadavg and
     delay the timed passes (bounded) until the 1-min average drops under
     the threshold. BENCHNOTES r5: identical code measured 2.17-2.30x in
     idle windows vs 2.42-2.54x under load — the committed snapshot
-    should not be hostage to a burst. Returns the loadavg at start."""
+    should not be hostage to a burst. Returns the loadavg at start.
+
+    r6 advice: called before the COLD pass and (with a small bound)
+    between pass-pairs too, so a burst landing mid-window delays the
+    next pair instead of polluting it. Every wait is bounded; the worst
+    case adds ~4 min before the cold pass + ~1 min per pair."""
     thresh = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4.0"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "240"))
+    if max_wait is None:
+        max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "240"))
     waited = 0.0
     load = os.getloadavg()[0]
     while load > thresh and waited < max_wait:
@@ -43,6 +49,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench", cpus=cpus)
+    # Size the shuffle layer to the measured input (r7): partitions from
+    # input bytes at the 64 MB advisory size, AQE only above the scale
+    # where per-stage re-planning amortizes. See session.autotune_for_input.
+    tuned = autotune_for_input(spark, sf_dir)
 
     queries = entry_mod.queries()
 
@@ -51,6 +61,7 @@ def main() -> None:
     # caches (observations / yearly-series / TF-IDF index; SURVEY §2.9 T4 —
     # the reference holds the same state in st.cache_data / lru_cache for
     # the life of its process). Reported as cold_sec.
+    _wait_for_quiet_window()  # gate the cold pass too (r6 advice)
     cold: dict[str, float] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
@@ -82,7 +93,9 @@ def main() -> None:
     # monotone best-of-N minimum without the conditioning).
     n_pass_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     load_start = _wait_for_quiet_window()
-    for _ in range(n_pass_pairs):
+    for i in range(n_pass_pairs):
+        if i:  # bounded re-check between pairs (r6 advice)
+            _wait_for_quiet_window(max_wait=60)
         wall = 0.0
         for name in sorted(queries):
             t0 = time.perf_counter()
@@ -182,6 +195,7 @@ def main() -> None:
         "duckdb_matched_sec": round(sum(duck[n] for n in matched), 4),
         "spark_matched_sec": round(sum(timings[n] for n in matched), 4),
         "gt_oracles": sorted(gt_oracles),
+        "autotune": tuned,
         "key_map": {_short(k): k for k in timings},
     }
     here = os.path.dirname(os.path.abspath(__file__))

@@ -55,9 +55,13 @@ _RUNTIME_CONF: dict[str, str] = {
     # DuckDB timestamps are UTC-naive; oracle hash parity must not depend on
     # the host timezone.
     "spark.sql.session.timeZone": "UTC",
-    # AQE: runtime shuffle-partition coalescing + skew-join splitting. A
-    # foreign session without these runs 200-task exchanges on tiny inputs.
-    "spark.sql.adaptive.enabled": "true",
+    # AQE sub-features (active whenever AQE itself is on): runtime
+    # shuffle-partition coalescing + skew-join splitting. The master
+    # `spark.sql.adaptive.enabled` switch is deliberately NOT forced here
+    # (r7): it defaults to true on any Spark ≥3.2 session, and forcing it
+    # at every load_tables call silently overrode session.autotune_for_input's
+    # measured choice to run SMALL inputs with static plans (every earlier
+    # "AQE off" A/B was a placebo because of this line — see BENCHNOTES r7).
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the pandas_udf / mapInPandas boundaries.

@@ -1563,19 +1563,25 @@ def q102(spark, sf_dir):
         .select(F.explode("tk").alias("w"))
         .agg(F.count_distinct("w").cast("double").alias("v"))
     )
+    # Shared instance reduction (the q82 ReusedExchange discipline, r7):
+    # BOTH count tables derive from one (doc, split, bigram) multiplicity
+    # aggregate — its exchange is planned once and reused, so the corpus
+    # is tokenized and its bigrams exploded exactly ONCE for the counting
+    # side (the train/val filters sit ABOVE the shared aggregate). The
+    # old shape filtered bg twice BELOW two separate shuffles, paying the
+    # tokenize+explode scan twice and shuffling raw instances twice.
+    db = bg.groupBy("doc_id", "lang", "is_train", "bigram").agg(
+        F.count(F.lit(1)).alias("m")
+    )
     bgc = (
-        bg.where("is_train")
+        db.where("is_train")
         .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .agg(F.sum("m").alias("c_bg"))
     )
     pfc = bgc.groupBy(F.split(F.col("bigram"), " ")[0].alias("pfx")).agg(
         F.sum("c_bg").alias("c_pfx")
     )
-    vb = (
-        bg.where(~F.col("is_train"))
-        .groupBy("doc_id", "lang", "bigram")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
+    vb = db.where(~F.col("is_train")).select("doc_id", "lang", "bigram", "m")
     scored = (
         vb.crossJoin(F.broadcast(v))
         .join(bgc, "bigram", "left")

@@ -698,7 +698,7 @@ def stream_sessionize(spark, sf_dir):
     SELECT user_id, state, valid_from_s,
            coalesce(valid_to_s, -1) AS valid_to_s,
            CASE WHEN valid_to_s IS NULL THEN 1 ELSE 0 END AS is_current
-    FROM hist ORDER BY user_id, valid_from_s
+    FROM hist ORDER BY user_id, valid_from_s, state, valid_to_s
     """,
 )
 def q101_state_history(spark, sf_dir):
@@ -742,7 +742,11 @@ def q101_state_history(spark, sf_dir):
         "valid_from_s",
         F.coalesce("valid_to_s", F.lit(-1)).alias("valid_to_s"),
         F.col("valid_to_s").isNull().cast("int").alias("is_current"),
-    ).orderBy("user_id", "valid_from_s")
+        # (state, valid_to_s) tiebreaks: two same-user transitions CAN share
+        # a ts (r6 advice) — the driver hash row-sorts so this is
+        # presentation-only, but the declared ORDER BY should still be as
+        # total as the output schema allows, and it matches the oracle's.
+    ).orderBy("user_id", "valid_from_s", "state", "valid_to_s")
 
 
 @query(
@@ -854,32 +858,49 @@ def q103_drift_psi(spark, sf_dir):
             F.filter(F.col("e"), lambda x: F.col("value") > x)
         ).cast("int").alias("bucket"),
     )
-    counts = bucketed.groupBy("event_type", "bucket").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+    # ONE aggregate from the bucketed stream to the answer (r7): the
+    # bucket domain is the fixed 0..9 decile grid, so the per-bucket
+    # base/current counts pivot into 20 conditional sums keyed by
+    # event_type alone, and the PSI fold over buckets is column
+    # arithmetic on that single row — the former counts -> tot ->
+    # terms -> final chain (two more exchanges plus a broadcast of
+    # the totals) collapses into map-side-combined partial aggregation.
+    # Empty buckets contribute exactly 0 (both proportions floor to the
+    # 1e-6 smoothing constant, ln(1) = 0), matching the oracle's
+    # missing-row semantics bit-for-bit.
+    kb = [
+        F.sum(
+            F.when((F.col("half") == 0) & (F.col("bucket") == b), 1).otherwise(0)
+        )
         .cast("double")
-        .alias("n_base"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .alias(f"_b{b}")
+        for b in range(10)
+    ]
+    kc = [
+        F.sum(
+            F.when((F.col("half") == 1) & (F.col("bucket") == b), 1).otherwise(0)
+        )
         .cast("double")
-        .alias("n_cur"),
-    )
-    tot = counts.groupBy("event_type").agg(
-        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
-    )
-    p = F.greatest(F.col("n_base") / F.col("tb"), F.lit(1e-6))
-    q = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(1e-6))
-    terms = counts.join(F.broadcast(tot), "event_type").select(
-        "event_type",
-        ((q - p) * F.log(q / p)).alias("term"),
-        "n_base",
-        "n_cur",
-    )
-    psi = F.round(F.sum("term"), 4)
+        .alias(f"_c{b}")
+        for b in range(10)
+    ]
+    agg = bucketed.groupBy("event_type").agg(*kb, *kc)
+    tb = sum((F.col(f"_b{b}") for b in range(1, 10)), F.col("_b0"))
+    tc = sum((F.col(f"_c{b}") for b in range(1, 10)), F.col("_c0"))
+
+    def _term(b: int):
+        p = F.greatest(F.col(f"_b{b}") / F.col("_tb"), F.lit(1e-6))
+        q = F.greatest(F.col(f"_c{b}") / F.col("_tc"), F.lit(1e-6))
+        return (q - p) * F.log(q / p)
+
+    agg = agg.withColumn("_tb", tb).withColumn("_tc", tc)
+    psi = F.round(sum((_term(b) for b in range(1, 10)), _term(0)), 4)
     return (
-        terms.groupBy("event_type")
-        .agg(
+        agg.select(
+            "event_type",
             psi.alias("psi"),
-            F.sum("n_base").cast("long").alias("n_base"),
-            F.sum("n_cur").cast("long").alias("n_cur"),
+            F.col("_tb").cast("long").alias("n_base"),
+            F.col("_tc").cast("long").alias("n_cur"),
             F.when(psi > 0.1, 1).otherwise(0).alias("drifted"),
         )
         .transform(presentation_sort, "event_type")

@@ -214,6 +214,11 @@ def q99(spark, sf_dir):
     do not stack fresh persist entries (r5 advice). Each call still
     executes the three iterations against the pins."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    # Evict entries from previous SparkContexts (r6 advice): after a
+    # session restart in the same process the old keys reference
+    # DataFrames of a stopped context and can never be hit again.
+    for stale in [k for k in _PREPARED_GRAPHS if k[0] != key[0]]:
+        del _PREPARED_GRAPHS[stale]
     prepared = _PREPARED_GRAPHS.get(key)
     if prepared is None:
         t = load_tables(spark, sf_dir)

@@ -45,6 +45,56 @@ DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def autotune_for_input(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Size the shuffle layer to the INPUT, not to a constant.
+
+    Two runtime settings follow from total input bytes (the only
+    statistic known before the first job):
+
+    - ``spark.sql.shuffle.partitions`` = input_bytes / 64 MB (the
+      advisory post-shuffle partition size Spark's own AQE targets),
+      clamped to [4, 200000]. A constant (the old 32) over-partitions
+      small inputs — at sf0.1 (17 MB of parquet) every reduce stage ran
+      32 near-empty tasks whose scheduling overhead dominated — and
+      under-partitions large ones. At 100 TB the formula yields
+      ~1.6 M-partition shuffles, which is what a 1000-executor cluster
+      wants BEFORE AQE coalesces per-stage from runtime sizes.
+
+    - ``spark.sql.adaptive.enabled`` on iff the computed partition
+      count exceeds 64. AQE's mechanism (materialize every exchange as
+      its own job, then re-plan from observed sizes) is priced per
+      STAGE, and at interactive scale that price is the whole query:
+      the full 120-query set at sf0.1/local[32] measured 37.1 s with
+      the static 32-partition config, 29.4 s resizing partitions alone,
+      and 24.8-26.7 s resizing with AQE off (BENCHNOTES r7 A/B) —
+      runtime re-planning had nothing left to optimize once the static
+      sizes were right. Above the threshold the trade inverts: skew
+      splitting and runtime coalescing are non-optional at warehouse
+      scale, exactly as the session default (AQE on) assumes.
+
+    Called by bench.py before the timed passes; any long-lived serving
+    process should call it (or set the equivalent) per deployment. The
+    driver's correctness runs keep the session defaults — result
+    equality under both configs is part of the hostile-config sweep
+    (scripts/driver_sim.py --weird).
+    """
+    total = 0
+    try:
+        for name in os.listdir(sf_dir):
+            if name.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(sf_dir, name))
+    except OSError:
+        return {}
+    parts = max(4, min(200_000, total // (64 << 20)))
+    conf = {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.adaptive.enabled": "true" if parts > 64 else "false",
+    }
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    return conf
+
+
 def get_spark(
     app_name: str = "eurostat-energy-etl-pipeline-spark",
     cpus: str | int | None = None,

@@ -117,6 +117,12 @@ def main() -> int:
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
         )
     spark = b.getOrCreate()
+    if "--autotune" in sys.argv:
+        # The bench-time conf (input-sized shuffle partitions, AQE off at
+        # interactive scale): the sweep must be green under it too.
+        from eurostat_energy_etl_pipeline_spark.session import autotune_for_input
+
+        print("autotune:", autotune_for_input(spark, sf_dir))
     import __spark_entry__ as m
 
     con = duckdb.connect()
