@@ -851,12 +851,20 @@ def q103_drift_psi(spark, sf_dir):
             ).alias("e")
         )
     )
+    # Degenerate-input guard (r7 advice): an event_type whose baseline
+    # values are all NULL yields NULL percentile edges; Spark's
+    # size(filter(NULL, ...)) is -1 where DuckDB's len(list_filter(NULL))
+    # is NULL — DuckDB keeps those rows as one extra (NULL-bucket) group
+    # in its totals, so route them to sentinel bucket 10 here and give
+    # the pivot an 11-wide domain. With non-null edges the sentinel
+    # column is all-zero and contributes exactly 0 to the PSI fold.
     bucketed = tagged.join(F.broadcast(edges), "event_type").select(
         "event_type",
         "half",
-        F.size(
-            F.filter(F.col("e"), lambda x: F.col("value") > x)
-        ).cast("int").alias("bucket"),
+        F.when(F.col("e").isNull(), F.lit(10))
+        .otherwise(F.size(F.filter(F.col("e"), lambda x: F.col("value") > x)))
+        .cast("int")
+        .alias("bucket"),
     )
     # ONE aggregate from the bucketed stream to the answer (r7): the
     # bucket domain is the fixed 0..9 decile grid, so the per-bucket
@@ -874,7 +882,7 @@ def q103_drift_psi(spark, sf_dir):
         )
         .cast("double")
         .alias(f"_b{b}")
-        for b in range(10)
+        for b in range(11)
     ]
     kc = [
         F.sum(
@@ -882,11 +890,11 @@ def q103_drift_psi(spark, sf_dir):
         )
         .cast("double")
         .alias(f"_c{b}")
-        for b in range(10)
+        for b in range(11)
     ]
     agg = bucketed.groupBy("event_type").agg(*kb, *kc)
-    tb = sum((F.col(f"_b{b}") for b in range(1, 10)), F.col("_b0"))
-    tc = sum((F.col(f"_c{b}") for b in range(1, 10)), F.col("_c0"))
+    tb = sum((F.col(f"_b{b}") for b in range(1, 11)), F.col("_b0"))
+    tc = sum((F.col(f"_c{b}") for b in range(1, 11)), F.col("_c0"))
 
     def _term(b: int):
         p = F.greatest(F.col(f"_b{b}") / F.col("_tb"), F.lit(1e-6))
@@ -894,7 +902,7 @@ def q103_drift_psi(spark, sf_dir):
         return (q - p) * F.log(q / p)
 
     agg = agg.withColumn("_tb", tb).withColumn("_tc", tc)
-    psi = F.round(sum((_term(b) for b in range(1, 10)), _term(0)), 4)
+    psi = F.round(sum((_term(b) for b in range(1, 11)), _term(0)), 4)
     return (
         agg.select(
             "event_type",

@@ -1,16 +1,20 @@
 """SparkSession factory tuned for this engine.
 
 Local-mode defaults match the test/bench environment (local[N] single JVM);
-the same settings are what we would submit to a real cluster: AQE on (runtime
-shuffle-partition coalescing + skew-join splitting), UTC session timezone so
-results hash-compare against the DuckDB oracle, Arrow transfers for the
-pandas-UDF slow path.
+the same settings are what we would submit to a real cluster: UTC session
+timezone so results hash-compare against the DuckDB oracle, Arrow transfers
+for the pandas-UDF slow path, broadcast threshold at the default 10 MB so
+dimension tables (region/nation/...) broadcast and fact-fact joins sort-merge.
 
-At 100 TB the knobs that matter are expressed here once: adaptive execution
-re-plans shuffle partition counts from runtime statistics, so we do not
-hand-tune `spark.sql.shuffle.partitions` per query; broadcast threshold stays
-at the default 10 MB so dimension tables (region/nation/...) broadcast and
-fact-fact joins sort-merge.
+Shuffle sizing is two-tier. The session DEFAULTS (below) are the safe
+warehouse posture: AQE on (runtime shuffle-partition coalescing + skew-join
+splitting) with a 32-partition static starting point. ``autotune_for_input``
+then RESIZES the shuffle layer from total input bytes — small interactive
+inputs get few partitions and AQE off (the re-planning price is the whole
+query at that scale), large inputs get proportionally many partitions with
+AQE kept on. bench.py and any long-lived serving process call it per
+deployment; correctness runs keep the defaults, and result equality under
+both configs is part of the hostile-config sweep.
 """
 
 from __future__ import annotations
@@ -56,9 +60,14 @@ def autotune_for_input(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       clamped to [4, 200000]. A constant (the old 32) over-partitions
       small inputs — at sf0.1 (17 MB of parquet) every reduce stage ran
       32 near-empty tasks whose scheduling overhead dominated — and
-      under-partitions large ones. At 100 TB the formula yields
-      ~1.6 M-partition shuffles, which is what a 1000-executor cluster
-      wants BEFORE AQE coalesces per-stage from runtime sizes.
+      under-partitions large ones. The 200k cap is deliberate: raw
+      input/64 MB at 100 TB would be ~1.6 M map-side buckets, but
+      shuffles operate on the POST-FILTER/POST-PROJECT stream (a small
+      fraction of scan bytes), the shuffle-file count grows as
+      maps x reduces, and above the cap AQE's skew splitting — kept on
+      in exactly this regime — re-expands any partition that lands over
+      the 64 MB advisory target. 200k x 64 MB ≈ 12.8 TB of in-flight
+      shuffle per stage before AQE has to split anything.
 
     - ``spark.sql.adaptive.enabled`` on iff the computed partition
       count exceeds 64. AQE's mechanism (materialize every exchange as
@@ -80,10 +89,19 @@ def autotune_for_input(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """
     total = 0
     try:
-        for name in os.listdir(sf_dir):
-            if name.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(sf_dir, name))
+        # Walk recursively: Spark writes tables as DIRECTORIES of part
+        # files (possibly hive-partitioned several levels deep); a
+        # top-level-only listdir would see 0 bytes for such a warehouse
+        # and silently clamp a large deployment to 4 partitions/AQE-off.
+        for dirpath, _dirnames, filenames in os.walk(sf_dir):
+            for name in filenames:
+                if name.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, name))
     except OSError:
+        return {}
+    if total == 0:
+        # Nothing measurable (empty dir, non-parquet layout): keep the
+        # session defaults rather than imposing the small-input floor.
         return {}
     parts = max(4, min(200_000, total // (64 << 20)))
     conf = {

@@ -92,15 +92,23 @@ def lint_oracles(con, oracles: dict) -> int:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # Positional args = everything that isn't a flag OR a flag's value
+    # (--first/--only take one), so `--only q103` never becomes sf_dir.
+    value_idx = set()
+    for flag in ("--first", "--only"):
+        if flag in sys.argv:
+            value_idx.add(sys.argv.index(flag) + 1)
+    args = [
+        a
+        for i, a in enumerate(sys.argv)
+        if i > 0 and i not in value_idx and not a.startswith("--")
+    ]
     exact = "--exact" in sys.argv
     hash_mode = "--hash" in sys.argv
     lint = "--lint" in sys.argv
     first_n = None
     if "--first" in sys.argv:
         first_n = int(sys.argv[sys.argv.index("--first") + 1])
-        if args and args[-1] == str(first_n):
-            args = args[:-1]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     # Plain session: deliberately none of the repo's conf defaults.
     # --weird swaps in a deliberately hostile configuration (local[3],
