@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tiebreak — regenerated each round by scripts in this repo's workflow.
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
+    # never driver-checked (new this round)
+    "q105_triangle_count", "q106_pit_attribution", "q_stream_dedup",
     # last driver-checked in round 3
     "q28_lang_id", "q29_token_stats", "q30_quality_buckets", "q38_set_ops",
     "q40_rollup", "q41_approx_distinct", "q42_stats_agg", "q43_join_chain",

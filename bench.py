@@ -250,6 +250,7 @@ _ABBREV = {
     "q_events_type_stats": "e_stats",
     "q_stream_tumbling": "s_tumb",
     "q_stream_sessionize": "s_sess",
+    "q_stream_dedup": "s_dd",
 }
 
 

@@ -913,3 +913,150 @@ def q103_drift_psi(spark, sf_dir):
         )
         .transform(presentation_sort, "event_type")
     )
+
+
+@query(
+    "q106_pit_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    transitions AS (
+      SELECT user_id, ts, event_id, event_type AS state
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    merged AS (
+      SELECT user_id, ts, 1 AS kind, event_id, state,
+             CAST(NULL AS BIGINT) AS pid
+      FROM transitions
+      UNION ALL
+      SELECT user_id, ts, 0 AS kind, event_id, CAST(NULL AS VARCHAR), event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tagged AS (
+      SELECT user_id, pid,
+             last_value(state IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_state
+      FROM merged
+    )
+    SELECT coalesce(prior_state, '(none)') AS prior_state,
+           count(*) AS n_purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tagged WHERE pid IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q106_pit_attribution(spark, sf_dir):
+    """Point-in-time attribution against the q101 SCD2 state stream: for
+    every purchase, the state the user was in STRICTLY BEFORE the
+    purchase's own timestamp (the purchase event is itself a transition
+    at that instant, so an as-of-or-equal lookup would always
+    self-attribute). This is the production "what was the customer doing
+    when they converted" join, and the strict variant of q_events_asof's
+    union-scan trick: transitions and purchase probes are tagged into ONE
+    user-keyed stream ordered by (ts, kind, event_id) with probes
+    sorting BEFORE same-instant transitions, so one window pass with
+    last(state, ignorenulls) resolves every probe against exactly the
+    transitions with ts' < ts — no range join, no per-probe subquery,
+    O(|stream|) state per user partition. Same-(user, ts) transition
+    ties resolve by event_id on both engines (the q101 r6 lesson).
+    Shape: one lag window + one merged window, both keyed by the
+    high-cardinality user_id — two shuffles total, AQE skew-split-able."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("kind"),
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.lit(None).cast("long").alias("pid"),
+        )
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.col("event_id").alias("pid"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = transitions.unionByName(probes).withColumn(
+        "prior_state", F.last("state", ignorenulls=True).over(w2)
+    )
+    return (
+        tagged.where(F.col("pid").isNotNull())
+        .groupBy(
+            F.coalesce("prior_state", F.lit("(none)")).alias("prior_state")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .transform(presentation_sort, "prior_state")
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, value, props, ts FROM events)
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact deduplication under the driver's oracle gate: the
+    event stream is DOUBLED in-flight (explode of a 2-element array — a
+    deliberate duplication fault injected inside the same micro-batch, so
+    the dedup operator provably fires on every row rather than passing a
+    dup-free fixture through), drained through
+    `streaming/events.dedup_stream` (watermarked dropDuplicates on an
+    8-byte xxhash64 content key + event time), and the surviving rows
+    roll up per type. The oracle is the batch DISTINCT over the payload
+    columns, so the hash compare certifies that streaming state dedup
+    emits exactly one survivor per distinct (payload, ts) — counts AND
+    the exact-decimal value totals. Append output mode: dropDuplicates
+    emits on first sight (no watermark hold-back), the production shape
+    for an ingest firehose where state holds only content keys inside
+    the lateness horizon and is GC'd beyond it."""
+    import re as _re
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    doubled = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("_copy")
+    )
+    sink = "q_stream_dedup_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+    q = run_to_memory(dedup_stream(doubled), sink, "append", available_now=True)
+    q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum("value"), 4).alias("total"),
+        )
+        .transform(presentation_sort, "event_type")
+    )

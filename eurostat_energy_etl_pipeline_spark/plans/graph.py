@@ -244,3 +244,115 @@ def q99(spark, sf_dir):
         .orderBy(F.desc("rank_ppm"), "node")
         .limit(20)
     )
+
+
+def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Degree-oriented triangle counting over an undirected edge list
+    (one row per unordered pair, ``a < b`` canonical form, no self-loops).
+
+    Returns one row: (n_nodes, n_edges, n_wedges, n_triangles).
+
+    Scale shape — the node-iterator bound (Chiba–Nishizeki / the
+    Suri–Vassilvitskii MR-style orientation): every edge is ORIENTED from
+    its lower-(degree, id) endpoint to its higher one, so wedges are
+    enumerated only at each edge's lighter endpoint and the wedge count is
+    Σ C(d⁺(v), 2) with d⁺ ≤ O(√|E|) for every v — a celebrity node of
+    degree d contributes O(d) oriented edges but only O(√|E|)² wedge
+    pairs, instead of the O(d²) a naive enumeration pays. Execution is
+    three hash equi-joins (orient, wedge-close, triangle-close); every
+    shuffle is keyed by node or node-pair (AQE skew-split-able), nothing
+    is collected, and the oriented edge table is cached because both the
+    wedge join's sides and the closing join probe it.
+    """
+    deg = (
+        edges.select(F.col(a).alias("n"))
+        .unionAll(edges.select(F.col(b).alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db_ = deg.alias("da"), deg.alias("db")
+    lower_first = (F.col("da.d") < F.col("db.d")) | (
+        (F.col("da.d") == F.col("db.d")) & (F.col(a) < F.col(b))
+    )
+    oriented = (
+        edges.join(da, F.col(a) == F.col("da.n"))
+        .join(db_, F.col(b) == F.col("db.n"))
+        .select(
+            F.when(lower_first, F.col(a)).otherwise(F.col(b)).alias("s"),
+            F.when(lower_first, F.col(b)).otherwise(F.col(a)).alias("t"),
+        )
+        .cache()
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedges = e1.join(e2, F.col("e1.t") == F.col("e2.s")).select(
+        F.col("e1.s").alias("wa"), F.col("e2.t").alias("wc")
+    )
+    tris = wedges.join(
+        e3, (F.col("wa") == F.col("e3.s")) & (F.col("wc") == F.col("e3.t"))
+    )
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
+        .crossJoin(F.broadcast(tris.agg(F.count(F.lit(1)).alias("n_triangles"))))
+    )
+
+
+@query(
+    "q105_triangle_count",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT x.p AS a, y.p AS b
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+      GROUP BY x.p, y.p HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+      GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS s,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS t
+      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+    ),
+    w AS (SELECT e1.s AS wa, e2.t AS wc FROM o e1 JOIN o e2 ON e1.t = e2.s)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM w) AS n_wedges,
+           (SELECT count(*) FROM w JOIN o e3 ON e3.s = w.wa AND e3.t = w.wc)
+             AS n_triangles
+    """,
+)
+def q105_triangle_count(spark, sf_dir):
+    """Triangle census of the part co-purchase graph — the graph-shape
+    profile (clustering structure) every recommender / fraud pipeline
+    derives from a co-occurrence graph. Nodes are parts; an edge connects
+    two parts that co-occur in >= 2 distinct orders (the market-basket
+    support floor, which prunes the quadratic noise tail of single-order
+    coincidences BEFORE any graph stage — at 100 TB the support filter is
+    a map-side-combinable HAVING on the pair aggregate, not a post-hoc
+    filter). Wedge and triangle enumeration is degree-oriented (see
+    count_triangles): per-node work is bounded by O(sqrt(|E|)) fan-out,
+    so a hub part cannot quadratically explode any task. Everything is
+    integer-exact; the DuckDB oracle replays the identical orientation,
+    so the wedge/triangle counts certify the join cascade bit-for-bit.
+    Pair generation is the same-key self-join on l_orderkey (bounded
+    per-order fan-out C(items,2)); the pair aggregate's exchange is
+    reused between the support filter and the degree rollup."""
+    t = load_tables(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= 2)
+        .select("a", "b")
+    )
+    return count_triangles(pairs)

@@ -88,3 +88,37 @@ def test_catalog_delivers_canonical_timestamps(spark, sf_dir):
     assert dict(cat["events"].dtypes)["ts"] == "timestamp"
     assert dict(cat["orders"].dtypes)["o_orderdate"] == "timestamp"
     assert dict(cat["lineitem"].dtypes)["l_shipdate"] == "timestamp"
+
+
+def test_autotune_walks_directory_tables_and_keeps_defaults_on_empty(
+    spark, tmp_path
+):
+    """r7 advice: directory-style parquet tables (Spark's own output
+    layout) must contribute their bytes to autotune's input sizing, and a
+    dir with no parquet at all must leave the session defaults untouched
+    instead of clamping to the 4-partition/AQE-off floor."""
+    from eurostat_energy_etl_pipeline_spark.session import autotune_for_input
+
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+
+    # Empty dir: no conf change at all.
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert autotune_for_input(spark, str(empty)) == {}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+
+    # Directory-style table: nested part files are counted (the returned
+    # conf is the small-input floor here, but total>0 means it ENGAGED).
+    wh = tmp_path / "wh" / "observations"
+    wh.mkdir(parents=True)
+    tbl = pa.table({"x": list(range(100))})
+    pq.write_table(tbl, wh / "part-00000.parquet")
+    conf = autotune_for_input(spark, str(tmp_path / "wh"))
+    assert conf["spark.sql.shuffle.partitions"] == "4"
+    assert conf["spark.sql.adaptive.enabled"] == "false"
+
+    # Restore the session defaults for later tests.
+    spark.conf.set("spark.sql.shuffle.partitions", before_parts)
+    spark.conf.set("spark.sql.adaptive.enabled", before_aqe)
