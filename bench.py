@@ -204,7 +204,44 @@ def main() -> None:
     # ONE compact line (short keys, 2dp, no spaces): the driver captures only
     # the output tail, and round 2's full-name line overflowed it
     # (BENCH_r02.json parsed: null). Full per-query data -> bench_full.json.
-    print(json.dumps(summary, separators=(",", ":")))
+    print(_render_summary(summary))
+
+
+#: Drop order for ancillary summary keys when the line nears the driver's
+#: 2000-char tail window (r8: the registry hit 126 queries and the fixed
+#: layout's worst case crossed the budget). Everything dropped here is
+#: still in bench_full.json under its long name.
+_DROP_ORDER = ["load", "xtra", "full", "smed", "cold", "core", "smin"]
+
+_LINE_BUDGET = 1900
+
+
+def _render_summary(summary: dict) -> str:
+    """Serialize the summary to ONE line guaranteed under the driver's
+    output-tail window: drop ancillary keys (in _DROP_ORDER), then cut
+    per-query precision to 1dp, then shed the FASTEST per-query entries
+    (slowest-first keep, count recorded as 'q_dropped'). The realistic
+    sf0.1 line (~1700 chars at 126 queries) triggers none of these; the
+    ladder exists so registry growth degrades the line's detail, never
+    its parseability."""
+    s = dict(summary)
+    line = json.dumps(s, separators=(",", ":"))
+    for k in _DROP_ORDER:
+        if len(line) < _LINE_BUDGET:
+            return line
+        s.pop(k, None)
+        line = json.dumps(s, separators=(",", ":"))
+    if len(line) >= _LINE_BUDGET:
+        s["queries"] = {k: round(v, 1) for k, v in s["queries"].items()}
+        line = json.dumps(s, separators=(",", ":"))
+    while len(line) >= _LINE_BUDGET and s["queries"]:
+        keep = sorted(s["queries"], key=lambda k: -s["queries"][k])
+        drop = keep[-max(1, len(keep) // 10):]
+        for k in drop:
+            del s["queries"][k]
+        s["q_dropped"] = summary["n_queries"] - len(s["queries"])
+        line = json.dumps(s, separators=(",", ":"))
+    return line
 
 
 def _duckdb_connect(sf_dir: str):

@@ -856,3 +856,87 @@ def dup_span_coverage(
             4,
         ).alias("dup_coverage"),
     )
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    threshold: float = 0.6,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join (all pairs with J >= threshold)
+    via prefix filtering (PPJoin-family; Chaudhuri et al. "A Primitive
+    Operator for Similarity Joins") — the no-false-negative counterpart
+    of the MinHash+LSH pipeline (q25): LSH trades recall for speed;
+    prefix filtering keeps exactness and prunes candidates instead.
+
+    Principle: order every document's shingle set by ONE global total
+    order (here: (corpus doc-frequency, shingle) — rarest first). If
+    J(A,B) >= t, the pair must agree on at least one shingle inside each
+    side's PREFIX (the first |S| - ceil(t*|S|) + 1 shingles in that
+    order); so candidate generation joins only on prefix shingles.
+    Rarity-first ordering makes prefix buckets small by construction —
+    the corpus's hottest shingles (the skew that melts a naive
+    token-bucket join at 100 TB) are precisely the ones pushed OUT of
+    every prefix. Candidates then verify with the exact Jaccard.
+
+    Stages, all shuffle-keyed on bounded-cardinality keys:
+      1. (doc, shingle) explode + shingle doc-frequency aggregate;
+      2. per-doc rarity-sorted shingle ranking (one doc-keyed aggregate;
+         the sort is per-row array sort, no window);
+      3. prefix explode -> self equi-join on the shingle (the one
+         exchange is planned once and reused by both sides) -> distinct
+         candidate pairs;
+      4. verify: candidates join the per-doc sets (doc-keyed) and the
+         exact jaccard() filter keeps J >= t.
+
+    Returns (id_a, id_b, jacc) with jacc on the 1e-6 grid, id_a < id_b.
+    """
+    import math as _math
+
+    sets = widen_if_narrow(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(token_shingles(F.col(text_col), k)).alias("s"),
+    )
+    toks = sets.select("id", F.explode("s").alias("tk"))
+    freq = toks.groupBy("tk").agg(F.count(F.lit(1)).alias("df_"))
+    # Rarity order per doc: sort (df_, tk) structs row-side; prefix length
+    # p = n - ceil(t*n) + 1. ceil over exact integer arithmetic (no float
+    # ceil: ceil(t*n) = floor((num*n + den - 1)/den) with t = num/den on
+    # the 1e-6 grid) so both engines agree for every n.
+    num = int(round(threshold * 1_000_000))
+    den = 1_000_000
+    n_ = F.size(F.col("order"))
+    p = n_ - F.floor((F.lit(num) * n_ + den - 1) / den).cast("int") + 1
+    ranked = (
+        toks.join(freq, "tk")
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df_"), F.col("tk")))
+            ).alias("order")
+        )
+    )
+    prefix = ranked.select(
+        "id", F.explode(F.slice(F.col("order"), 1, p)).alias("o")
+    ).select("id", F.col("o.tk").alias("tk"))
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cands = (
+        pa.join(
+            pb,
+            (F.col("pa.tk") == F.col("pb.tk"))
+            & (F.col("pa.id") < F.col("pb.id")),
+        )
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    jc = portable_round(jaccard(F.col("s_a"), F.col("s_b")), 6)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jc.alias("jacc"))
+        .where(F.col("jacc") >= threshold)
+    )

@@ -1294,3 +1294,184 @@ def q92(spark, sf_dir):
         D.dup_span_coverage(widen_if_narrow(t["documents"]), k=8)
         .orderBy("id")
     )
+
+
+@query(
+    "q107_prefix_jaccard_join",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jacc FROM (
+      SELECT c.id_a, c.id_b,
+             floor((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles)))) * 1e6 + 0.5) / 1e6 AS jacc
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+    ) WHERE jacc >= 0.5 ORDER BY id_a, id_b
+    """,
+)
+def q107(spark, sf_dir):
+    """EXACT Jaccard similarity join at >= 0.5 via prefix filtering
+    (operators/dedup.prefix_jaccard_join) — the zero-false-negative
+    alternative to q25's MinHash+LSH over the SAME ground-truth pair set:
+    LSH certifies recall probabilistically; prefix filtering is exact by
+    construction and prunes candidates with the rarity-ordered prefix
+    lemma instead of banding. The oracle is the same exhaustive
+    token-bucket ground truth as q25's, so the driver hash certifies
+    both that no qualifying pair is missed AND that no sub-threshold
+    pair leaks through. The corpus's hottest shingles are pushed out of
+    every prefix by the (doc-frequency, shingle) global order — the
+    skew-bucket blow-up a naive token join pays at 100 TB is pruned
+    before the join, not split after it."""
+    t = load_tables(spark, sf_dir)
+    return D.prefix_jaccard_join(t["documents"], threshold=0.5, k=3).transform(
+        presentation_sort, "id_a", "id_b"
+    )
+
+
+def _gd_oracle_sql(n_iter: int = 3, eta: float = 0.5) -> str:
+    """Unrolled DuckDB oracle for q108 (the q99 unrolling recipe): every
+    per-row residual and gradient contribution is gridded to 1e-12 and
+    summed as DECIMAL(30,12) (order-independent), weight updates repeat
+    the identical IEEE double expression tree, so three full GD
+    iterations stay bit-equal across engines."""
+    r_expr = (
+        "floor((((w.a + w.b * xq) + w.c * xd) - y) * 1e12 + 0.5) / 1e12"
+    )
+    ctes = [
+        "s AS (SELECT max(l_quantity) AS qm, max(l_extendedprice) AS ym,"
+        " CAST(count(*) AS DOUBLE) AS n FROM lineitem)",
+        "b AS (SELECT l_quantity / s.qm AS xq, l_discount AS xd,"
+        " l_extendedprice / s.ym AS y FROM lineitem CROSS JOIN s)",
+        "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"r{i} AS (SELECT xq, xd, {r_expr} AS r"
+            f" FROM b CROSS JOIN w{i} w)"
+        )
+        ctes.append(
+            f"g{i} AS (SELECT"
+            " CAST(sum(CAST(floor(r * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12))) AS DOUBLE) AS g0,"
+            " CAST(sum(CAST(floor(r * xq * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12))) AS DOUBLE) AS g1,"
+            " CAST(sum(CAST(floor(r * xd * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12))) AS DOUBLE) AS g2"
+            f" FROM r{i})"
+        )
+        ctes.append(
+            f"w{i + 1} AS (SELECT"
+            f" floor((w.a - {eta!r} * (g.g0 / s.n)) * 1e12 + 0.5) / 1e12 AS a,"
+            f" floor((w.b - {eta!r} * (g.g1 / s.n)) * 1e12 + 0.5) / 1e12 AS b,"
+            f" floor((w.c - {eta!r} * (g.g2 / s.n)) * 1e12 + 0.5) / 1e12 AS c"
+            f" FROM w{i} w CROSS JOIN g{i} g CROSS JOIN s)"
+        )
+    ctes.append(
+        f"rf AS (SELECT {r_expr} AS r FROM b CROSS JOIN w{n_iter} w)"
+    )
+    ctes.append(
+        "m AS (SELECT CAST(sum(CAST(floor(r * r * 1e12 + 0.5) / 1e12"
+        " AS DECIMAL(30,12))) AS DOUBLE) AS sse FROM rf)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT floor(w.a * 1e6 + 0.5) / 1e6 AS w_intercept,\n"
+        "       floor(w.b * 1e6 + 0.5) / 1e6 AS w_quantity,\n"
+        "       floor(w.c * 1e6 + 0.5) / 1e6 AS w_discount,\n"
+        "       floor(m.sse / s.n * 1e9 + 0.5) / 1e9 AS mse,\n"
+        "       CAST(s.n AS BIGINT) AS n\n"
+        f"FROM w{n_iter} w CROSS JOIN m CROSS JOIN s"
+    )
+
+
+@query("q108_linear_gd", oracle=_gd_oracle_sql())
+def q108(spark, sf_dir):
+    """Distributed full-batch gradient descent — the iterative-optimizer
+    shape (the fifth driver-coordinated iteration class after star
+    contraction/Lloyd/BPE/PageRank): a linear model
+    y^ = w0 + w1*(l_quantity/max) + w2*l_discount of normalized
+    l_extendedprice, three exact GD steps from w = 0.
+
+    Scale shape: one pass per iteration — a map-side-combined aggregate
+    of three gridded DECIMAL(30,12) gradient sums over the cached
+    feature projection; the driver holds only the O(#features) weight
+    vector per step (the q91 Lloyd contract). Nothing else moves: no
+    per-row weight join, no window, no shuffle beyond the aggregate's.
+
+    Cross-engine exactness (the q99 recipe): residuals and gradient
+    contributions grid to 1e-12 BEFORE the order-independent decimal
+    sum; weight updates replay the identical IEEE expression tree in
+    python (driver), Spark Columns, and the unrolled oracle CTEs, so
+    the hash compare certifies all three iterations bit-for-bit. Pure
+    +,-,*,/ arithmetic only — no libm calls whose last ulp could differ
+    per engine (the reason this is a LINEAR probability-style model and
+    not a logistic one)."""
+    import math as _math
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    qm, ym, n = (
+        li.agg(
+            F.max("l_quantity"),
+            F.max("l_extendedprice"),
+            F.count(F.lit(1)),
+        ).collect()[0]
+    )
+    nf = float(n)
+    base = (
+        widen_if_narrow(li)
+        .select(
+            (F.col("l_quantity") / F.lit(float(qm))).alias("xq"),
+            F.col("l_discount").alias("xd"),
+            (F.col("l_extendedprice") / F.lit(float(ym))).alias("y"),
+        )
+        .cache()
+    )
+
+    def _g12(c):
+        return F.floor(c * 1e12 + 0.5) / 1e12
+
+    def _p12(x: float) -> float:
+        return _math.floor(x * 1e12 + 0.5) / 1e12
+
+    dec = "decimal(30,12)"
+    w = (0.0, 0.0, 0.0)
+    eta = 0.5
+    for _ in range(3):
+        r = _g12(
+            (F.lit(w[0]) + F.lit(w[1]) * F.col("xq"))
+            + F.lit(w[2]) * F.col("xd")
+            - F.col("y")
+        )
+        g0, g1, g2 = base.agg(
+            F.sum(_g12(r).cast(dec)).cast("double"),
+            F.sum(_g12(r * F.col("xq")).cast(dec)).cast("double"),
+            F.sum(_g12(r * F.col("xd")).cast(dec)).cast("double"),
+        ).collect()[0]
+        w = (
+            _p12(w[0] - eta * (g0 / nf)),
+            _p12(w[1] - eta * (g1 / nf)),
+            _p12(w[2] - eta * (g2 / nf)),
+        )
+    rf = _g12(
+        (F.lit(w[0]) + F.lit(w[1]) * F.col("xq"))
+        + F.lit(w[2]) * F.col("xd")
+        - F.col("y")
+    )
+    return base.agg(
+        F.sum(_g12(rf * rf).cast(dec)).cast("double").alias("_sse")
+    ).select(
+        (F.floor(F.lit(w[0]) * 1e6 + 0.5) / 1e6).alias("w_intercept"),
+        (F.floor(F.lit(w[1]) * 1e6 + 0.5) / 1e6).alias("w_quantity"),
+        (F.floor(F.lit(w[2]) * 1e6 + 0.5) / 1e6).alias("w_discount"),
+        (F.floor(F.col("_sse") / nf * 1e9 + 0.5) / 1e9).alias("mse"),
+        F.lit(int(n)).cast("long").alias("n"),
+    )

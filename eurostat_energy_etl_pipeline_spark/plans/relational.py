@@ -898,3 +898,42 @@ def q104_ri_audit(spark, sf_dir):
         )
     )
     return presentation_sort(out, "fk")
+
+
+@query(
+    "q109_rank_distribution",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+           floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_nationkey, s_suppkey
+    """,
+)
+def q109_rank_distribution(spark, sf_dir):
+    """Rank-distribution window family (percent_rank / cume_dist / ntile)
+    — the W-surface members the library lacked: supplier account-balance
+    position within each nation. The window orders by
+    (s_acctbal, s_suppkey) so the order is TOTAL — rank-based doubles
+    are then exact small-integer ratios, identical IEEE divisions on
+    both engines, gridded at 1e-6 for rendering anyway. One shuffle on
+    the partition key; no global window (the q53/q60 kernel exists for
+    corpus-grain order statistics — this is the bounded-partition case
+    where the native window IS the right plan)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        t["supplier"]
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            (F.floor(F.percent_rank().over(w) * 1e6 + 0.5) / 1e6).alias(
+                "pct_rank"
+            ),
+            (F.floor(F.cume_dist().over(w) * 1e6 + 0.5) / 1e6).alias("cume"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .transform(presentation_sort, "s_nationkey", "s_suppkey")
+    )

@@ -30,8 +30,18 @@ def test_short_keys_are_unique_and_line_fits_tail_capture():
         "ratio_i_gt": 99.999,
         "full": "bench_full.json",
     }
-    line = json.dumps(summary, separators=(",", ":"))
     # The summary is the LAST line bench.py prints, so tail truncation clips
     # the noise BEFORE it, not the line itself — the budget is the full ~2 KB
-    # window for the line alone (BENCH_r03's captured tail held ~2.2 KB).
-    assert len(line) < 1950, f"summary line {len(line)} chars risks tail truncation"
+    # window (BENCH_r07's captured tail was exactly 2000 chars). bench.py's
+    # _render_summary degrades detail (ancillary keys -> precision ->
+    # fastest-query entries) to stay under budget; the REALISTIC line (sub-
+    # 10s per query) must fit with zero degradation, and even a pathological
+    # 123.45s-per-query line must come out parseable and under budget.
+    realistic = dict(summary, queries={s: 9.99 for s in shorts})
+    line = bench._render_summary(realistic)
+    assert len(line) < 1950, f"realistic line {len(line)} chars risks truncation"
+    parsed = json.loads(line)
+    assert len(parsed["queries"]) == len(shorts), "realistic line dropped queries"
+    worst = bench._render_summary(summary)
+    assert len(worst) < 1950, f"degraded line {len(worst)} chars risks truncation"
+    json.loads(worst)

@@ -169,3 +169,42 @@ def test_dup_span_coverage_planted(spark):
     assert covered_14 < 16  # ...never double-counted
     assert out[15]["covered_tokens"] >= 9
     assert abs(out[10]["dup_coverage"] - out[10]["covered_tokens"] / 10) < 1e-9
+
+
+def test_prefix_jaccard_join_is_exact(spark, docs):
+    """prefix_jaccard_join must equal the brute-force all-pairs Jaccard
+    join: zero false negatives (the prefix-filter lemma) and zero false
+    positives (the verify stage) at any threshold."""
+    import itertools
+    import math
+
+    extra = docs.union(
+        spark.createDataFrame(
+            [
+                (10, BASE.replace("quick brown", "slow red")),
+                (11, "the quick brown fox jumps over the fence"),
+                (12, FAR + " with an extra tail of tokens"),
+            ],
+            schema=docs.schema,
+        )
+    )
+    sets = {
+        r["doc_id"]: frozenset(r["s"])
+        for r in extra.select(
+            "doc_id",
+            F.array_distinct(D.token_shingles(F.col("text"), 3)).alias("s"),
+        ).collect()
+    }
+    for t in (0.3, 0.8):
+        got = {
+            (r["id_a"], r["id_b"]): r["jacc"]
+            for r in D.prefix_jaccard_join(extra, threshold=t, k=3).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            j = math.floor(j * 1e6 + 0.5) / 1e6
+            if j >= t:
+                want[(a, b)] = j
+        assert got == want, f"threshold {t}: {got} != {want}"
