@@ -20,7 +20,11 @@ from eurostat_energy_etl_pipeline_spark.functions import (
 )
 from eurostat_energy_etl_pipeline_spark.operators import text as T
 from eurostat_energy_etl_pipeline_spark.operators.chunking import chunk_documents
-from eurostat_energy_etl_pipeline_spark.operators.dedup import contaminated_ids
+from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+    connected_components,
+    contaminated_ids,
+    ngram_jaccard_pairs,
+)
 from eurostat_energy_etl_pipeline_spark.operators.ranking import global_ntile
 from eurostat_energy_etl_pipeline_spark.operators.similarity import label_cohesion
 from eurostat_energy_etl_pipeline_spark.plans import query
@@ -1615,4 +1619,109 @@ def q102(spark, sf_dir):
             F.round(F.avg("oov_ratio"), 4).alias("mean_oov_ratio"),
         )
         .transform(presentation_sort, "lang")
+    )
+
+
+@query(
+    "q110_dedup_apply",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             floor((CASE WHEN len(a.shingles) + len(b.shingles)
+                             - len(list_intersect(a.shingles, b.shingles)) > 0
+                   THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                        / (len(a.shingles) + len(b.shingles)
+                           - len(list_intersect(a.shingles, b.shingles)))
+                   ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS jacc
+      FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             CASE WHEN p.jacc >= 0.005 THEN 0 ELSE 1 END AS is_start
+      FROM documents d LEFT JOIN pairs p ON p.id_b = d.doc_id
+    ),
+    grp AS (
+      SELECT doc_id, sum(is_start) OVER (ORDER BY doc_id) AS g FROM flags
+    ),
+    keep AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS cluster_id FROM grp
+    ),
+    tok AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+             END AS n_tokens
+      FROM documents
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS docs_before,
+           CAST(sum(t.n_tokens) AS BIGINT) AS tokens_before,
+           CAST(sum(CASE WHEN k.doc_id = k.cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_after,
+           CAST(sum(CASE WHEN k.doc_id = k.cluster_id THEN t.n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_after,
+           floor((1.0 - CAST(sum(CASE WHEN k.doc_id = k.cluster_id
+                                      THEN t.n_tokens ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(t.n_tokens) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS pct_tokens_removed
+    FROM tok t JOIN keep k USING (doc_id)
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def q110(spark, sf_dir):
+    """Dedup EXECUTION — the artifact a training run actually consumes
+    (reference analog: the load-time dedupe invariant,
+    ``etl/main.py:132-143``, lifted to corpus scale). q25/q45/q61/q67 emit
+    pairs and keep-lists; this query APPLIES one: near-dup connected
+    components (the q45 edge set, so the oracle's gaps-and-islands closed
+    form stays valid) -> keep the canonical (min-id) member -> left-semi
+    the corpus against the keep-list -> per-source before/after row AND
+    token accounting, the audit a data-mixture owner reads after every
+    dedup pass.
+
+    Scale shape: the keep-list is O(#docs) ids, the apply is one
+    doc_id-keyed join (semi-join semantics expressed as a flag join so
+    before/after aggregate from ONE scan of the token stats instead of
+    two), and the audit is a source-keyed aggregate — nothing wider than
+    the CC labeling itself ever shuffles. At 100 TB the same plan holds
+    with the keep-list read from the at-rest index (the q63 pattern)
+    instead of recomputed."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    edges = ngram_jaccard_pairs(docs, k=3).where(F.col("jacc") >= 0.005)
+    cc = connected_components(
+        edges, "id_a", "id_b", nodes=docs.select("doc_id")
+    )
+    keep = cc.where(F.col("id") == F.col("component")).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("_keep")
+    )
+    tok = widen_if_narrow(docs).select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    flagged = tok.join(keep, "doc_id", "left")
+    kept_tokens = F.sum(
+        F.when(F.col("_keep").isNotNull(), F.col("n_tokens")).otherwise(0)
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_before"),
+            F.sum("n_tokens").alias("tokens_before"),
+            F.sum(F.coalesce("_keep", F.lit(0))).alias("docs_after"),
+            kept_tokens.alias("tokens_after"),
+            portable_round(
+                1.0 - kept_tokens.cast("double") / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("pct_tokens_removed"),
+        )
+        .transform(presentation_sort, "source")
     )
