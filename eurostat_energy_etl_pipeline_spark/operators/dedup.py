@@ -411,6 +411,7 @@ def write_minhash_index(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_k: int = 3,
+    num_buckets: int | None = None,
 ) -> None:
     """Materialize the at-rest near-dup index of a corpus: `{path}/bands`
     (id, band_idx, band_hash — the LSH probe side) and `{path}/shingles`
@@ -420,16 +421,195 @@ def write_minhash_index(
     shingled/hashed ONCE at ingest; every later batch probes the stored
     index (`match_against_index`) without touching corpus text again. The
     two tables are exactly the intermediates `minhash_lsh_pairs` builds
-    in-session, written with the same geometry so thresholds transfer."""
+    in-session, written with the same geometry so thresholds transfer.
+
+    With ``num_buckets`` the layout is hash-partitioned on
+    ``bucket = pmod(id, num_buckets)`` — the maintainable layout:
+    `merge_into_minhash_index` then rewrites ONLY the buckets containing
+    affected ids (partition-pruned on both the read and the overwrite),
+    so nightly upsert/tombstone batches touch O(affected buckets) of a
+    100 TB index instead of rewriting it. Probe reads are unchanged
+    (partition discovery just adds the `bucket` column). Geometry is
+    recorded in `{path}/_meta.json` so maintenance batches can never be
+    signed with mismatched hash parameters."""
     rows = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, keep_shingles=True
     ).persist()
     try:
-        _band_table(sig, bands, rows).write.mode("overwrite").parquet(f"{path}/bands")
-        sig.select("id", "shset").write.mode("overwrite").parquet(f"{path}/shingles")
+        bands_df = _band_table(sig, bands, rows)
+        sh_df = sig.select("id", "shset")
+        if num_buckets:
+            bucket = F.pmod(F.col("id"), F.lit(num_buckets)).cast("int")
+            (
+                bands_df.withColumn("bucket", bucket)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/bands")
+            )
+            (
+                sh_df.withColumn("bucket", bucket)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/shingles")
+            )
+        else:
+            bands_df.write.mode("overwrite").parquet(f"{path}/bands")
+            sh_df.write.mode("overwrite").parquet(f"{path}/shingles")
     finally:
         sig.unpersist()
+    _write_index_meta(
+        path,
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "num_buckets": num_buckets,
+        },
+    )
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def read_index_meta(path: str) -> dict:
+    import json
+
+    with open(f"{path}/_meta.json") as f:
+        return json.load(f)
+
+
+def merge_into_minhash_index(
+    spark,
+    path: str,
+    upserts: DataFrame | None = None,
+    tombstone_ids=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incrementally maintain an at-rest MinHash index written with
+    ``num_buckets``: MERGE semantics on id — upsert rows replace any
+    existing entry for the same id, tombstoned ids are removed, and
+    tombstones win over upserts inside one batch (the convention of
+    `etl/job.py`'s warehouse merge, where a delete marker beats a
+    concurrent update). Returns an audit dict.
+
+    Scale shape (the reason this exists, VERDICT r5 item 8): the batch is
+    small by the q63 nightly-ingest contract, so
+      1. affected ids broadcast into an anti-join against ONLY the bucket
+         partitions they hash to (partition-pruned read: O(affected
+         buckets) of the index, never a full scan);
+      2. surviving old rows union the freshly signed upsert rows and are
+         written back with dynamic partition overwrite — Spark replaces
+         exactly the partitions present in the output;
+      3. a bucket whose every id was tombstoned produces no output rows,
+         which dynamic overwrite would silently leave stale — those
+         partitions are deleted explicitly (the object-store delete of a
+         production run).
+    The old rows are localCheckpoint-ed (eagerly materialized) before the
+    overwrite so the write never reads the files it is replacing.
+    Re-signing uses the geometry from `_meta.json`, so a maintenance batch
+    can never mix hash parameters with the base index."""
+    import os
+    import shutil
+
+    meta = read_index_meta(path)
+    nb = meta.get("num_buckets")
+    if not nb:
+        raise ValueError(
+            "merge_into_minhash_index requires a bucketed index "
+            "(write_minhash_index(..., num_buckets=N))"
+        )
+    rows = meta["num_hashes"] // meta["bands"]
+
+    if tombstone_ids is None:
+        tomb = spark.createDataFrame(
+            __import__("pandas").DataFrame({"id": []}).astype({"id": "int64"})
+        )
+    elif isinstance(tombstone_ids, DataFrame):
+        tomb = tombstone_ids.select(F.col(tombstone_ids.columns[0]).alias("id"))
+    else:
+        tomb = spark.createDataFrame(
+            __import__("pandas").DataFrame({"id": list(tombstone_ids)}).astype(
+                {"id": "int64"}
+            )
+        )
+    ups_ids = (
+        upserts.select(F.col(id_col).alias("id"))
+        if upserts is not None
+        else tomb.limit(0)
+    )
+    affected = ups_ids.unionByName(tomb).distinct().persist()
+    buckets = sorted(
+        r["b"]
+        for r in affected.select(
+            F.pmod(F.col("id"), F.lit(nb)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    n_tomb = tomb.count()
+
+    # Tombstones win inside the batch: effective upserts are anti-joined.
+    eff_ups = None
+    if upserts is not None:
+        eff_ups = upserts.join(
+            F.broadcast(tomb), upserts[id_col] == tomb["id"], "left_anti"
+        )
+        sig = minhash_signatures(
+            eff_ups,
+            text_col,
+            id_col,
+            meta["num_hashes"],
+            meta["shingle_k"],
+            keep_shingles=True,
+        ).persist()
+        new_bands = _band_table(sig, meta["bands"], rows)
+        new_sh = sig.select("id", "shset")
+    else:
+        sig = None
+        new_bands = new_sh = None
+
+    audit = {
+        "n_tombstones": n_tomb,
+        "buckets_touched": len(buckets),
+        "num_buckets": nb,
+    }
+    bucket_of = F.pmod(F.col("id"), F.lit(nb)).cast("int")
+    for table, new_rows in (("bands", new_bands), ("shingles", new_sh)):
+        tpath = f"{path}/{table}"
+        old = (
+            spark.read.parquet(tpath)
+            .where(F.col("bucket").isin(buckets))
+            .drop("bucket")
+            .join(F.broadcast(affected), "id", "left_anti")
+        )
+        out = old if new_rows is None else old.unionByName(new_rows)
+        out = out.withColumn("bucket", bucket_of).localCheckpoint(eager=True)
+        present = {r["bucket"] for r in out.select("bucket").distinct().collect()}
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("bucket").parquet(tpath)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for b in buckets:
+            if b not in present:
+                shutil.rmtree(f"{tpath}/bucket={b}", ignore_errors=True)
+        audit[f"{table}_rows_written"] = out.count()
+    if sig is not None:
+        audit["n_upserts"] = eff_ups.count()
+        sig.unpersist()
+    else:
+        audit["n_upserts"] = 0
+    affected.unpersist()
+    return audit
 
 
 def match_against_index(

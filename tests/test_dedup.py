@@ -208,3 +208,81 @@ def test_prefix_jaccard_join_is_exact(spark, docs):
             if j >= t:
                 want[(a, b)] = j
         assert got == want, f"threshold {t}: {got} != {want}"
+
+
+def _index_state(spark, path):
+    bands = spark.read.parquet(f"{path}/bands").select("id", "band_idx", "band_hash")
+    sh = spark.read.parquet(f"{path}/shingles").select("id", "shset")
+    return (
+        sorted(map(tuple, bands.collect())),
+        sorted((r["id"], tuple(sorted(r["shset"]))) for r in sh.collect()),
+    )
+
+
+def test_merge_into_minhash_index_differential(spark, tmp_path):
+    """Incremental maintenance must land on EXACTLY the index a from-scratch
+    build over the post-state corpus produces: adds, text updates, and
+    tombstones (including tombstones-win-over-upserts inside one batch,
+    and a bucket emptied entirely by tombstones)."""
+    docs = spark.createDataFrame(
+        [(i, f"{BASE} variant token_{i} tail_{i * 7 % 13}") for i in range(24)],
+        ["doc_id", "text"],
+    )
+    base = docs.where(F.col("doc_id") < 16)
+    inc = str(tmp_path / "inc")
+    D.write_minhash_index(base, inc, num_buckets=8)
+    assert D.read_index_meta(inc)["num_buckets"] == 8
+
+    # batch: adds 16..19 (buckets 0..3 only), update 3 and 5 with new text,
+    # tombstone 5 (wins over its own upsert), 7, and 6+14 — the only base
+    # members of bucket 6, which no add refills, so bucket 6 empties.
+    upserts = (
+        docs.where((F.col("doc_id") >= 16) & (F.col("doc_id") < 20))
+        .unionByName(
+            docs.where(F.col("doc_id").isin(3, 5)).select(
+                "doc_id", F.concat("text", F.lit(" zzz updated")).alias("text")
+            )
+        )
+    )
+    audit = D.merge_into_minhash_index(
+        spark, inc, upserts=upserts, tombstone_ids=[5, 7, 6, 14]
+    )
+    assert audit["n_tombstones"] == 4
+    assert audit["n_upserts"] == 5  # 4 adds + update of 3 (5's lost to tomb)
+
+    state = docs.where(
+        (F.col("doc_id") < 20) & ~F.col("doc_id").isin(5, 7, 6, 14)
+    ).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.concat("text", F.lit(" zzz updated"))).otherwise(
+            F.col("text")
+        ),
+    )
+    scratch = str(tmp_path / "scratch")
+    D.write_minhash_index(state, scratch, num_buckets=8)
+    assert _index_state(spark, inc) == _index_state(spark, scratch)
+
+    # emptied bucket's partition directory is gone, not stale
+    import os
+
+    assert not os.path.exists(f"{inc}/shingles/bucket=6")
+
+    # the maintained index still probes correctly
+    probe = spark.createDataFrame(
+        [(900, f"{BASE} variant token_3 tail_{3 * 7 % 13} zzz updated")],
+        ["doc_id", "text"],
+    )
+    hits = D.match_against_index(spark, probe, inc, threshold=0.5).toPandas()
+    assert (
+        len(hits[(hits["new_id"] == 900) & (hits["corpus_id"] == 3)]) == 1
+        and hits.set_index(["new_id", "corpus_id"]).loc[(900, 3), "jacc"] == 1.0
+    )
+
+
+def test_merge_minhash_tombstone_only_batch(spark, tmp_path, docs):
+    idx = str(tmp_path / "tombonly")
+    D.write_minhash_index(docs, idx, num_buckets=4)
+    audit = D.merge_into_minhash_index(spark, idx, tombstone_ids=[0, 1])
+    assert audit["n_upserts"] == 0 and audit["n_tombstones"] == 2
+    remaining = {r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()}
+    assert remaining == {2, 3, 4}
