@@ -432,22 +432,49 @@ def _query_vec(e, query_id: int = 0) -> list[float]:
     ]
 
 
-def _certify_ann(ann, exact, k: int = 5):
-    """Join an ANN top-k against the exact top-k so the result rows carry
-    their own quality readout: `in_exact_topk` marks true neighbors,
-    `recall_at_k` is their fraction. The exact side is a k-row broadcast;
-    at test scale it is a second corpus scan, at 100 TB the certification
-    columns are simply dropped (the ANN plan is unchanged by them)."""
-    exact_ids = exact.select(F.col("vec_id").alias("_x_id"))
+def _certify_ann(ann, e, qvec, k: int = 5, sample_rate: float = 0.25):
+    """Challenger-sample certification (the q88 recipe applied to the
+    single-query ANN family, VERDICT r5 item 7): join the ANN top-k
+    against the exact top-k of a deterministic hash-sample of the corpus
+    UNIONed with the ANN's own candidates, so the result rows carry their
+    own quality readout — `in_audited_topk` per row, their fraction as
+    `audited_recall_at_k`.
+
+    Semantics: if the ANN result IS the true top-k, every flag is 1
+    regardless of the sample (its own candidates are always in the audit
+    pool, and nothing sampled can displace a true neighbor's rank among
+    the pool). A junk ANN row is displaced (flag 0) whenever the sample
+    holds a better challenger — each missed true neighbor is detected
+    with probability ~sample_rate, independently per run/corpus. The
+    audit side costs sample_rate of one corpus scan with a single
+    pushed-down predicate (hash-sample OR id IN ann-ids) — never the
+    full brute-force sweep, so the registered plan stays 100 TB-shaped
+    end-to-end. The exhaustive-exact contract still lives in
+    tests/test_similarity.py, which recomputes the audit pool
+    independently and pins planted-neighbor recall floors. The k-row ANN
+    result is localCheckpoint-ed so its probe plan executes once."""
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
+        sample_predicate,
+    )
+
+    ann = ann.localCheckpoint(eager=True)
+    ids = [r["vec_id"] for r in ann.select("vec_id").collect()]
+    pool = e.where(
+        sample_predicate(F.col("vec_id"), sample_rate, "anncert")
+        | F.col("vec_id").isin(ids)
+    )
+    exact_ids = S.cosine_topk(pool, qvec, k=k).select(
+        F.col("vec_id").alias("_x_id")
+    )
     flagged = ann.join(
         F.broadcast(exact_ids), ann["vec_id"] == F.col("_x_id"), "left"
     ).select(
         "vec_id",
         "cos",
-        F.col("_x_id").isNotNull().cast("int").alias("in_exact_topk"),
+        F.col("_x_id").isNotNull().cast("int").alias("in_audited_topk"),
     )
     recall = flagged.agg(
-        (F.sum("in_exact_topk") / float(k)).alias("recall_at_k")
+        (F.sum("in_audited_topk") / float(k)).alias("audited_recall_at_k")
     )
     return (
         flagged.join(F.broadcast(recall))
@@ -463,17 +490,16 @@ def q32(spark, sf_dir):
     lever is set deeper than a clustered corpus would need) + exact rerank
     against the vec_id=0 query. Approximate by construction, so no SQL
     oracle — but the rows are self-certifying: each carries
-    `in_exact_topk` (verified against the brute-force top-k in the same
-    plan) and the constant `recall_at_k` (measured 0.6-0.8 across
-    sf0.001-0.1 at these params), so the driver's recorded rows themselves
-    state the achieved recall rather than an unauditable id list.
-    Recall-vs-bruteforce floors pinned in tests/test_similarity.py."""
+    `in_audited_topk` (verified against the exact top-k of the
+    hash-sampled challenger pool in the same plan — `_certify_ann`) and
+    the constant `audited_recall_at_k`, so the driver's recorded rows
+    themselves state the achieved quality rather than an unauditable id
+    list. Exhaustive recall-vs-bruteforce floors pinned in
+    tests/test_similarity.py."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     qvec = _query_vec(e)
-    return _certify_ann(
-        S.lsh_topk(e, qvec, k=5, num_tables=3), S.cosine_topk(e, qvec, k=5), k=5
-    )
+    return _certify_ann(S.lsh_topk(e, qvec, k=5, num_tables=3), e, qvec, k=5)
 
 
 # At-rest IVF index memo per (session, sf_dir): built once by
@@ -515,16 +541,15 @@ def q37(spark, sf_dir):
     nprobe nearest cells with exact rerank (`ivf_index_topk`) — reading
     ~nprobe/nlist of the data, the same build-once-probe-many shape as the
     q63 dedup index. Approximate by construction -> no SQL oracle, but the
-    rows self-certify exactly like q32: `in_exact_topk` + `recall_at_k`
-    computed against the brute-force top-k in the same plan."""
+    rows self-certify exactly like q32: `in_audited_topk` +
+    `audited_recall_at_k` against the sampled challenger pool in the same
+    plan (`_certify_ann`)."""
     idx = _ivf_index_path(spark, sf_dir)
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     qvec = _query_vec(e)
     return _certify_ann(
-        S.ivf_index_topk(spark, idx, qvec, k=5, nprobe=4),
-        S.cosine_topk(e, qvec, k=5),
-        k=5,
+        S.ivf_index_topk(spark, idx, qvec, k=5, nprobe=4), e, qvec, k=5
     )
 
 
@@ -938,9 +963,9 @@ def q80(spark, sf_dir):
     vector bytes per probe partition; see q79 for the cross-engine audit
     of the quantizer's arithmetic). The probe dequantizes inline in the
     codegen'd rerank. Approximate twice over (cell pruning + int8
-    rounding) -> no SQL oracle; rows self-certify with `in_exact_topk` +
-    `recall_at_k` against the full-precision brute-force top-k in the
-    same plan. On the fixtures q80 returns the same rows at the same
+    rounding) -> no SQL oracle; rows self-certify with `in_audited_topk`
+    + `audited_recall_at_k` against the full-precision exact top-k of the
+    sampled challenger pool. On the fixtures q80 returns the same rows at the same
     recall as the float-index q37 — the int8 rounding costs nothing
     beyond the cell pruning both share."""
     idx = _ivf_sq8_index_path(spark, sf_dir)
@@ -948,9 +973,7 @@ def q80(spark, sf_dir):
     e = t["embeddings"]
     qvec = _query_vec(e)
     return _certify_ann(
-        S.ivf_index_topk(spark, idx, qvec, k=5, nprobe=4),
-        S.cosine_topk(e, qvec, k=5),
-        k=5,
+        S.ivf_index_topk(spark, idx, qvec, k=5, nprobe=4), e, qvec, k=5
     )
 
 
