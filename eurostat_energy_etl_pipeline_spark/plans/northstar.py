@@ -1340,26 +1340,27 @@ def q92(spark, sf_dir):
                    / (len(a.shingles) + len(b.shingles)
                       - len(list_intersect(a.shingles, b.shingles)))) * 1e6 + 0.5) / 1e6 AS jacc
       FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
-    ) WHERE jacc >= 0.5 ORDER BY id_a, id_b
+    ) WHERE jacc >= 0.8 ORDER BY id_a, id_b
     """,
 )
 def q107(spark, sf_dir):
-    """EXACT Jaccard similarity join at >= 0.5 via prefix filtering
-    (operators/dedup.prefix_jaccard_join) — the zero-false-negative
-    alternative to q25's MinHash+LSH over the SAME ground-truth pair set:
-    LSH certifies recall probabilistically; prefix filtering is exact by
-    construction and prunes candidates with the rarity-ordered prefix
-    lemma instead of banding. The oracle is the same exhaustive
-    token-bucket ground truth as q25's, so the driver hash certifies
-    both that no qualifying pair is missed AND that no sub-threshold
-    pair leaks through. The corpus's hottest shingles are pushed out of
-    every prefix by the (doc-frequency, shingle) global order — the
-    skew-bucket blow-up a naive token join pays at 100 TB is pruned
-    before the join, not split after it."""
+    """EXACT Jaccard similarity join at >= 0.8 (the production near-dup
+    bar) via prefix filtering (operators/dedup.prefix_jaccard_join) — the
+    zero-false-negative alternative to q25's MinHash+LSH over the SAME
+    ground-truth pair set: LSH certifies recall probabilistically; prefix
+    filtering is exact by construction and prunes candidates with the
+    rarity-ordered prefix lemma instead of banding. The oracle is the
+    same exhaustive token-bucket ground truth as q25's, so the driver
+    hash certifies both that no qualifying pair is missed AND that no
+    sub-threshold pair leaks through. The corpus's hottest shingles are
+    pushed out of every prefix by the (doc-frequency, shingle) global
+    order — the skew-bucket blow-up a naive token join pays at 100 TB is
+    pruned before the join, not split after it. Unsorted pair-list output
+    (corpus-grain: a coalesce(1) presentation sort would serialize the
+    whole verify stage into one task — measured 49 s vs 2.5 s at sf0.1;
+    the driver compare canonicalizes row order itself)."""
     t = load_tables(spark, sf_dir)
-    return D.prefix_jaccard_join(t["documents"], threshold=0.5, k=3).transform(
-        presentation_sort, "id_a", "id_b"
-    )
+    return D.prefix_jaccard_join(t["documents"], threshold=0.8, k=3)
 
 
 def _gd_oracle_sql(n_iter: int = 3, eta: float = 0.5) -> str:
