@@ -1843,3 +1843,195 @@ def q111(spark, sf_dir):
         )
     )
     return match_against_index(spark, probe, idx, threshold=0.5)
+
+
+def _keyword_oracle_sql(k: int = 3) -> str:
+    """DuckDB twin of q112: the q36 TF-IDF weighting CTEs (tokenize,
+    stopword filter, uni+bigrams, tf, windowed df, smoothed idf) with a
+    per-doc row_number over the 1e-9-gridded weight instead of a
+    query-side cosine."""
+    from eurostat_energy_etl_pipeline_spark.operators.text import (
+        ENGLISH_STOPWORDS,
+    )
+
+    stop_sql = "[" + ", ".join(f"'{s}'" for s in sorted(ENGLISH_STOPWORDS)) + "]"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             x -> x <> '' AND NOT list_contains({stop_sql}, x)) AS tk
+      FROM documents
+    ),
+    terms AS (
+      SELECT doc_id, unnest(tk || CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+             ELSE list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1]) END) AS term
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM terms GROUP BY doc_id, term),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    wv AS (
+      SELECT doc_id, term,
+             tf * (ln((1 + n_docs)
+                / (1 + CAST(count(*) OVER (PARTITION BY term) AS DOUBLE))) + 1)
+               AS w
+      FROM tf CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT doc_id, term, w,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY floor(w * 1e9 + 0.5) / 1e9 DESC, term) AS rk
+      FROM wv
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rk, term,
+           floor(w * 1e6 + 0.5) / 1e6 AS weight
+    FROM ranked WHERE rk <= {k}
+    """
+
+
+@query("q112_keyword_extract", oracle=_keyword_oracle_sql())
+def q112(spark, sf_dir):
+    """Per-document keyword EXTRACTION — the inverse direction of q36's
+    query-driven search: the top-3 TF-IDF terms of every document, the
+    tagging/labeling primitive of corpus curation (topic routing, index
+    previews, weak supervision features). Reuses the cached posting-list
+    index (rag/tfidf.build_index — same sklearn-parity smoothed-idf
+    weighting the oracle replays), so the whole query is ONE doc-keyed
+    window over the postings: rank on the 1e-9-gridded weight (ties —
+    equal tf*idf — break on the term itself, a total order both engines
+    share; the grid absorbs last-ulp ln() placement, the q36/q75
+    precedent) and keep rk <= 3. Corpus-grain output, unsorted (driver
+    canonicalizes; a coalesce(1) sort would serialize the window)."""
+    from pyspark.sql.window import Window as W
+
+    from eurostat_energy_etl_pipeline_spark.rag.tfidf import documents_index
+
+    idx = documents_index(spark, sf_dir)
+    rk_w = W.partitionBy("id").orderBy(
+        (F.floor(F.col("w") * 1e9 + 0.5) / 1e9).desc(), "term"
+    )
+    return (
+        idx.select("id", "term", "w", F.row_number().over(rk_w).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            (F.floor(F.col("w") * 1e6 + 0.5) / 1e6).alias("weight"),
+        )
+    )
+
+
+_CMS_D = 4  # independent hash rows
+_CMS_W = 256  # counters per row
+
+
+def _cms_bucket_sql(expr: str, i: int) -> str:
+    """DuckDB twin of the portable CMS bucket hash (60-bit md5 prefix,
+    the portable_token_hash construction, salted per row, mod W)."""
+    return (
+        f"(('0x' || substr(md5({expr} || '#{i}'), 1, 15))::BIGINT % {_CMS_W})"
+    )
+
+
+def _cms_oracle_sql(k: int = 20) -> str:
+    rows = ",\n      ".join(
+        f"g{i} AS (SELECT {_cms_bucket_sql('tk', i)} AS b, count(*) AS c"
+        " FROM tok GROUP BY 1)"
+        for i in range(_CMS_D)
+    )
+    est = " , ".join(
+        f"(SELECT c FROM g{i} WHERE b = {_cms_bucket_sql('t.tk', i)})"
+        for i in range(_CMS_D)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS tk
+      FROM documents
+    ),
+    {rows},
+    top AS (
+      SELECT tk, count(*) AS true_c FROM tok GROUP BY tk
+      ORDER BY true_c DESC, tk LIMIT {k}
+    )
+    SELECT t.tk AS token, CAST(t.true_c AS BIGINT) AS true_c,
+           CAST(least({est}) AS BIGINT) AS cms_est,
+           CAST(least({est}) - t.true_c AS BIGINT) AS overestimate
+    FROM top t ORDER BY true_c DESC, token
+    """
+
+
+@query("q113_cms_audit", oracle=_cms_oracle_sql())
+def q113(spark, sf_dir):
+    """Count-min-sketch heavy-hitter AUDIT: a d=4 x w=256 CMS counter grid
+    over the corpus token stream, read back for the true top-20 tokens
+    next to their exact counts — certifying the sketch the way q79
+    certifies the quantizer: `cms_est >= true_c` always (the CMS
+    one-sided guarantee) and `overestimate` quantifies the eps*N error
+    the width buys. The driver hash pins BOTH the exact counts and every
+    estimate, so the portable hash grid (salted 60-bit md5-prefix
+    buckets, the portable_token_hash construction) must agree cell-level
+    across engines.
+
+    Scale shape: the GRID is the operator — one map-side-combinable
+    aggregate into d*w = 1024 cells regardless of corpus size (the
+    sketch you keep per shard and MERGE by cell-wise +, giving streams
+    and cross-shard unions O(1) state). The exact side exists to audit
+    it and is what the sketch replaces at 100 TB — production reads the
+    grid alone; here the exact top-20 doubles as the probe set so the
+    certification is self-contained. Estimates probe the grid with a
+    d*k = 80-row broadcast join, never a second corpus pass."""
+    from eurostat_energy_etl_pipeline_spark.operators.text import (
+        whitespace_tokens,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    def bucket(col, i):
+        h = F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 15), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.lit(_CMS_W))
+
+    tok = widen_if_narrow(docs).select(
+        F.explode(
+            F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+        ).alias("tk")
+    )
+    grid = (
+        tok.select(
+            F.posexplode(
+                F.array(*[bucket(F.col("tk"), i) for i in range(_CMS_D)])
+            ).alias("i", "b")
+        )
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("true_c"))
+        .orderBy(F.desc("true_c"), "tk")
+        .limit(20)
+    )
+    probes = top.select(
+        "tk",
+        "true_c",
+        F.posexplode(
+            F.array(*[bucket(F.col("tk"), i) for i in range(_CMS_D)])
+        ).alias("i", "b"),
+    )
+    return (
+        probes.join(F.broadcast(grid), ["i", "b"])
+        .groupBy("tk", "true_c")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            F.col("tk").alias("token"),
+            F.col("true_c").cast("long").alias("true_c"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("true_c")).cast("long").alias(
+                "overestimate"
+            ),
+        )
+        .transform(presentation_sort, F.desc("true_c"), "token")
+    )
