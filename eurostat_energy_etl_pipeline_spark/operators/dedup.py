@@ -1135,3 +1135,77 @@ def prefix_jaccard_join(
         .select("id_a", "id_b", jc.alias("jacc"))
         .where(F.col("jacc") >= threshold)
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    max_dist: int = 1,
+    seg_len: int = 4,
+    id_col: str = "id",
+    text_col: str = "name",
+) -> DataFrame:
+    """EXACT edit-distance self-join (all pairs with levenshtein <= d) via
+    pigeonhole segment filtering (PassJoin-family, Li et al. VLDB'11) —
+    the entity-resolution counterpart of `prefix_jaccard_join`: sets use
+    prefix filtering, strings use segment pigeonholes.
+
+    Principle for d=1 with two probe keys: a single edit (substitution,
+    insert, or delete) can touch the first `seg_len` characters or the
+    last `seg_len` characters (aligned FROM THE END, so an indel before
+    the suffix never shifts it), but not both, provided the string has
+    length >= 2*seg_len + 1 — so every qualifying pair agrees exactly on
+    the prefix key OR the suffix key. Candidates come from two
+    equi-joins on those keys (the generalization to any d is d+1
+    disjoint segments); verification is the exact levenshtein filter.
+
+    Strings too short for the segment guarantee (len < 2*seg_len + 1)
+    emit a shared '#SHORT' key instead, and strings within `max_dist` of
+    that boundary (len < 2*seg_len + 1 + max_dist) emit it IN ADDITION
+    to their segment keys — a cross-boundary pair always shares the
+    short bucket, so the pigeonhole stays airtight at the length seam.
+    Short strings are pairwise candidates within their one bucket; at
+    corpus scale that bucket is bounded by how many sub-(2c+1)-char
+    strings exist, and `seg_len` is the lever that moves the boundary.
+
+    Returns (id_a, id_b, dist) with id_a < id_b, unordered (pair lists
+    are corpus-grain; the compare canonicalizes order)."""
+    boundary = 2 * seg_len + 1
+    base = widen_if_narrow(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    )
+    n = F.length("t")
+    seg_keys = F.when(
+        n >= boundary,
+        F.array(
+            F.concat(F.lit("P:"), F.substring("t", 1, seg_len)),
+            F.concat(F.lit("S:"), F.substring("t", -seg_len, seg_len)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    short_key = F.when(
+        n < boundary + max_dist, F.array(F.lit("#SHORT"))
+    ).otherwise(F.array().cast("array<string>"))
+    keyed = base.select(
+        "id", F.explode(F.concat(seg_keys, short_key)).alias("kq")
+    )
+    ka, kb = keyed.alias("ka"), keyed.alias("kb")
+    cands = (
+        ka.join(
+            kb,
+            (F.col("ka.kq") == F.col("kb.kq"))
+            & (F.col("ka.id") < F.col("kb.id")),
+        )
+        .select(F.col("ka.id").alias("id_a"), F.col("kb.id").alias("id_b"))
+        .distinct()
+    )
+    ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("t_a", "t_b").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

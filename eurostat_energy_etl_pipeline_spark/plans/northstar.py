@@ -1499,3 +1499,31 @@ def q108(spark, sf_dir):
         (F.floor(F.col("_sse") / nf * 1e9 + 0.5) / 1e9).alias("mse"),
         F.lit(int(n)).cast("long").alias("n"),
     )
+
+
+@query(
+    "q114_edit_distance_join",
+    oracle="""
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def q114(spark, sf_dir):
+    """EXACT edit-distance self-join at d<=1 over supplier names — the
+    entity-resolution similarity-join family (typo-tolerant record
+    linkage) alongside q107's set-similarity join: sets prune with
+    prefix filtering, strings prune with PassJoin-style pigeonhole
+    segments (operators/dedup.edit_distance_join — a qualifying pair
+    must agree exactly on the first-4 or last-4 characters, so
+    candidates come from two bounded equi-joins, never an all-pairs
+    levenshtein). The oracle IS the brute-force all-pairs join, so the
+    driver hash certifies zero false negatives of the segment filter
+    AND zero false positives of the verify stage on every row. Unordered
+    pair-list output (corpus-grain; the compare canonicalizes order)."""
+    t = load_tables(spark, sf_dir)
+    return D.edit_distance_join(
+        t["supplier"], max_dist=1, seg_len=4, id_col="s_suppkey", text_col="s_name"
+    )

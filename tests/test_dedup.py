@@ -286,3 +286,52 @@ def test_merge_minhash_tombstone_only_batch(spark, tmp_path, docs):
     assert audit["n_upserts"] == 0 and audit["n_tombstones"] == 2
     remaining = {r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()}
     assert remaining == {2, 3, 4}
+
+
+def test_edit_distance_join_is_exact(spark):
+    """edit_distance_join must equal brute-force all-pairs levenshtein —
+    including across the short-string boundary (len < 2*seg_len+1), where
+    pairs must flow through the shared '#SHORT' bucket, and for indels
+    (suffix keys align from the end, so a mid-string insert still agrees
+    on one segment)."""
+    import itertools
+
+    names = [
+        "alphabet soup kitchen",   # long: substitution partner below
+        "alphabet soup kitchee",   # ED1 substitution (suffix differs)
+        "alphabet soup kitchens",  # ED1 insertion at the end
+        "xlphabet soup kitchen",   # ED1 substitution (prefix differs)
+        "alphabet sxup kitchen",   # ED1 substitution mid-string
+        "totally different name",
+        "shortstr",                # short bucket (len 8 < 9)
+        "shortstx",                # ED1 of shortstr
+        "shortst",                 # ED1 deletion, also short
+        "borderly1",               # len 9 = boundary: emits segments AND #SHORT
+        "borderly",                # len 8: short; pairs with borderly1 across the seam
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], ["id", "name"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in D.edit_distance_join(
+            df, max_dist=1, seg_len=4, id_col="id", text_col="name"
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {}
+    for a, b in itertools.combinations(range(len(names)), 2):
+        d = lev(names[a], names[b])
+        if d <= 1:
+            want[(a, b)] = d
+    assert got == want, f"{got} != {want}"
