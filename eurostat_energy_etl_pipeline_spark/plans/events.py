@@ -1060,3 +1060,57 @@ def q_stream_dedup(spark, sf_dir):
         )
         .transform(presentation_sort, "event_type")
     )
+
+
+@query(
+    "q_stream_running_totals",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS DOUBLE)
+             / 1e2 AS total
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_stream_running_totals(spark, sf_dir):
+    """CUSTOM stateful streaming operator under the driver's oracle gate:
+    per-user running count/sum via applyInPandasWithState
+    (streaming/events.user_running_totals) — the bespoke-state surface
+    (Python state object, update output mode, GroupStateTimeout) that
+    built-in windowed aggregates can't express, drained with
+    Trigger.AvailableNow and reduced to each user's LAST emitted update
+    (max_by over the monotone event count). State accumulates exact
+    integer CENTS, not a float sum — row order inside a stateful group is
+    not guaranteed, and the oracle compare is exact, so the operator's
+    state design itself carries the determinism. The batch oracle is the
+    plain per-user aggregate; matching hashes certify that custom state
+    saw every event exactly once and emitted a faithful final update."""
+    import re as _re
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        user_running_totals,
+    )
+
+    sink = "q_stream_totals_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+    q = run_to_memory(
+        user_running_totals(read_events_stream(spark, sf_dir)),
+        sink,
+        "update",
+        available_now=True,
+    )
+    q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max_by("cents", "n").alias("cents"),
+        )
+        .select(
+            "user_id",
+            "n",
+            (F.col("cents").cast("double") / 1e2).alias("total"),
+        )
+        .transform(presentation_sort, "user_id")
+    )

@@ -178,29 +178,38 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 _STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("cents", LongType())]
 )
 _RUNNING_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
         StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        StructField("cents", LongType()),
     ]
 )
 
 
 def _update_user_totals(key, pdfs, state: GroupState):
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+        # Integer-cent state, NOT a float accumulator: row order inside a
+        # stateful group is not guaranteed, and a float running sum would
+        # make the emitted total order-dependent at the last ulp — the
+        # q108/q99 exactness lesson applied to Python-side state. The
+        # values carry 2 decimal places by contract, so cents are exact.
+        cents += int(
+            (pdf["value"].fillna(0.0) * 100).round().astype("int64").sum()
+        )
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "cents": [cents]})
 
 
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-user count/sum via
-    applyInPandasWithState (the template for bespoke streaming state)."""
+    applyInPandasWithState (the template for bespoke streaming state).
+    Emits (user_id, n, cents) with the running sum in exact integer
+    cents; divide by 100 at presentation time."""
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
