@@ -508,3 +508,45 @@ def test_runtime_bloom_filter_injects_on_fact_fact_join(spark, queries):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q107_prefix_join_shuffles_longs_not_text(spark, queries):
+    """The prefix-Jaccard join must (a) never plan a cartesian/NL join —
+    candidates are equi-joins on shingle hashes, (b) hash shingles to
+    longs before any exchange (xxhash64 present; the only string the plan
+    needs past the scan is nothing — no `text` column survives the first
+    projection)."""
+    plan = plan_of(queries["q107_prefix_jaccard_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan
+    # coalesce(1) would serialize the verify stage (the 49s regression)
+    assert "Coalesce 1" not in plan
+
+
+def test_q112_keyword_extract_single_doc_window(spark, queries):
+    """One doc-keyed window over the cached posting index: exactly one
+    row_number window, no global sort."""
+    plan = plan_of(queries["q112_keyword_extract"](spark, SF_DIR))
+    assert plan.count("Window") >= 1
+    assert "row_number" in plan
+    # result is unsorted: no range-partitioned global sort stage
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q113_cms_grid_probes_broadcast(spark, queries):
+    """The CMS estimate side must probe the 1024-cell grid with a
+    broadcast join — the sketch never shuffles the token stream twice
+    into a SortMergeJoin."""
+    plan = plan_of(queries["q113_cms_audit"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q114_edit_join_equi_candidates_no_all_pairs(spark, queries):
+    """Segment filtering means candidates come from equi-joins; an
+    all-pairs levenshtein would plan a cartesian."""
+    plan = plan_of(queries["q114_edit_distance_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
