@@ -934,20 +934,25 @@ def q103_drift_psi(spark, sf_dir):
              CAST(NULL AS BIGINT) AS pid
       FROM transitions
       UNION ALL
-      SELECT user_id, ts, 0 AS kind, event_id, CAST(NULL AS VARCHAR), event_id
+      SELECT user_id, ts, 0 AS kind, event_id, CAST(NULL AS STRING), event_id
       FROM events WHERE event_type = 'purchase'
     ),
     tagged AS (
-      SELECT user_id, pid,
-             last_value(state IGNORE NULLS) OVER (
+      SELECT user_id, pid, state,
+             count(state) OVER (
                PARTITION BY user_id ORDER BY ts, kind, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_state
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       FROM merged
+    ),
+    filled AS (
+      SELECT user_id, pid,
+             max(state) OVER (PARTITION BY user_id, grp) AS prior_state
+      FROM tagged
     )
     SELECT coalesce(prior_state, '(none)') AS prior_state,
            count(*) AS n_purchases,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM tagged WHERE pid IS NOT NULL
+    FROM filled WHERE pid IS NOT NULL
     GROUP BY 1 ORDER BY 1
     """,
 )
