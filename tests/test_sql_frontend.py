@@ -73,6 +73,11 @@ DUCKDB_ONLY = {
     "q93_bpe_train",         # duckdb string_split/list_transform CTE ladder
     "q94_char_entropy",      # duckdb entropy() aggregate + unnest
     "q96_vocab_coverage",    # duckdb string_split_regex + VALUES lateral
+    "q107_prefix_jaccard_join",  # duckdb list_* (same shingle CTE as q24)
+    "q110_dedup_apply",      # duckdb list_* (same shingle CTE as q45)
+    "q111_index_maintenance",  # duckdb list_* (same shingle CTE as q24)
+    "q112_keyword_extract",  # duckdb list_filter/string_split_regex (q36 idiom)
+    "q113_cms_audit",        # duckdb CAST('0x..') hex parse (Spark: conv)
 }
 
 
@@ -94,9 +99,13 @@ def test_oracle_sql_runs_on_spark(spark, name):
     assert len(got_sql) == len(got_df)
     import pandas as pd
 
+    # Canonicalize row order (the driver's hash compare is
+    # order-insensitive, and corpus-grain pair lists are deliberately
+    # unsorted — q107/q114); value equality is what the gate pins.
+    cols = list(got_sql.columns)
     pd.testing.assert_frame_equal(
-        got_sql.reset_index(drop=True),
-        got_df.reset_index(drop=True),
+        got_sql.sort_values(cols, ignore_index=True),
+        got_df.sort_values(cols, ignore_index=True),
         check_dtype=False,
         atol=1e-6,
         check_exact=False,
