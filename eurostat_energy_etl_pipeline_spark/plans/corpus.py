@@ -2035,3 +2035,120 @@ def q113(spark, sf_dir):
         )
         .transform(presentation_sort, F.desc("true_c"), "token")
     )
+
+
+@query(
+    "q115_pipeline",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             (least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+              + least(CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       t -> list_contains(['the','and','of','is','to','in','that','with',
+                                           'a','an','for','on','as','are','it'], t))) AS DOUBLE)
+                       / len(string_split_regex(trim(lower(text)), '\s+')) END * 4.0, 1.0) * 0.3
+              + (1.0 - least(CASE WHEN len(text) > 0
+                  THEN CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / len(text) ELSE 0.0 END * 5.0, 1.0)) * 0.2) AS quality
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ),
+    sampled AS (
+      SELECT * FROM deduped WHERE substr(md5(text), 1, 4) < '8000'
+    )
+    SELECT k.lang,
+           CAST((SELECT count(*) FROM scored s WHERE s.lang = k.lang) AS BIGINT)
+             AS docs_in,
+           CAST(count(*) AS BIGINT) AS docs_quality,
+           CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_deduped,
+           CAST(sum(CASE WHEN sm.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_sampled,
+           CAST(coalesce(sum(CASE WHEN sm.doc_id IS NOT NULL THEN
+                CASE WHEN trim(k.text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(lower(k.text)), '\s+')) END
+                ELSE 0 END), 0) AS BIGINT) AS tokens_final
+    FROM kept k
+    LEFT JOIN deduped d ON d.doc_id = k.doc_id
+    LEFT JOIN sampled sm ON sm.doc_id = k.doc_id
+    GROUP BY k.lang ORDER BY k.lang
+    """,
+)
+def q115(spark, sf_dir):
+    """The COMPOSED preprocessing pipeline as one declared query — the
+    end-to-end artifact a data-curation run reports: quality filter
+    (T.quality_score >= 0.5, the q61 scoring) -> exact near-dup collapse
+    (fingerprint = md5 of case/whitespace-normalized text, q27's key;
+    keep min doc_id per group) -> deterministic 50% content-hash sample
+    (q47's predicate) -> per-language funnel accounting with final token
+    counts. Every stage is an already-certified operator; this query
+    certifies their COMPOSITION (stage ordering, survivor propagation,
+    per-lang attribution) under one oracle hash.
+
+    Scale shape: one scan computes score+fingerprint+sample flags;
+    the dedup rank is one fingerprint-keyed window; the funnel
+    accounting is one lang-keyed aggregate over flag columns — no stage
+    re-reads the corpus, no driver materialization anywhere."""
+    from pyspark.sql.window import Window as W
+
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
+        sample_predicate,
+    )
+    from eurostat_energy_etl_pipeline_spark.operators.text import fingerprint
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    kept = (
+        widen_if_narrow(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            T.quality_score(F.col("text")).alias("quality"),
+        )
+        .where(F.col("quality") >= 0.5)
+    )
+    flagged = kept.select(
+        "doc_id",
+        "lang",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        (
+            F.row_number().over(
+                W.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+            )
+            == 1
+        ).alias("is_canonical"),
+        sample_predicate(F.col("text"), 0.5).alias("in_sample"),
+    )
+    surv = F.col("is_canonical") & F.col("in_sample")
+    total_by_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_in")
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs_quality"),
+            F.sum(F.col("is_canonical").cast("long")).alias("docs_deduped"),
+            F.sum(surv.cast("long")).alias("docs_sampled"),
+            F.sum(F.when(surv, F.col("n_tokens")).otherwise(0)).alias(
+                "tokens_final"
+            ),
+        )
+        .join(F.broadcast(total_by_lang), "lang")
+        .select(
+            "lang",
+            "docs_in",
+            "docs_quality",
+            "docs_deduped",
+            "docs_sampled",
+            "tokens_final",
+        )
+        .transform(presentation_sort, "lang")
+    )
