@@ -78,6 +78,7 @@ DUCKDB_ONLY = {
     "q111_index_maintenance",  # duckdb list_* (same shingle CTE as q24)
     "q112_keyword_extract",  # duckdb list_filter/string_split_regex (q36 idiom)
     "q113_cms_audit",        # duckdb CAST('0x..') hex parse (Spark: conv)
+    "q115_pipeline",         # duckdb list_*/'g' flag (q61 quality idiom)
 }
 
 
