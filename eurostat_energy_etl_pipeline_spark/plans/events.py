@@ -1119,3 +1119,56 @@ def q_stream_running_totals(spark, sf_dir):
         )
         .transform(presentation_sort, "user_id")
     )
+
+
+@query(
+    "q_stream_attribution",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_attributions,
+           CAST(count(DISTINCT t.event_id) AS BIGINT) AS n_triggers,
+           CAST(count(DISTINCT o.event_id) AS BIGINT) AS n_outcomes,
+           CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(o.value AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS attributed_value
+    FROM events t JOIN events o
+      ON t.user_id = o.user_id
+     AND t.event_type = 'click' AND o.event_type = 'purchase'
+     AND o.ts >= t.ts AND o.ts <= t.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_attribution(spark, sf_dir):
+    """STREAM-STREAM join under the driver's oracle gate — the hardest
+    Structured Streaming shape the library exercises: click and purchase
+    streams (both watermarked) joined per user with an event-time range
+    bound (`streaming/events.attribution_join`), so Spark can GC buffered
+    state beyond watermark + horizon; without the range condition the
+    join state would grow forever. Drained with Trigger.AvailableNow and
+    reduced to the attribution summary (pair/trigger/outcome/user counts
+    plus exact-decimal attributed value). The batch oracle is the plain
+    time-bounded self-join, so matching hashes certify the streaming
+    join buffered, matched, and emitted every qualifying pair exactly
+    once. Pair-grain equality is additionally pinned in
+    tests/test_streaming.py::test_attribution_join_matches_batch."""
+    import re as _re
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        attribution_join,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    sink = "q_stream_attrib_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+    q = run_to_memory(
+        attribution_join(read_events_stream(spark, sf_dir)),
+        sink,
+        "append",
+        available_now=True,
+    )
+    q.stop()
+    return spark.table(sink).agg(
+        F.count(F.lit(1)).alias("n_attributions"),
+        F.count_distinct("trigger_id").cast("long").alias("n_triggers"),
+        F.count_distinct("outcome_id").cast("long").alias("n_outcomes"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.round(exact_sum("outcome_value"), 4).alias("attributed_value"),
+    )
