@@ -127,10 +127,25 @@ def main() -> None:
         )
 
     # Ratios: both reported — excluding the deliberately-brute-force
-    # ground-truth oracles (q25 all-pairs Jaccard, q63 batch x corpus
-    # exact, q26 bit-for-bit SimHash) and including them. The DuckDB
-    # side was timed interleaved above.
-    gt_oracles = {"q25_minhash_lsh_pairs", "q63_incremental_dedup", "q26_simhash"}
+    # ground-truth oracles and including them. The exclusion criterion is
+    # "the oracle is BY DESIGN harder than the operator it certifies":
+    # q25/q63/q107/q111 enumerate every shingle-sharing pair exhaustively
+    # (the operators prune with LSH bands / prefix filtering / an at-rest
+    # index), q114's oracle is the brute-force all-pairs levenshtein the
+    # segment filter exists to avoid, q26 recomputes SimHash bit-for-bit.
+    # Counting those on the DuckDB side would *flatter* the Spark ratio
+    # (r8: the uncorrected set reported 0.358 because q107's 73 s + q111's
+    # 28 s oracle walls swamped DuckDB's total), so they are excluded from
+    # ratio_x_gt and still visible in ratio_i_gt. The DuckDB side was
+    # timed interleaved above.
+    gt_oracles = {
+        "q25_minhash_lsh_pairs",
+        "q26_simhash_pairs",
+        "q63_incremental_dedup",
+        "q107_prefix_jaccard_join",
+        "q111_index_maintenance",
+        "q114_edit_distance_join",
+    }
 
     def _ratios() -> dict:
         matched = [n for n in duck if n in timings]
