@@ -43,7 +43,8 @@ _DRIVER_CHECK_PRIORITY = [
     "q107_prefix_jaccard_join", "q108_linear_gd", "q109_rank_distribution",
     "q110_dedup_apply", "q111_index_maintenance", "q112_keyword_extract",
     "q113_cms_audit", "q114_edit_distance_join", "q_stream_running_totals",
-    "q115_pipeline", "q_stream_attribution",
+    "q115_pipeline", "q_stream_attribution", "q116_kmv_audit",
+    "q117_snapshot_diff", "q118_path_mining",
     # last driver-checked in round 3
     "q28_lang_id", "q29_token_stats", "q30_quality_buckets", "q38_set_ops",
     "q40_rollup", "q41_approx_distinct", "q42_stats_agg", "q43_join_chain",

@@ -2152,3 +2152,158 @@ def q115(spark, sf_dir):
         )
         .transform(presentation_sort, "lang")
     )
+
+
+_KMV_K = 256
+
+
+@query(
+    "q116_kmv_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS tk
+      FROM documents
+    ),
+    h AS (SELECT ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
+    kmv AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+    agg AS (SELECT count(*) AS k_eff, max(hv) AS kth FROM kmv),
+    n AS (SELECT count(*) AS n_exact FROM tok)
+    SELECT CAST({_KMV_K} AS INT) AS k,
+           CAST(n.n_exact AS BIGINT) AS n_exact,
+           floor((CAST(a.k_eff - 1 AS DOUBLE)
+                  / (CAST(a.kth AS DOUBLE) / 1152921504606846976.0))
+                 * 1e4 + 0.5) / 1e4 AS kmv_est,
+           floor(((CAST(a.k_eff - 1 AS DOUBLE)
+                  / (CAST(a.kth AS DOUBLE) / 1152921504606846976.0))
+                  / CAST(n.n_exact AS DOUBLE) - 1.0) * 1e6 + 0.5) / 1e6
+             AS rel_err
+    FROM agg a CROSS JOIN n
+    """,
+)
+def q116(spark, sf_dir):
+    """K-minimum-values distinct-count sketch AUDIT — the mergeable
+    cardinality sketch alongside q113's count-min frequency sketch: the
+    K=256 smallest portable hashes of the distinct token set give
+    D_hat = (K-1)/U_(K) (Bar-Yossef et al.), audited against the exact
+    distinct count in the same plan. Everything is deterministic — the
+    hash is the portable 60-bit md5 prefix, U_(K) normalizes by 2^60 —
+    so the driver hash pins the estimate AND its relative error
+    cross-engine, not just "close enough".
+
+    Scale shape: the sketch side is one TakeOrdered(K) over the hashed
+    distinct-token stream — O(K) state per shard, merged by re-taking
+    the K smallest of a union (the property that makes KMV a per-shard
+    sidecar at 100 TB); the exact side is the audit the sketch replaces
+    at scale, kept here so the certification is self-contained (the q113
+    contract)."""
+    from eurostat_energy_etl_pipeline_spark.operators.text import (
+        whitespace_tokens,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = (
+        widen_if_narrow(docs)
+        .select(
+            F.explode(
+                F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+            ).alias("tk")
+        )
+        .distinct()
+    )
+    h = tok.select(
+        F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10).cast("long").alias("hv")
+    )
+    kmv = h.orderBy("hv").limit(_KMV_K)
+    agg = kmv.agg(
+        F.count(F.lit(1)).alias("k_eff"), F.max("hv").alias("kth")
+    )
+    n = tok.agg(F.count(F.lit(1)).alias("n_exact"))
+    est = (F.col("k_eff") - 1).cast("double") / (
+        F.col("kth").cast("double") / F.lit(1152921504606846976.0)
+    )
+    return (
+        agg.join(F.broadcast(n))
+        .select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.floor(est * 1e4 + 0.5) / 1e4).alias("kmv_est"),
+            (
+                F.floor(
+                    (est / F.col("n_exact").cast("double") - 1.0) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("rel_err"),
+        )
+    )
+
+
+@query(
+    "q117_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+      WHERE doc_id % 10 <> 0
+    ),
+    new AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    j AS (
+      SELECT coalesce(o.source, n.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT source, status, CAST(count(*) AS BIGINT) AS n
+    FROM j GROUP BY source, status ORDER BY source, status
+    """,
+)
+def q117(spark, sf_dir):
+    """Snapshot DIFF / CDC audit — the table-to-table delta report every
+    incremental pipeline publishes (what changed between yesterday's
+    shard and today's): two corpus snapshots (held-out rows simulate
+    adds/removes, a sentinel suffix simulates updates) full-outer-joined
+    on the key, rows classified added/removed/changed/unchanged by
+    content hash, counted per source. One id-keyed shuffle for the join
+    (both sides hash to the same partitioning — at rest this is the
+    bucketed-layout co-located join, `etl/bucketing.py`), content
+    compared as md5 so the wide text column is pruned before the
+    exchange (the q19/q23 discipline)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    old = (
+        widen_if_narrow(docs)
+        .where(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "source", F.md5("text").alias("h"))
+    )
+    new = (
+        widen_if_narrow(docs)
+        .where(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" v2"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer").select(
+        F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        j.groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(presentation_sort, "source", "status")
+    )

@@ -1172,3 +1172,77 @@ def q_stream_attribution(spark, sf_dir):
         F.count_distinct("user_id").cast("long").alias("n_users"),
         F.round(exact_sum("outcome_value"), 4).alias("attributed_value"),
     )
+
+
+@query(
+    "q118_path_mining",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def q118_path_mining(spark, sf_dir):
+    """Session PATH mining — the product-analytics shape on top of
+    sessionization: each session's ordered event-type sequence becomes a
+    path string, and the top-10 paths by frequency fall out of one more
+    aggregate. The session cut reuses q_events_sessionize's
+    lag + running-sum window (one user-keyed shuffle); the path is built
+    row-side — sort_array over collected (ts, event_id, type) structs,
+    then a transform + array_join, so ordering is total and
+    deterministic without a second window — and the top-10 plans as
+    TakeOrderedAndProject (no global sort). The oracle builds the same
+    paths with DuckDB's ordered string_agg."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("double")
+    prev = F.lag("ts").over(w).cast("double")
+    marked = t["events"].withColumn(
+        "new_session",
+        F.when(prev.isNull() | (secs - prev > SESSION_GAP_S), 1).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )

@@ -79,6 +79,8 @@ DUCKDB_ONLY = {
     "q112_keyword_extract",  # duckdb list_filter/string_split_regex (q36 idiom)
     "q113_cms_audit",        # duckdb CAST('0x..') hex parse (Spark: conv)
     "q115_pipeline",         # duckdb list_*/'g' flag (q61 quality idiom)
+    "q116_kmv_audit",        # duckdb CAST('0x..') hex parse (Spark: conv)
+    "q118_path_mining",      # duckdb epoch() + ordered string_agg
 }
 
 
