@@ -2307,3 +2307,117 @@ def q117(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .transform(presentation_sort, "source", "status")
     )
+
+
+@query(
+    "q119_quantile_normalize",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             (least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+              + least(CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       t -> list_contains(['the','and','of','is','to','in','that','with',
+                                           'a','an','for','on','as','are','it'], t))) AS DOUBLE)
+                       / len(string_split_regex(trim(lower(text)), '\s+')) END * 4.0, 1.0) * 0.3
+              + (1.0 - least(CASE WHEN len(text) > 0
+                  THEN CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / len(text) ELSE 0.0 END * 5.0, 1.0)) * 0.2) AS q
+      FROM documents
+    ),
+    g AS (SELECT q, row_number() OVER (ORDER BY q, doc_id) AS grank FROM scored),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM scored),
+    loc AS (
+      SELECT doc_id, source, q,
+             row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS lr,
+             count(*) OVER (PARTITION BY source) AS ls
+      FROM scored
+    ),
+    tgt AS (
+      SELECT l.source, l.q AS raw,
+             CAST(CASE WHEN l.ls > 1
+                  THEN floor((CAST(l.lr - 1 AS DOUBLE) / (l.ls - 1))
+                             * (nn.n_all - 1) + 0.5) + 1
+                  ELSE floor(0.5 * (nn.n_all - 1) + 0.5) + 1 END AS BIGINT)
+               AS gidx
+      FROM loc l CROSS JOIN nn
+    ),
+    norm AS (SELECT t.source, t.raw, g2.q AS nq
+             FROM tgt t JOIN g g2 ON g2.grank = t.gidx)
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(CAST(floor(raw * 1e12 + 0.5) / 1e12
+                 AS DECIMAL(30,12))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+             AS mean_raw,
+           floor(CAST(sum(CAST(floor(nq * 1e12 + 0.5) / 1e12
+                 AS DECIMAL(30,12))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+             AS mean_norm
+    FROM norm GROUP BY source ORDER BY source
+    """,
+)
+def q119(spark, sf_dir):
+    """Cross-source QUANTILE NORMALIZATION of quality scores — the
+    score-calibration step before mixing heterogeneous sources (a
+    source's harsh or lenient scorer must not skew the mixture): each
+    doc's source-local percent-rank is mapped onto the GLOBAL score
+    quantile function, i.e. normalized_score = global score at index
+    round(local_pr * (N-1)). Composes the distributed global ranking
+    kernel (operators/ranking.global_row_number — range partitioning +
+    offsets, never a single-partition window) with one source-keyed
+    local window and an integer-keyed join against the ranked global
+    table. Means are gridded-decimal exact sums (the q99/q108 recipe),
+    so the oracle hash pins raw AND normalized per-source means."""
+    from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = widen_if_narrow(docs).select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("q")
+    )
+    g = global_row_number(scored, ["q", "doc_id"], out_col="grank").select(
+        F.col("q").alias("gq"), "grank"
+    )
+    n_all = scored.agg(F.count(F.lit(1)).alias("n_all"))
+    wsrc = Window.partitionBy("source").orderBy("q", "doc_id")
+    loc = scored.select(
+        "source",
+        "q",
+        F.row_number().over(wsrc).alias("lr"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ls"),
+    )
+    tgt = loc.join(F.broadcast(n_all)).select(
+        "source",
+        F.col("q").alias("raw"),
+        F.when(
+            F.col("ls") > 1,
+            F.floor(
+                ((F.col("lr") - 1).cast("double") / (F.col("ls") - 1))
+                * (F.col("n_all") - 1)
+                + 0.5
+            )
+            + 1,
+        )
+        .otherwise(F.floor(0.5 * (F.col("n_all") - 1) + 0.5) + 1)
+        .cast("long")
+        .alias("gidx"),
+    )
+    norm = tgt.join(g, tgt["gidx"] == g["grank"])
+
+    def _exact_mean(col):
+        dec = (F.floor(F.col(col) * 1e12 + 0.5) / 1e12).cast("decimal(30,12)")
+        return (
+            F.floor(
+                F.sum(dec).cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
+            )
+            / 1e6
+        )
+
+    return (
+        norm.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _exact_mean("raw").alias("mean_raw"),
+            _exact_mean("gq").alias("mean_norm"),
+        )
+        .transform(presentation_sort, "source")
+    )

@@ -81,6 +81,7 @@ DUCKDB_ONLY = {
     "q115_pipeline",         # duckdb list_*/'g' flag (q61 quality idiom)
     "q116_kmv_audit",        # duckdb CAST('0x..') hex parse (Spark: conv)
     "q118_path_mining",      # duckdb epoch() + ordered string_agg
+    "q119_quantile_normalize",  # duckdb list_*/'g' flag (q61 quality idiom)
 }
 
 
