@@ -2421,3 +2421,116 @@ def q119(spark, sf_dir):
         )
         .transform(presentation_sort, "source")
     )
+
+
+@query(
+    "q_stream_screen",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    batch AS (
+      SELECT doc_id + 1000000 AS new_id, doc_id AS src FROM documents
+      WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+    ),
+    bex AS (SELECT b.new_id, b.src, unnest(n.shingles) AS g
+            FROM batch b JOIN sh n ON n.doc_id = b.src),
+    cex AS (SELECT doc_id AS corpus_id, unnest(shingles) AS g
+            FROM sh WHERE doc_id % 5 <> 0),
+    cand AS (SELECT DISTINCT bex.new_id, bex.src, cex.corpus_id
+             FROM bex JOIN cex USING (g))
+    SELECT new_id, corpus_id, jacc FROM (
+      SELECT cd.new_id, cd.corpus_id,
+             floor((CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
+                   / (len(n.shingles) + len(c.shingles)
+                      - len(list_intersect(n.shingles, c.shingles)))) * 1e6 + 0.5) / 1e6 AS jacc
+      FROM cand cd
+      JOIN sh n ON n.doc_id = cd.src
+      JOIN sh c ON c.doc_id = cd.corpus_id
+    ) WHERE jacc >= 0.5 ORDER BY new_id, corpus_id
+    """,
+)
+def q_stream_screen(spark, sf_dir):
+    """STREAMING ingest near-dup screening under the oracle gate — the
+    firehose twin of q63, same batch, same at-rest index, same
+    exhaustive ground truth: the incoming documents arrive as a
+    Structured Streaming source and each micro-batch runs the FULL
+    matcher (candidate join + exact-Jaccard verify) via foreachBatch
+    (`streaming/events.screen_stream_per_batch` — documents arrive
+    exactly once per batch, so per-batch results are complete and no
+    cross-batch state exists). Matching hashes certify that micro-batch
+    chunking changes nothing: the streamed drain emits exactly the
+    batch matcher's pair set. The per-batch sink collects verified
+    matches (pair-grain, O(matches)) and the final result is assembled
+    as an Arrow local relation."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        screen_stream_per_batch,
+    )
+
+    idx = _neardup_index_path(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    batch_stream = (
+        stream.where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            stream.where(
+                (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 0)
+            ).select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        )
+    )
+    rows: list = []
+
+    def sink(matches, batch_id):
+        rows.extend(matches.collect())
+
+    q = screen_stream_per_batch(batch_stream, spark, idx, sink, threshold=0.5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pdf = pd.DataFrame(
+        [(r["new_id"], r["corpus_id"], r["jacc"]) for r in rows],
+        columns=["new_id", "corpus_id", "jacc"],
+    )
+    out_schema = StructType(
+        [
+            StructField("new_id", LongType()),
+            StructField("corpus_id", LongType()),
+            StructField("jacc", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        pdf.astype({"new_id": "int64", "corpus_id": "int64", "jacc": "float64"}),
+        schema=out_schema,
+    )

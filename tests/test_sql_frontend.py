@@ -82,6 +82,7 @@ DUCKDB_ONLY = {
     "q116_kmv_audit",        # duckdb CAST('0x..') hex parse (Spark: conv)
     "q118_path_mining",      # duckdb epoch() + ordered string_agg
     "q119_quantile_normalize",  # duckdb list_*/'g' flag (q61 quality idiom)
+    "q_stream_screen",       # duckdb list_* (same shingle CTE as q63)
 }
 
 
