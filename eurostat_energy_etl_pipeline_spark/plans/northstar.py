@@ -1527,3 +1527,83 @@ def q114(spark, sf_dir):
     return D.edit_distance_join(
         t["supplier"], max_dist=1, seg_len=4, id_col="s_suppkey", text_col="s_name"
     )
+
+
+@query(
+    "q120_negative_sampling",
+    oracle="""
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    probes AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label, g.i,
+             CAST((a.vec_id + g.i * 104729) % nn.n AS BIGINT) AS cand_id
+      FROM embeddings a CROSS JOIN nn
+      CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) AS g(i)
+    ),
+    cands AS (
+      SELECT p.anchor_id, p.i, p.cand_id, c.label AS cand_label
+      FROM probes p JOIN embeddings c ON c.vec_id = p.cand_id
+      WHERE c.label <> p.anchor_label AND p.cand_id <> p.anchor_id
+    ),
+    ranked AS (
+      SELECT anchor_id, cand_id AS neg_id, cand_label AS neg_label,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY i) AS neg_rank
+      FROM cands
+    )
+    SELECT anchor_id, CAST(neg_rank AS INT) AS neg_rank, neg_id, neg_label
+    FROM ranked WHERE neg_rank <= 4
+    ORDER BY anchor_id, neg_rank
+    """,
+)
+def q120(spark, sf_dir):
+    """Deterministic NEGATIVE SAMPLING for contrastive training — per
+    anchor embedding, up to 4 negatives with a different label, drawn by
+    a seedless fixed-stride probe sequence (cand_i = (anchor + i*104729)
+    mod N): the reproducible replacement for random negative draws, so
+    the same corpus yields the same training pairs on any cluster or
+    partitioning (the q100/q47 determinism contract applied to pair
+    construction). Shape: the probe list is generated scan-side
+    (sequence + transform, 8 rows per anchor), resolved with ONE
+    id-keyed equi-join against the embedding table (at rest this is a
+    partition-prunable point-lookup join, never a corpus cross join),
+    filtered on label mismatch, and cut to the first 4 by probe index
+    with one anchor-keyed window."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    n = e.count()
+    probes = e.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("i"),
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "i",
+        F.pmod(F.col("anchor_id") + F.col("i") * 104729, F.lit(n))
+        .cast("long")
+        .alias("cand_id"),
+    )
+    cands = (
+        probes.join(
+            e.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("cand_label"),
+            ),
+            "cand_id",
+        )
+        .where(
+            (F.col("cand_label") != F.col("anchor_label"))
+            & (F.col("cand_id") != F.col("anchor_id"))
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor_id").orderBy("i")
+    return (
+        cands.select(
+            "anchor_id",
+            F.row_number().over(w).cast("int").alias("neg_rank"),
+            F.col("cand_id").alias("neg_id"),
+            F.col("cand_label").alias("neg_label"),
+        )
+        .where(F.col("neg_rank") <= 4)
+    )
