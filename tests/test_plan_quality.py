@@ -550,3 +550,39 @@ def test_q114_edit_join_equi_candidates_no_all_pairs(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_q115_pipeline_single_scan_and_fingerprint_window(spark, queries):
+    """The composed pipeline computes score+fingerprint+sample flags in
+    one pass: exactly one fingerprint-keyed window, the per-lang totals
+    join broadcasts, and nothing global-sorts."""
+    plan = plan_of(queries["q115_pipeline"](spark, SF_DIR))
+    assert plan.count(") Window") == 1  # tree nodes, not the details echo
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q117_snapshot_diff_prunes_text_before_join(spark, queries):
+    """Content is compared as md5, so the wide text column must not
+    survive into the full-outer join's exchanges."""
+    plan = plan_of(queries["q117_snapshot_diff"](spark, SF_DIR))
+    assert "md5" in plan
+    # the join operates on (doc_id, source, h) only
+    join_part = plan.split("FullOuter", 1)[0] if "FullOuter" in plan else plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q119_quantile_normalize_no_single_partition_window(spark, queries):
+    """The global rank comes from the distributed kernel — the only
+    SinglePartition exchange allowed is the 1-row corpus-count scalar
+    aggregate, never a window input."""
+    plan = plan_of(queries["q119_quantile_normalize"](spark, SF_DIR))
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_q120_negative_sampling_equi_join_no_cartesian(spark, queries):
+    """Probe resolution is one id-keyed equi-join; an all-pairs plan
+    would show a cartesian/NL join."""
+    plan = plan_of(queries["q120_negative_sampling"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
