@@ -45,7 +45,7 @@ _DRIVER_CHECK_PRIORITY = [
     "q113_cms_audit", "q114_edit_distance_join", "q_stream_running_totals",
     "q115_pipeline", "q_stream_attribution", "q116_kmv_audit",
     "q117_snapshot_diff", "q118_path_mining", "q119_quantile_normalize",
-    "q_stream_screen", "q120_negative_sampling",
+    "q_stream_screen", "q120_negative_sampling", "q121_share_of_total",
     # last driver-checked in round 3
     "q28_lang_id", "q29_token_stats", "q30_quality_buckets", "q38_set_ops",
     "q40_rollup", "q41_approx_distinct", "q42_stats_agg", "q43_join_chain",

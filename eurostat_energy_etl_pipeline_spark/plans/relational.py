@@ -937,3 +937,58 @@ def q109_rank_distribution(spark, sf_dir):
         )
         .transform(presentation_sort, "s_nationkey", "s_suppkey")
     )
+
+
+@query(
+    "q121_share_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      JOIN supplier s ON l_suppkey = s_suppkey
+      JOIN nation n ON s_nationkey = n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, floor(revenue * 1e2 + 0.5) / 1e2 AS revenue,
+           floor(revenue / sum(revenue) OVER () * 1e6 + 0.5) / 1e6
+             AS revenue_share
+    FROM rev ORDER BY n_name
+    """,
+)
+def q121_share_of_total(spark, sf_dir):
+    """Ratio-to-report (share-of-total) — the W-surface member every BI
+    layer ships: per-nation revenue as a fraction of the grand total.
+    The grand total is an unpartitioned window SUM over the
+    ALREADY-AGGREGATED 25-row nation table, so the SinglePartition
+    exchange it implies moves dimension-bounded rows, never the fact
+    stream (the only place an empty-frame window is the right plan);
+    revenue itself is an exact DECIMAL sum so the share division is the
+    same IEEE op on both engines."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        (F.floor(F.col("revenue") * 1e2 + 0.5) / 1e2).alias("revenue"),
+        (
+            F.floor(
+                F.col("revenue") / F.sum("revenue").over(w) * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("revenue_share"),
+    ).transform(presentation_sort, "n_name")
