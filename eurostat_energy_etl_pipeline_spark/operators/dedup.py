@@ -466,23 +466,70 @@ def write_minhash_index(
             "shingle_k": shingle_k,
             "num_buckets": num_buckets,
         },
+        spark=df.sparkSession,
     )
 
 
-def _write_index_meta(path: str, meta: dict) -> None:
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for `path` resolved through Spark's Hadoop conf —
+    the filesystem the DATA writes go through, so meta/cleanup I/O lands on
+    the same store (HDFS, s3a, local) instead of silently using the
+    driver's local disk (ADVICE r8: driver-local os/open/shutil on an
+    object-store index path reads/deletes the wrong filesystem)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _active_spark(spark=None):
+    if spark is not None:
+        return spark
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError(
+            "index meta I/O needs a SparkSession (Hadoop FileSystem API); "
+            "no active session found"
+        )
+    return s
+
+
+def _write_index_meta(path: str, meta: dict, spark=None) -> None:
     import json
-    import os
 
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/_meta.json", "w") as f:
-        json.dump(meta, f)
+    spark = _active_spark(spark)
+    fs, base = _hadoop_fs(spark, path)
+    fs.mkdirs(base)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/_meta.json")
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
 
 
-def read_index_meta(path: str) -> dict:
+def read_index_meta(path: str, spark=None) -> dict:
     import json
 
-    with open(f"{path}/_meta.json") as f:
-        return json.load(f)
+    spark = _active_spark(spark)
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta.json")
+    stream = fs.open(jpath)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        chunks = []
+        line = reader.readLine()
+        while line is not None:
+            chunks.append(line)
+            line = reader.readLine()
+    finally:
+        stream.close()
+    return json.loads("\n".join(chunks))
 
 
 def merge_into_minhash_index(
@@ -516,10 +563,7 @@ def merge_into_minhash_index(
     overwrite so the write never reads the files it is replacing.
     Re-signing uses the geometry from `_meta.json`, so a maintenance batch
     can never mix hash parameters with the base index."""
-    import os
-    import shutil
-
-    meta = read_index_meta(path)
+    meta = read_index_meta(path, spark)
     nb = meta.get("num_buckets")
     if not nb:
         raise ValueError(
@@ -599,9 +643,18 @@ def merge_into_minhash_index(
             out.write.mode("overwrite").partitionBy("bucket").parquet(tpath)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        fs, _ = _hadoop_fs(spark, tpath)
         for b in buckets:
             if b not in present:
-                shutil.rmtree(f"{tpath}/bucket={b}", ignore_errors=True)
+                # Object-store-safe delete (ADVICE r8): dynamic overwrite
+                # only replaces partitions PRESENT in the output, so a
+                # fully-tombstoned bucket must be removed explicitly —
+                # through the same filesystem the data lives on.
+                bpath = spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{tpath}/bucket={b}"
+                )
+                if fs.exists(bpath):
+                    fs.delete(bpath, True)
         audit[f"{table}_rows_written"] = out.count()
     if sig is not None:
         audit["n_upserts"] = eff_ups.count()
@@ -1169,6 +1222,14 @@ def edit_distance_join(
 
     Returns (id_a, id_b, dist) with id_a < id_b, unordered (pair lists
     are corpus-grain; the compare canonicalizes order)."""
+    if max_dist != 1:
+        raise ValueError(
+            "edit_distance_join's two-segment pigeonhole (prefix OR "
+            "suffix key) is only exact for max_dist=1; d>=2 edits can "
+            "touch both segments, so candidates would be silently "
+            "missed. Generalizing needs d+1 disjoint segments "
+            "(PassJoin, Li et al. VLDB'11), which is not implemented."
+        )
     boundary = 2 * seg_len + 1
     base = widen_if_narrow(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("t")

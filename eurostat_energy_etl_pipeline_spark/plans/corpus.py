@@ -1823,7 +1823,21 @@ def q111(spark, sf_dir):
     updated doc's OLD shingles (its probe pair would verify at jacc<1),
     or dropped an add. Bucketed-layout mechanics (partition-pruned
     rewrite, emptied-bucket cleanup, scratch-vs-incremental equality)
-    are differential-tested in tests/test_dedup.py."""
+    are differential-tested in tests/test_dedup.py.
+
+    RECALL GEOMETRY (accepted risk, same contract as q25/q63): the
+    exhaustive oracle enumerates every shingle-sharing pair, but
+    `match_against_index` generates candidates via 16-band × 2-row
+    MinHash LSH, whose hit probability at jaccard j is
+    1 - (1 - j^2)^16 (~99.0% at j=0.5, >99.97% at j=0.6). On THIS
+    fixture every qualifying pair is a near-copy (probe jacc ≈ 1.0,
+    where the band-collision probability is 1 up to hash collisions),
+    so the gate is deterministic — but a new dataset/scale factor with
+    pairs sitting just above the 0.5 threshold could miss a band and
+    fail the hash even with the code unchanged. That is the documented
+    LSH trade, not a maintenance bug; raise bands or add a
+    shingle-sharing fallback probe if a fixture ever lands in the
+    marginal band."""
     from eurostat_energy_etl_pipeline_spark.operators.dedup import (
         match_against_index,
     )

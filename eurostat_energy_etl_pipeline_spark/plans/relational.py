@@ -944,16 +944,17 @@ def q109_rank_distribution(spark, sf_dir):
     oracle="""
     WITH rev AS (
       SELECT n.n_name,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS revenue
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue_dec
       FROM lineitem
       JOIN supplier s ON l_suppkey = s_suppkey
       JOIN nation n ON s_nationkey = n_nationkey
       GROUP BY n.n_name
     )
-    SELECT n_name, floor(revenue * 1e2 + 0.5) / 1e2 AS revenue,
-           floor(revenue / sum(revenue) OVER () * 1e6 + 0.5) / 1e6
-             AS revenue_share
+    SELECT n_name,
+           floor(CAST(revenue_dec AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue,
+           floor(CAST(revenue_dec AS DOUBLE)
+                 / CAST(sum(revenue_dec) OVER () AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS revenue_share
     FROM rev ORDER BY n_name
     """,
 )
@@ -963,9 +964,12 @@ def q121_share_of_total(spark, sf_dir):
     The grand total is an unpartitioned window SUM over the
     ALREADY-AGGREGATED 25-row nation table, so the SinglePartition
     exchange it implies moves dimension-bounded rows, never the fact
-    stream (the only place an empty-frame window is the right plan);
-    revenue itself is an exact DECIMAL sum so the share division is the
-    same IEEE op on both engines."""
+    stream (the only place an empty-frame window is the right plan).
+    Both the per-nation revenue AND the grand total accumulate as exact
+    DECIMALs (the q108/q119 gridded-fold convention — a window over
+    doubles would be exact only up to plan-dependent accumulation
+    order, ADVICE r8); doubles appear solely in the final division, the
+    same single IEEE op on both engines."""
     t = load_tables(spark, sf_dir)
     rev = (
         t["lineitem"]
@@ -976,18 +980,23 @@ def q121_share_of_total(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("revenue")
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "revenue_dec"
+            )
         )
     )
     w = Window.partitionBy()
     return rev.select(
         "n_name",
-        (F.floor(F.col("revenue") * 1e2 + 0.5) / 1e2).alias("revenue"),
+        (
+            F.floor(F.col("revenue_dec").cast("double") * 1e2 + 0.5) / 1e2
+        ).alias("revenue"),
         (
             F.floor(
-                F.col("revenue") / F.sum("revenue").over(w) * 1e6 + 0.5
+                F.col("revenue_dec").cast("double")
+                / F.sum("revenue_dec").over(w).cast("double")
+                * 1e6
+                + 0.5
             )
             / 1e6
         ).alias("revenue_share"),

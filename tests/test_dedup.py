@@ -335,3 +335,12 @@ def test_edit_distance_join_is_exact(spark):
         if d <= 1:
             want[(a, b)] = d
     assert got == want, f"{got} != {want}"
+
+
+def test_edit_distance_join_rejects_max_dist_above_one(spark):
+    """The two-segment pigeonhole is only exact for d=1 (two edits can
+    touch both the prefix and the suffix key) — an operator documented
+    as EXACT must refuse rather than silently drop candidates."""
+    df = spark.createDataFrame([(0, "abcdefghij")], ["id", "name"])
+    with pytest.raises(ValueError, match="max_dist=1"):
+        D.edit_distance_join(df, max_dist=2)

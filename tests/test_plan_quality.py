@@ -564,12 +564,22 @@ def test_q115_pipeline_single_scan_and_fingerprint_window(spark, queries):
 
 def test_q117_snapshot_diff_prunes_text_before_join(spark, queries):
     """Content is compared as md5, so the wide text column must not
-    survive into the full-outer join's exchanges."""
+    survive into the full-outer join's doc_id-keyed exchanges (the
+    widen repartition upstream of the md5 Project legitimately carries
+    text; the ENSURE_REQUIREMENTS shuffles feeding the join must not)."""
     plan = plan_of(queries["q117_snapshot_diff"](spark, SF_DIR))
     assert "md5" in plan
-    # the join operates on (doc_id, source, h) only
-    join_part = plan.split("FullOuter", 1)[0] if "FullOuter" in plan else plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    join_exchanges = [
+        block
+        for block in plan.split("\n\n")
+        if block.lstrip().startswith("(")
+        and ") Exchange" in block.splitlines()[0]
+        and "hashpartitioning(doc_id" in block
+    ]
+    assert join_exchanges, "expected doc_id-keyed exchanges feeding the join"
+    for block in join_exchanges:
+        assert "text#" not in block, f"text column not pruned:\n{block}"
 
 
 def test_q119_quantile_normalize_no_single_partition_window(spark, queries):
