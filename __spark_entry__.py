@@ -38,56 +38,150 @@ def entry(spark: SparkSession) -> DataFrame:
 # tiebreak — regenerated each round by scripts in this repo's workflow.
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
-    # never driver-checked (new this round)
-    "q105_triangle_count", "q106_pit_attribution", "q_stream_dedup",
-    "q107_prefix_jaccard_join", "q108_linear_gd", "q109_rank_distribution",
-    "q110_dedup_apply", "q111_index_maintenance", "q112_keyword_extract",
-    "q113_cms_audit", "q114_edit_distance_join", "q_stream_running_totals",
-    "q115_pipeline", "q_stream_attribution", "q116_kmv_audit",
-    "q117_snapshot_diff", "q118_path_mining", "q119_quantile_normalize",
-    "q_stream_screen", "q120_negative_sampling", "q121_share_of_total",
-    # last driver-checked in round 3
-    "q28_lang_id", "q29_token_stats", "q30_quality_buckets", "q38_set_ops",
-    "q40_rollup", "q41_approx_distinct", "q42_stats_agg", "q43_join_chain",
-    "q44_like_scan", "q69_salted_join_agg", "q77_anomaly_zscore",
-    "q84_shipping_revenue", "q86_join_skew_profile", "q_dash_between_top10",
-    "q_dash_country_series", "q_dash_domains", "q_dash_heatmap",
-    "q_dash_pivot_types", "q_dash_top10_latest", "q_dash_year_range",
-    "q_dq_probes",
     # last driver-checked in round 4
-    "q34_media_meta", "q39_frame_sample", "q45_dedup_clusters",
-    "q46_range_join", "q47_hash_sample", "q48_stratified_cap",
-    "q49_sequence_pack", "q50_doc_chunks", "q51_pii_scan", "q52_decontaminate",
-    "q53_quality_deciles", "q54_token_percentiles", "q55_label_cohesion",
-    "q56_tombstone_delete", "q57_mixture_weights", "q58_repetition_ratio",
-    "q59_cross_source_overlap", "q60_global_ids", "q61_canonical_docs",
-    "q62_json_props", "q63_incremental_dedup", "q64_funnel", "q65_retention",
-    "q66_rare_word_filter", "q67_cluster_canonical", "q68_topk_per_group",
-    "q70_dataset_split", "q71_jsonstat_decode", "q72_source_audit",
-    "q73_mixture_sample", "q79_quantize_audit", "q80_ivf_sq8_ann",
-    "q83_crossmodal_audit", "q85_median_bridge", "q87_knn_join_exact",
-    "q88_knn_join_lsh", "q89_bpe_pair_stats", "q90_trailing_burst",
-    "q91_kmeans_update", "q92_dup_span_coverage", "q93_bpe_train",
-    "q94_char_entropy", "q95_cube_grouping", "q96_vocab_coverage",
-    "q_events_asof_join", "q_events_sessionize", "q_events_sliding",
-    "q_events_tumbling", "q_events_type_stats",
+    "q51_pii_scan",
+    "q52_decontaminate",
+    "q53_quality_deciles",
+    "q54_token_percentiles",
+    "q55_label_cohesion",
+    "q56_tombstone_delete",
+    "q57_mixture_weights",
+    "q58_repetition_ratio",
+    "q59_cross_source_overlap",
+    "q60_global_ids",
+    "q61_canonical_docs",
+    "q62_json_props",
+    "q63_incremental_dedup",
+    "q64_funnel",
+    "q65_retention",
+    "q66_rare_word_filter",
+    "q67_cluster_canonical",
+    "q68_topk_per_group",
+    "q70_dataset_split",
+    "q71_jsonstat_decode",
+    "q72_source_audit",
+    "q73_mixture_sample",
+    "q79_quantize_audit",
+    "q80_ivf_sq8_ann",
+    "q83_crossmodal_audit",
+    "q85_median_bridge",
+    "q87_knn_join_exact",
+    "q88_knn_join_lsh",
+    "q89_bpe_pair_stats",
+    "q90_trailing_burst",
+    "q91_kmeans_update",
+    "q92_dup_span_coverage",
+    "q93_bpe_train",
+    "q94_char_entropy",
+    "q95_cube_grouping",
+    "q96_vocab_coverage",
+    "q_events_asof_join",
+    "q_events_sessionize",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_events_type_stats",
     # last driver-checked in round 7
-    "q01_filter_project", "q02_in_list", "q03_distinct_notnull",
-    "q04_union_all", "q05_year_extract", "q06_topk_avg", "q07_topk_sum",
-    "q08_latest_period", "q09_between", "q100_weighted_sample",
-    "q101_state_history", "q102_heldout_lm", "q103_drift_psi", "q104_ri_audit",
-    "q10_pivot_conditional", "q11_lag", "q12_rolling_mean", "q13_row_number",
-    "q14_join_agg", "q15_left_join_coalesce", "q16_left_semi",
-    "q17_insights_trend", "q17b_insights_full", "q18_fastest_rising",
-    "q19_dedup_exact", "q20_text_stats", "q21_word_count",
-    "q22_embedding_topk", "q23_dedup_hash_groups", "q24_ngram_jaccard",
-    "q25_minhash_lsh_pairs", "q26_simhash_pairs", "q27_fingerprint",
-    "q31_embedding_neardup", "q32_lsh_ann", "q33_multimodal_features",
-    "q35_forecast", "q36_tfidf_search", "q37_ivf_ann", "q74_forecast_features",
-    "q75_bm25_search", "q76_length_histogram", "q78_vocab_topk",
-    "q81_rolling_dau", "q82_bigram_lm_score", "q97_semantic_dedup",
-    "q98_bpe_encode", "q99_pagerank", "q_stream_sessionize",
+    "q01_filter_project",
+    "q02_in_list",
+    "q03_distinct_notnull",
+    "q04_union_all",
+    "q05_year_extract",
+    "q06_topk_avg",
+    "q07_topk_sum",
+    "q08_latest_period",
+    "q09_between",
+    "q100_weighted_sample",
+    "q101_state_history",
+    "q102_heldout_lm",
+    "q103_drift_psi",
+    "q104_ri_audit",
+    "q10_pivot_conditional",
+    "q11_lag",
+    "q12_rolling_mean",
+    "q13_row_number",
+    "q14_join_agg",
+    "q15_left_join_coalesce",
+    "q16_left_semi",
+    "q17_insights_trend",
+    "q17b_insights_full",
+    "q18_fastest_rising",
+    "q19_dedup_exact",
+    "q20_text_stats",
+    "q21_word_count",
+    "q22_embedding_topk",
+    "q23_dedup_hash_groups",
+    "q24_ngram_jaccard",
+    "q25_minhash_lsh_pairs",
+    "q26_simhash_pairs",
+    "q27_fingerprint",
+    "q31_embedding_neardup",
+    "q32_lsh_ann",
+    "q33_multimodal_features",
+    "q35_forecast",
+    "q36_tfidf_search",
+    "q37_ivf_ann",
+    "q74_forecast_features",
+    "q75_bm25_search",
+    "q76_length_histogram",
+    "q78_vocab_topk",
+    "q81_rolling_dau",
+    "q82_bigram_lm_score",
+    "q97_semantic_dedup",
+    "q98_bpe_encode",
+    "q99_pagerank",
+    "q_stream_sessionize",
     "q_stream_tumbling",
+    # last driver-checked in round 8
+    "q105_triangle_count",
+    "q106_pit_attribution",
+    "q107_prefix_jaccard_join",
+    "q108_linear_gd",
+    "q109_rank_distribution",
+    "q110_dedup_apply",
+    "q111_index_maintenance",
+    "q112_keyword_extract",
+    "q113_cms_audit",
+    "q114_edit_distance_join",
+    "q115_pipeline",
+    "q116_kmv_audit",
+    "q117_snapshot_diff",
+    "q118_path_mining",
+    "q119_quantile_normalize",
+    "q120_negative_sampling",
+    "q121_share_of_total",
+    "q28_lang_id",
+    "q29_token_stats",
+    "q30_quality_buckets",
+    "q34_media_meta",
+    "q38_set_ops",
+    "q39_frame_sample",
+    "q40_rollup",
+    "q41_approx_distinct",
+    "q42_stats_agg",
+    "q43_join_chain",
+    "q44_like_scan",
+    "q45_dedup_clusters",
+    "q46_range_join",
+    "q47_hash_sample",
+    "q48_stratified_cap",
+    "q49_sequence_pack",
+    "q50_doc_chunks",
+    "q69_salted_join_agg",
+    "q77_anomaly_zscore",
+    "q84_shipping_revenue",
+    "q86_join_skew_profile",
+    "q_dash_between_top10",
+    "q_dash_country_series",
+    "q_dash_domains",
+    "q_dash_heatmap",
+    "q_dash_pivot_types",
+    "q_dash_top10_latest",
+    "q_dash_year_range",
+    "q_dq_probes",
+    "q_stream_attribution",
+    "q_stream_dedup",
+    "q_stream_running_totals",
+    "q_stream_screen",
 ]
 
 
