@@ -2548,3 +2548,316 @@ def q_stream_screen(spark, sf_dir):
         pdf.astype({"new_id": "int64", "corpus_id": "int64", "jacc": "float64"}),
         schema=out_schema,
     )
+
+
+@query(
+    "q122_pmi_collocations",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1]) END) AS pair
+      FROM tok
+    ),
+    uni AS (SELECT unnest(tk) AS w FROM tok),
+    uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+    totals AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS n_tok,
+                      (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS n_big),
+    pc AS (SELECT pair, count(*) AS n_pair FROM bg GROUP BY pair
+           HAVING count(*) >= 5),
+    scored AS (
+      SELECT string_split(pc.pair, ' ')[1] AS w1,
+             string_split(pc.pair, ' ')[2] AS w2,
+             pc.n_pair,
+             floor(ln((CAST(pc.n_pair AS DOUBLE) / t.n_big)
+                      / ((CAST(a.cw AS DOUBLE) / t.n_tok)
+                         * (CAST(b.cw AS DOUBLE) / t.n_tok)))
+                   * 1e6 + 0.5) / 1e6 AS pmi
+      FROM pc
+      JOIN uc a ON a.w = string_split(pc.pair, ' ')[1]
+      JOIN uc b ON b.w = string_split(pc.pair, ' ')[2]
+      CROSS JOIN totals t
+    )
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi
+    FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def q122(spark, sf_dir):
+    """Collocation mining — top-20 adjacent-token bigrams by pointwise
+    mutual information with a min-count-5 support floor: the association
+    statistic behind phrase detection / tokenizer-vocab candidates
+    (word2vec-phrases-style) in a training-data pipeline.
+
+    Scale shape: two token-keyed aggregates (bigram counts, unigram
+    counts) plus two shuffle joins of the HAVING-filtered bigram table
+    back to unigram counts on each word — the bigram side is already
+    collapsed to (pair, count) grain before any join, so the joins move
+    vocabulary-bounded rows, never token instances. Corpus totals ride a
+    broadcast 1-row cross join (the q103 scalar convention) and the
+    final top-20 is a TakeOrderedAndProject, never a global sort.
+
+    Cross-engine exactness: counts are integers, PMI is one ln() over a
+    ratio of exact integer ratios (the q36/q112 ln-parity contract),
+    gridded at 1e-6 before the (pmi DESC, w1, w2) ranking."""
+    from eurostat_energy_etl_pipeline_spark.operators.text import (
+        whitespace_tokens,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = widen_if_narrow(docs).select(
+        F.filter(whitespace_tokens(F.col("text")), lambda x: x != "").alias(
+            "tk"
+        )
+    )
+    tok = tok.persist()
+    bigrams = tok.select(
+        F.explode(
+            F.when(F.size("tk") < 2, F.array().cast("array<string>")).otherwise(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            )
+        ).alias("pair")
+    )
+    unigrams = tok.select(F.explode("tk").alias("w"))
+    uc = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    totals = unigrams.agg(
+        F.count(F.lit(1)).cast("double").alias("n_tok")
+    ).crossJoin(bigrams.agg(F.count(F.lit(1)).cast("double").alias("n_big")))
+    pc = (
+        bigrams.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 5)
+        .select(
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("w2"),
+            "n_pair",
+        )
+    )
+    a = uc.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    b = uc.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / F.col("n_big"))
+        / (
+            (F.col("c1").cast("double") / F.col("n_tok"))
+            * (F.col("c2").cast("double") / F.col("n_tok"))
+        )
+    )
+    return (
+        pc.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            (F.floor(pmi * 1e6 + 0.5) / 1e6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "q125_novelty_rate",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(generate_series(1, len(tk) - 2),
+                         i -> array_to_string(tk[i:i+2], ' ')) END)) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS tk
+            FROM documents)
+    ),
+    first_seen AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           floor(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS novelty
+    FROM sh s JOIN first_seen f USING (g)
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def q125(spark, sf_dir):
+    """Per-document n-gram NOVELTY against everything ingested before it
+    (ingestion order = doc_id): the fraction of a doc's distinct 3-token
+    shingles whose first corpus occurrence is this doc. The curriculum /
+    crawl-freshness signal — a feed of near-copies scores ~0, genuinely
+    new material ~1 — and the streaming-ingest counterpart of q92's
+    span-level duplication coverage.
+
+    Scale shape: distinct shingles explode once; first-seen is one
+    min-aggregate keyed on the shingle (shuffled as xxhash64 longs, the
+    repo invariant — text never shuffles), joined back to the same
+    hashed-gram stream it came from, so Catalyst reuses the exchange;
+    the per-doc rollup is doc-keyed. No windows, no corpus-squared
+    stage. (Collision note: a 64-bit gram-hash collision could merge two
+    grams' first-seen; the same accepted risk as q92/q107.)"""
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        token_shingles,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = widen_if_narrow(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(token_shingles(F.col("text"), 3))
+        ).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    first_seen = sh.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first_seen, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            (
+                F.floor(
+                    novel.cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q128_kmv_set_ops",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id % 2 AS half,
+             unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS tk
+      FROM documents
+    ),
+    h AS (SELECT half, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv
+          FROM tok),
+    ska AS (SELECT hv FROM h WHERE half = 0 ORDER BY hv LIMIT {_KMV_K}),
+    skb AS (SELECT hv FROM h WHERE half = 1 ORDER BY hv LIMIT {_KMV_K}),
+    u AS (SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL
+                                   SELECT hv FROM skb)
+          ORDER BY hv LIMIT {_KMV_K}),
+    ua AS (SELECT count(*) AS k_eff, max(hv) AS kth FROM u),
+    ki AS (SELECT count(*) AS k_int FROM u
+           WHERE hv IN (SELECT hv FROM ska)
+             AND hv IN (SELECT hv FROM skb)),
+    ex AS (SELECT count(DISTINCT tk) AS n_union,
+                  count(DISTINCT CASE WHEN cnt = 2 THEN tk END) AS n_inter
+           FROM (SELECT tk, count(DISTINCT half) AS cnt
+                 FROM tok GROUP BY tk)),
+    est AS (SELECT CAST(ua.k_eff - 1 AS DOUBLE)
+                   / (CAST(ua.kth AS DOUBLE) / 1152921504606846976.0)
+                     AS d_union,
+                   CAST(ki.k_int AS DOUBLE) / CAST(ua.k_eff AS DOUBLE)
+                     AS rho
+            FROM ua CROSS JOIN ki)
+    SELECT CAST({_KMV_K} AS INT) AS k,
+           CAST(ex.n_union AS BIGINT) AS n_union,
+           CAST(ex.n_inter AS BIGINT) AS n_inter,
+           floor(est.d_union * 1e4 + 0.5) / 1e4 AS union_est,
+           floor(est.rho * est.d_union * 1e4 + 0.5) / 1e4 AS inter_est,
+           floor((est.d_union / CAST(ex.n_union AS DOUBLE) - 1.0)
+                 * 1e6 + 0.5) / 1e6 AS union_rel_err
+    FROM ex CROSS JOIN est
+    """,
+)
+def q128(spark, sf_dir):
+    """KMV sketch SET OPERATIONS — what makes q116's cardinality sketch a
+    distributed primitive rather than a single counter: two per-shard
+    sketches (tokens of even-doc_id docs vs odd) merge into a union
+    sketch by re-taking the K smallest of the combined values, and the
+    intersection estimate is rho * D_union with rho = |sketch(A) cap
+    sketch(B) cap union-sketch| / K (Beyer et al., SIGMOD'07). At 100 TB
+    this is how cross-shard / cross-source vocabulary overlap is
+    estimated without ever co-shuffling the token sets; the exact union
+    and intersection ride along as the self-contained certification
+    (the q113/q116 audit contract).
+
+    Determinism: the portable 60-bit md5-prefix hash pins every sketch
+    member cross-engine, so the driver hash certifies the estimates AND
+    their error, not "close enough". Scale shape: two TakeOrdered(K)
+    over hashed distinct-token streams, then O(K)-row broadcast joins;
+    the exact side is one distinct-token aggregate."""
+    from eurostat_energy_etl_pipeline_spark.operators.text import (
+        whitespace_tokens,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = (
+        widen_if_narrow(docs)
+        .select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(
+                F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+            ).alias("tk"),
+        )
+        .distinct()
+        .persist()
+    )
+    h = tok.select(
+        "half",
+        F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    ska = h.where(F.col("half") == 0).select("hv").orderBy("hv").limit(_KMV_K)
+    skb = h.where(F.col("half") == 1).select("hv").orderBy("hv").limit(_KMV_K)
+    u = (
+        ska.unionByName(skb)
+        .distinct()
+        .orderBy("hv")
+        .limit(_KMV_K)
+        .persist()
+    )
+    ua = u.agg(F.count(F.lit(1)).alias("k_eff"), F.max("hv").alias("kth"))
+    ki = (
+        u.join(F.broadcast(ska), "hv", "left_semi")
+        .join(F.broadcast(skb), "hv", "left_semi")
+        .agg(F.count(F.lit(1)).alias("k_int"))
+    )
+    ex = (
+        tok.groupBy("tk")
+        .agg(F.count_distinct("half").alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).alias("n_inter"),
+        )
+    )
+    d_union = (F.col("k_eff") - 1).cast("double") / (
+        F.col("kth").cast("double") / F.lit(1152921504606846976.0)
+    )
+    rho = F.col("k_int").cast("double") / F.col("k_eff").cast("double")
+    return (
+        ua.crossJoin(F.broadcast(ki))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            F.col("n_union").cast("long").alias("n_union"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (F.floor(d_union * 1e4 + 0.5) / 1e4).alias("union_est"),
+            (F.floor(rho * d_union * 1e4 + 0.5) / 1e4).alias("inter_est"),
+            (
+                F.floor(
+                    (d_union / F.col("n_union").cast("double") - 1.0) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("union_rel_err"),
+        )
+    )
