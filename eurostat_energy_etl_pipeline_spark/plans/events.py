@@ -1246,3 +1246,76 @@ def q118_path_mining(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+@query(
+    "q124_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    s AS (SELECT event_type, gap_us, gap_us / 1e6 AS gap
+          FROM g WHERE gap_us IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           floor(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6 * 1e6 + 0.5)
+             / 1e6 AS mean_gap_s,
+           floor(quantile_cont(gap, 0.5) * 1e6 + 0.5) / 1e6 AS median_gap_s,
+           floor(quantile_cont(gap, 0.9) * 1e6 + 0.5) / 1e6 AS p90_gap_s
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q124_interarrival_stats(spark, sf_dir):
+    """Per-type inter-arrival statistics — the traffic-model / burst-
+    detection primitive (rate-limit tuning, bot screening, capacity
+    planning): the gap in seconds between each user's consecutive
+    events, attributed to the LATER event's type, with exact mean /
+    median / p90 per type.
+
+    Scale shape: ONE user-keyed shuffle for the lag window (the q101
+    contract — users are independent, so the window parallelizes per
+    user), then a type-keyed aggregate of type-bounded rows. Gaps are
+    exact integer microsecond differences; the mean divides the exact
+    bigint sum once (order-independent), and the quantiles use the
+    Spark percentile = DuckDB quantile_cont interpolation parity
+    established by q_events_type_stats."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    gap = F.col("gap_us").cast("double") / F.lit(1e6)
+    pct = F.expr("percentile(gap_us / 1e6, array(0.5D, 0.9D))")
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            (
+                F.floor(
+                    F.sum("gap_us").cast("double")
+                    / F.count(F.lit(1))
+                    / 1e6
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("mean_gap_s"),
+            pct.alias("_pct"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            "mean_gap_s",
+            (F.floor(F.col("_pct")[0] * 1e6 + 0.5) / 1e6).alias(
+                "median_gap_s"
+            ),
+            (F.floor(F.col("_pct")[1] * 1e6 + 0.5) / 1e6).alias("p90_gap_s"),
+        )
+        .transform(presentation_sort, "event_type")
+    )

@@ -1607,3 +1607,104 @@ def q120(spark, sf_dir):
         )
         .where(F.col("neg_rank") <= 4)
     )
+
+
+@query(
+    "q126_centroid_similarity",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, pos,
+             CAST(sum(CAST(floor(val * 1e9 + 0.5) / 1e9 AS DECIMAL(30,12)))
+                  AS DOUBLE) / count(*) AS cv
+      FROM e GROUP BY label, pos
+    ),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(CAST(floor(a.cv * b.cv * 1e12 + 0.5) / 1e12
+                           AS DECIMAL(30,12))) AS DOUBLE) AS dot,
+             sqrt(CAST(sum(CAST(floor(a.cv * a.cv * 1e12 + 0.5) / 1e12
+                           AS DECIMAL(30,12))) AS DOUBLE)) AS na,
+             sqrt(CAST(sum(CAST(floor(b.cv * b.cv * 1e12 + 0.5) / 1e12
+                           AS DECIMAL(30,12))) AS DOUBLE)) AS nb
+      FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           floor(dot / (na * nb) * 1e6 + 0.5) / 1e6 AS cos
+    FROM p ORDER BY label_a, label_b
+    """,
+)
+def q126(spark, sf_dir):
+    """Inter-cluster centroid similarity MATRIX — the label-taxonomy audit
+    that complements q55's within-label cohesion: the pairwise cosine
+    between every pair of label centroids. Two labels whose centroids
+    sit at cos ~1 are candidates for merging (redundant classes /
+    leaked duplicates); a near-orthogonal matrix certifies the
+    partition separates. The same readout drives IVF cell auditing
+    (q37) and SemDeDup cell sizing (q97).
+
+    Scale shape: everything happens in exploded (label, pos) space —
+    one (label, pos)-keyed aggregate (cardinality |labels| x dim, tiny)
+    builds the centroids; the pairwise stage is a pos-keyed self-join
+    of that dimension-bounded table, never of the corpus. Vectors are
+    never shuffled whole (the q55 contract).
+
+    Exactness: per-position values grid to 1e-9 and sum as exact
+    decimals (order-independent — label_cohesion's plain avg is fine
+    for its 1e-4 readout, a pairwise cosine ranked at 1e-6 is not);
+    centroid products grid to 1e-12 before the decimal fold, norms and
+    the final division are single IEEE ops."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = widen_if_narrow(emb).select(
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("pos", "val"),
+    )
+    dec = "decimal(30,12)"
+    c = e.groupBy("label", "pos").agg(
+        (
+            F.sum((F.floor(F.col("val") * 1e9 + 0.5) / 1e9).cast(dec)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("cv")
+    )
+    a = c.select(
+        F.col("label").alias("label_a"), "pos", F.col("cv").alias("ca")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), "pos", F.col("cv").alias("cb")
+    )
+
+    def _g12(col):
+        return (F.floor(col * 1e12 + 0.5) / 1e12).cast(dec)
+
+    p = (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(_g12(F.col("ca") * F.col("cb"))).cast("double").alias("dot"),
+            F.sqrt(
+                F.sum(_g12(F.col("ca") * F.col("ca"))).cast("double")
+            ).alias("na"),
+            F.sqrt(
+                F.sum(_g12(F.col("cb") * F.col("cb"))).cast("double")
+            ).alias("nb"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        (
+            F.floor(F.col("dot") / (F.col("na") * F.col("nb")) * 1e6 + 0.5)
+            / 1e6
+        ).alias("cos"),
+    ).transform(presentation_sort, "label_a", "label_b")

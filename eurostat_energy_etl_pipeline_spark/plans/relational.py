@@ -1001,3 +1001,66 @@ def q121_share_of_total(spark, sf_dir):
             / 1e6
         ).alias("revenue_share"),
     ).transform(presentation_sort, "n_name")
+
+
+@query(
+    "q123_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM d)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           floor(CAST(c.n AS DOUBLE) / t.total * 1e6 + 0.5) / 1e6
+             AS obs_frac,
+           floor(ln(1.0 + 1.0 / CAST(c.digit AS DOUBLE)) / ln(10.0)
+                 * 1e6 + 0.5) / 1e6 AS exp_frac,
+           floor(abs(CAST(c.n AS DOUBLE) / t.total
+                     - ln(1.0 + 1.0 / CAST(c.digit AS DOUBLE)) / ln(10.0))
+                 * 1e6 + 0.5) / 1e6 AS abs_dev
+    FROM c CROSS JOIN t ORDER BY c.digit
+    """,
+)
+def q123_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of o_totalprice — the fraud/corruption
+    screen of financial DQ suites: observed leading-digit frequencies
+    against the Benford expectation log10(1 + 1/d), with per-digit
+    absolute deviation. A synthetic or tampered fact column shows up as
+    a flat (or spiked) digit histogram.
+
+    The leading digit comes from the INTEGER-part string (bigint
+    rendering is identical across engines), never from log10(x) whose
+    floor can straddle an ulp at exact powers of ten. One map-side
+    combined 9-group aggregate + a broadcast 1-row total; expectation
+    and deviation use the ln-parity contract (q36/q112), gridded at
+    1e-6."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    d = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = d.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    exp_frac = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            (F.floor(obs * 1e6 + 0.5) / 1e6).alias("obs_frac"),
+            (F.floor(exp_frac * 1e6 + 0.5) / 1e6).alias("exp_frac"),
+            (F.floor(F.abs(obs - exp_frac) * 1e6 + 0.5) / 1e6).alias(
+                "abs_dev"
+            ),
+        )
+        .transform(presentation_sort, "digit")
+    )
