@@ -1319,3 +1319,65 @@ def q124_interarrival_stats(spark, sf_dir):
         )
         .transform(presentation_sort, "event_type")
     )
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY segment, event_type
+    """,
+)
+def stream_enrich(spark, sf_dir):
+    """Stream-static ENRICHMENT under the driver's oracle gate — the
+    dimension-lookup pattern every production stream runs before its
+    aggregates: each micro-batch broadcast-joins the (bounded) customer
+    dimension, so the stream never shuffles for the lookup and the dim
+    is re-planned per batch (picking up slowly-changing updates for
+    free). Downstream, a per-(segment, type) streaming aggregate with
+    exact-decimal totals drains through Trigger.AvailableNow into a
+    memory sink (the q_stream_tumbling contract).
+
+    The oracle is the equivalent batch join+rollup, so the driver hash
+    certifies that incremental micro-batch execution of join+aggregate
+    is bit-identical to the batch plan — the inner join also certifies
+    the broadcast lookup drops unmatched users exactly like the batch
+    join (events carry user_ids the dim lacks at other SFs only if the
+    generator changes; the join semantics, not the fixture, are the
+    contract)."""
+    import re as _re
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        enrich_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    dim = (
+        load_tables(spark, sf_dir)["customer"]
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    enriched = enrich_stream(
+        read_events_stream(spark, sf_dir), dim, on="user_id"
+    ).where(F.col("segment").isNotNull())
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+        ).alias("total"),
+    )
+    sink = "q_stream_enrich_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+    q = run_to_memory(agg, sink, "complete", available_now=True)
+    q.stop()
+    return (
+        spark.table(sink)
+        .select("segment", "event_type", "n", "total")
+        .transform(presentation_sort, "segment", "event_type")
+    )

@@ -1708,3 +1708,137 @@ def q126(spark, sf_dir):
             / 1e6
         ).alias("cos"),
     ).transform(presentation_sort, "label_a", "label_b")
+
+
+def _pca_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled DuckDB oracle for q127 (the q108 unrolling recipe): the
+    gramian accumulates gridded-1e-12 products as DECIMAL(30,12)
+    (order-independent), each power-iteration matvec re-grids its
+    products before the decimal fold, and normalization is one sqrt +
+    one division per component — all single IEEE ops both engines
+    execute identically."""
+    g12 = "CAST(floor(({x}) * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12))"
+    ctes = [
+        # flattened within-row outer product: k in 0..d*d-1 maps to
+        # (i, j) = (k // d, k % d)
+        """d AS (SELECT max(len(embedding)) AS d FROM embeddings)""",
+        """flat AS (
+      SELECT unnest(generate_series(0, d.d * d.d - 1)) AS k,
+             CAST(unnest(flatten(list_transform(embedding,
+                  x -> list_transform(embedding,
+                       y -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)))))
+                  AS DOUBLE) AS p
+      FROM embeddings CROSS JOIN d)""",
+        f"""gram AS (
+      SELECT CAST(k // (SELECT d FROM d) AS INT) AS i,
+             CAST(k % (SELECT d FROM d) AS INT) AS j,
+             CAST(sum({g12.format(x='p')}) AS DOUBLE) AS g
+      FROM flat GROUP BY 1, 2)""",
+        """v0 AS (
+      SELECT i AS pos,
+             floor(1.0 / sqrt(CAST((SELECT d FROM d) AS DOUBLE))
+                   * 1e12 + 0.5) / 1e12 AS val
+      FROM (SELECT DISTINCT i FROM gram))""",
+    ]
+    for it in range(n_iter):
+        ctes.append(
+            f"""x{it} AS (
+      SELECT g.i AS pos,
+             CAST(sum({g12.format(x='g.g * v.val')}) AS DOUBLE) AS x
+      FROM gram g JOIN v{it} v ON g.j = v.pos GROUP BY g.i)"""
+        )
+        ctes.append(
+            f"""n{it} AS (
+      SELECT sqrt(CAST(sum({g12.format(x='x * x')}) AS DOUBLE)) AS nrm
+      FROM x{it})"""
+        )
+        ctes.append(
+            f"""v{it + 1} AS (
+      SELECT pos, floor(x / nrm * 1e12 + 0.5) / 1e12 AS val
+      FROM x{it} CROSS JOIN n{it})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT v.pos, floor(v.val * 1e6 + 0.5) / 1e6 AS loading,
+           floor(n.nrm * 1e4 + 0.5) / 1e4 AS eigenvalue
+    FROM v{n_iter} v CROSS JOIN n{n_iter - 1} n ORDER BY v.pos"""
+    )
+
+
+@query("q127_pca_power", oracle=_pca_oracle_sql())
+def q127(spark, sf_dir):
+    """Distributed PCA — the top principal direction of the embedding
+    gramian X'X via three power iterations: the whitening / anisotropy
+    audit of an embedding corpus (a dominant eigenvalue means the
+    common-direction bias that all-but-the-top removal fixes in
+    retrieval pipelines) and the sixth driver-coordinated iteration
+    class after star contraction / Lloyd / BPE / PageRank / GD (q108).
+
+    Scale shape: ONE pass over the corpus builds the d x d gramian — the
+    within-row outer product flattens to d^2 gridded products per vector
+    and map-side-combines into d^2 = 4096 keyed sums, so nothing but
+    O(d^2) aggregate state ever moves (the X'X trick: n never appears in
+    the shuffle). The d^2-row gramian collects to the driver (the q91
+    Lloyd / q108 contract — O(model), not O(data)) and each power step
+    is driver-local integer arithmetic on the 1e-12 grid; the corpus is
+    never touched again.
+
+    Exactness (the q108 recipe): products grid to 1e-12 before exact
+    DECIMAL(30,12) folds; the python matvec sums the SAME grid as
+    integers; normalization is one sqrt + one division per component —
+    replayed identically by the unrolled oracle CTEs, so the driver hash
+    certifies all three iterations bit-for-bit."""
+    import math as _math
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    d = emb.agg(F.max(F.size("embedding"))).collect()[0][0]
+    dec = "decimal(30,12)"
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    flat = widen_if_narrow(emb).select(
+        F.posexplode(
+            F.flatten(
+                F.transform(
+                    vd,
+                    lambda x: F.transform(
+                        vd, lambda y: F.floor(x * y * 1e12 + 0.5) / 1e12
+                    ),
+                )
+            )
+        ).alias("k", "p")
+    )
+    gram_rows = (
+        flat.groupBy("k")
+        .agg(F.sum(F.col("p").cast(dec)).cast("double").alias("g"))
+        .collect()
+    )
+    G: dict[tuple[int, int], float] = {
+        (r["k"] // d, r["k"] % d): r["g"] for r in gram_rows
+    }
+
+    def _i12(x: float) -> int:
+        return int(_math.floor(x * 1e12 + 0.5))
+
+    v = [_math.floor(1.0 / _math.sqrt(float(d)) * 1e12 + 0.5) / 1e12] * d
+    nrm = 0.0
+    for _ in range(3):
+        x = [
+            sum(_i12(G.get((i, j), 0.0) * v[j]) for j in range(d)) / 1e12
+            for i in range(d)
+        ]
+        nrm = _math.sqrt(sum(_i12(xi * xi) for xi in x) / 1e12)
+        v = [_math.floor(xi / nrm * 1e12 + 0.5) / 1e12 for xi in x]
+
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {
+            "pos": list(range(d)),
+            "loading": [_math.floor(vi * 1e6 + 0.5) / 1e6 for vi in v],
+            "eigenvalue": [_math.floor(nrm * 1e4 + 0.5) / 1e4] * d,
+        }
+    )
+    return (
+        spark.createDataFrame(out.astype({"pos": "int32"}))
+        .select("pos", "loading", "eigenvalue")
+        .orderBy("pos")
+    )
