@@ -38,6 +38,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # tiebreak — regenerated each round by scripts in this repo's workflow.
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
+    # never driver-checked (new this round)
+    "q122_pmi_collocations",
+    "q123_benford_audit",
+    "q124_interarrival_stats",
+    "q125_novelty_rate",
+    "q126_centroid_similarity",
+    "q127_pca_power",
+    "q128_kmv_set_ops",
+    "q_stream_enrich",
     # last driver-checked in round 4
     "q51_pii_scan",
     "q52_decontaminate",

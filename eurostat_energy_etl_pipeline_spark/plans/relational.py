@@ -1008,7 +1008,7 @@ def q121_share_of_total(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
-                              AS VARCHAR), 1, 1) AS INT) AS digit
+                              AS STRING), 1, 1) AS INT) AS digit
       FROM orders WHERE o_totalprice >= 1
     ),
     c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),

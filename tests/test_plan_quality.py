@@ -596,3 +596,72 @@ def test_q120_negative_sampling_equi_join_no_cartesian(spark, queries):
     plan = plan_of(queries["q120_negative_sampling"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q122_pmi_topk_no_global_sort(spark, queries):
+    """The top-20 must plan as TakeOrderedAndProject over the
+    vocabulary-grain scored table — no range exchange; the only
+    nested-loop join allowed is the broadcast 1-row totals."""
+    plan = plan_of(queries["q122_pmi_collocations"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_q123_benford_single_aggregate_no_shuffle_join(spark, queries):
+    """One 9-group aggregate + a broadcast 1-row total: no sort-merge
+    join, no range exchange anywhere."""
+    plan = plan_of(queries["q123_benford_audit"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q124_interarrival_window_is_user_partitioned(spark, queries):
+    """The lag window must partition by user_id — a single-partition
+    window over the event stream would serialize the corpus."""
+    plan = plan_of(queries["q124_interarrival_stats"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in plan
+    # the only allowed SinglePartition is none: window input is keyed
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q125_novelty_grams_shuffle_as_longs(spark, queries):
+    """First-seen keys on the xxhash64 gram hash; the raw gram strings
+    must not survive into the exchanges."""
+    plan = plan_of(queries["q125_novelty_rate"](spark, SF_DIR))
+    assert "xxhash64" in plan
+    exchanges = [
+        b
+        for b in plan.split("\n\n")
+        if b.lstrip().startswith("(") and ") Exchange" in b.splitlines()[0]
+    ]
+    assert exchanges
+    for b in exchanges:
+        assert "g#" not in b, f"raw gram string in an exchange:\n{b}"
+
+
+def test_q126_centroid_pairwise_is_equi_join(spark, queries):
+    """The pairwise stage joins the |labels| x dim centroid table on pos
+    — no cartesian / nested-loop over the corpus."""
+    plan = plan_of(queries["q126_centroid_similarity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q127_pca_result_is_arrow_local_scan(spark, queries):
+    """The registered plan is the driver-computed loading table shipped
+    as an Arrow LocalTableScan (the q93 contract) — never a python-RDD
+    scan, and the gramian work happens at build time, not per
+    execution."""
+    plan = plan_of(queries["q127_pca_power"](spark, SF_DIR))
+    assert "LocalTableScan" in plan
+    assert "Scan ExistingRDD" not in plan
+
+
+def test_q128_kmv_sketch_sides_take_ordered(spark, queries):
+    """Both per-half sketches and the merged union sketch must plan as
+    TakeOrderedAndProject (O(K) state), never a global sort of the
+    hashed token stream."""
+    plan = plan_of(queries["q128_kmv_set_ops"](spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert "rangepartitioning" not in plan.lower()

@@ -83,6 +83,12 @@ DUCKDB_ONLY = {
     "q118_path_mining",      # duckdb epoch() + ordered string_agg
     "q119_quantile_normalize",  # duckdb list_*/'g' flag (q61 quality idiom)
     "q_stream_screen",       # duckdb list_* (same shingle CTE as q63)
+    "q122_pmi_collocations", # duckdb string_split_regex/list_* + string_split[]
+    "q124_interarrival_stats",  # duckdb epoch_us/quantile_cont (Spark: unix_micros/percentile)
+    "q125_novelty_rate",     # duckdb list_* (same shingle CTE as q24)
+    "q126_centroid_similarity",  # duckdb parallel unnest + generate_series zip
+    "q127_pca_power",        # duckdb flatten/list_transform gramian CTE
+    "q128_kmv_set_ops",      # duckdb CAST('0x..') hex parse (same as q116)
 }
 
 
