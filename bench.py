@@ -303,6 +303,10 @@ _ABBREV = {
     "q_stream_tumbling": "s_tumb",
     "q_stream_sessionize": "s_sess",
     "q_stream_dedup": "s_dd",
+    "q_stream_running_totals": "s_rt",
+    "q_stream_attribution": "s_attr",
+    "q_stream_screen": "s_scr",
+    "q_stream_enrich": "s_enr",
 }
 
 
