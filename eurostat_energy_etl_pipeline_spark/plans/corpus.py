@@ -2861,3 +2861,93 @@ def q128(spark, sf_dir):
             ).alias("union_rel_err"),
         )
     )
+
+
+@query(
+    "q130_ks_drift",
+    oracle="""
+    WITH c AS (
+      SELECT n_chars,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY n_chars
+    ),
+    t AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                 CAST(sum(cb) AS DOUBLE) AS nb FROM c),
+    e AS (
+      SELECT n_chars,
+             floor(abs(CAST(sum(ca) OVER w AS DOUBLE) / t.na
+                       - CAST(sum(cb) OVER w AS DOUBLE) / t.nb)
+                   * 1e9 + 0.5) / 1e9 AS d
+      FROM c CROSS JOIN t
+      WINDOW w AS (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           (SELECT max(d) FROM e) AS ks_stat,
+           (SELECT min(n_chars) FROM e
+            WHERE d = (SELECT max(d) FROM e)) AS at_value
+    FROM t
+    """,
+)
+def q130(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the length
+    distributions of two sources — the distribution-shape complement of
+    q103's binned PSI (PSI needs baseline deciles; KS is bin-free and
+    catches shifts PSI's 10 buckets smear): max |ECDF_a - ECDF_b| with
+    the location where the gap peaks.
+
+    Scale shape: the corpus first collapses to VALUE grain (one
+    n_chars-keyed aggregate of per-source counts — the value domain is
+    bounded by document length, independent of corpus size), so the
+    unpartitioned cumulative window runs over domain-bounded rows, never
+    corpus rows (the q121 dimension-bounded-window contract). ECDF
+    differences grid to 1e-9 before max/argmax so the peak location is
+    engine-stable."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    c = (
+        docs.where(F.col("source").isin("src0", "src1"))
+        .groupBy("n_chars")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias(
+                "ca"
+            ),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias(
+                "cb"
+            ),
+        )
+    )
+    t = c.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    w = Window.partitionBy().orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    e = c.crossJoin(F.broadcast(t)).select(
+        "n_chars",
+        "na",
+        "nb",
+        (
+            F.floor(
+                F.abs(
+                    F.sum("ca").over(w).cast("double") / F.col("na")
+                    - F.sum("cb").over(w).cast("double") / F.col("nb")
+                )
+                * 1e9
+                + 0.5
+            )
+            / 1e9
+        ).alias("d"),
+    )
+    peak = e.agg(F.max("d").alias("ks_stat"))
+    return (
+        e.join(F.broadcast(peak), F.col("d") == F.col("ks_stat"))
+        .agg(
+            F.max(F.col("na")).cast("long").alias("n_a"),
+            F.max(F.col("nb")).cast("long").alias("n_b"),
+            F.max("ks_stat").alias("ks_stat"),
+            F.min("n_chars").alias("at_value"),
+        )
+        .select("n_a", "n_b", "ks_stat", "at_value")
+    )

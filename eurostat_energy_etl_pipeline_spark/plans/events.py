@@ -1381,3 +1381,72 @@ def stream_enrich(spark, sf_dir):
         .select("segment", "event_type", "n", "total")
         .transform(presentation_sort, "segment", "event_type")
     )
+
+
+@query(
+    "q129_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, med.m, abs(e.value - med.m) AS ad
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(max(d.m) * 1e6 + 0.5) / 1e6 AS median_value,
+           floor(max(mad.mad) * 1e6 + 0.5) / 1e6 AS mad,
+           CAST(sum(CASE WHEN d.ad > 3.0 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def q129_mad_outliers(spark, sf_dir):
+    """Robust outlier screen — median absolute deviation per event type,
+    the breakdown-resistant complement of q77's z-score scan (a mean/std
+    screen is itself dragged by the outliers it hunts; MAD has a 50%
+    breakdown point). Flags values beyond the standard 3-sigma-equivalent
+    fence (3 x 1.4826 x MAD).
+
+    Scale shape: two array-free percentile aggregates over type-keyed
+    rows (the q_events_type_stats exact-percentile contract) with the
+    type-grain median/MAD tables BROADCAST back to the stream — the
+    events are shuffled once per aggregate on the type key and never
+    sorted globally. Both medians and the fence compare are identical
+    IEEE expressions on both engines."""
+    events = load_tables(spark, sf_dir)["events"]
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("m")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "m",
+        F.abs(F.col("value") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.floor(F.max("m") * 1e6 + 0.5) / 1e6).alias("median_value"),
+            (F.floor(F.max("mad") * 1e6 + 0.5) / 1e6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("ad") > 3.0 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .transform(presentation_sort, "event_type")
+    )

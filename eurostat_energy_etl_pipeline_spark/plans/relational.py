@@ -1064,3 +1064,81 @@ def q123_benford_audit(spark, sf_dir):
         )
         .transform(presentation_sort, "digit")
     )
+
+
+@query(
+    "q131_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rk
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s0,
+             CAST(sum(CAST(rk * cents AS DECIMAL(38,0))) AS DOUBLE) AS s1
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           floor(s0 / 100.0 * 1e2 + 0.5) / 1e2 AS total_revenue,
+           floor((2.0 * s1 - (n + 1.0) * s0) / (n * s0) * 1e6 + 0.5) / 1e6
+             AS gini
+    FROM s
+    """,
+)
+def q131_gini_concentration(spark, sf_dir):
+    """Revenue concentration — the exact Gini coefficient of per-customer
+    revenue via the rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) over ascending revenue: the whale-dependence KPI
+    (customer concentration risk, data-source balance) that normally
+    forces a full sort + running total through one task.
+
+    Scale shape: revenue first collapses to CUSTOMER grain (one
+    fact-table aggregate); the global rank over (cents, custkey) comes
+    from the deterministic-boundary distributed ranking kernel
+    (operators/ranking.global_row_number — the q60 contract: per-bucket
+    windows + an O(#buckets) offset collect, never a single-partition
+    window). Revenue is held as exact integer CENTS so rank*cents
+    products and both fold sums are exact DECIMAL(38,0) arithmetic;
+    doubles appear only in the final three-operation Gini expression,
+    identical on both engines."""
+    from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = global_row_number(rev, ["cents", "o_custkey"], out_col="rk")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s0"),
+        F.sum((F.col("rk") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s1"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (F.floor(F.col("s0") / 100.0 * 1e2 + 0.5) / 1e2).alias(
+            "total_revenue"
+        ),
+        (
+            F.floor(
+                (2.0 * F.col("s1") - (F.col("n") + 1.0) * F.col("s0"))
+                / (F.col("n") * F.col("s0"))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("gini"),
+    )
