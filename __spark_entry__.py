@@ -46,7 +46,12 @@ _DRIVER_CHECK_PRIORITY = [
     "q126_centroid_similarity",
     "q127_pca_power",
     "q128_kmv_set_ops",
+    "q129_mad_outliers",
+    "q130_ks_drift",
+    "q131_gini_concentration",
+    "q132_sorted_neighborhood",
     "q_stream_enrich",
+    "q_stream_sliding",
     # last driver-checked in round 4
     "q51_pii_scan",
     "q52_decontaminate",

@@ -1450,3 +1450,60 @@ def q129_mad_outliers(spark, sf_dir):
         )
         .transform(presentation_sort, "event_type")
     )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH g AS (SELECT generate_series AS off_s
+               FROM generate_series(0, 599, 300)),
+    b AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL 10 MINUTES, ts - to_seconds(off_s)))
+                  + off_s AS BIGINT) AS win_start_s,
+             value
+      FROM events CROSS JOIN g
+    )
+    SELECT win_start_s, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+    FROM b GROUP BY win_start_s ORDER BY win_start_s
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """SLIDING windows executed by Structured Streaming under the oracle
+    gate — the overlapping-window stateful aggregate q_stream_tumbling's
+    non-overlapping rollup doesn't exercise (each event updates
+    size/slide = 2 window states, so the state store handles concurrent
+    window generations). 10-minute windows sliding every 5, watermarked,
+    drained via Trigger.AvailableNow into a memory sink; the oracle is
+    q_events_sliding's offset-grid SQL, so the hash compare certifies
+    the incremental multi-window state updates are bit-identical to the
+    batch plan (exact-decimal totals — accumulation order cannot perturb
+    them). Complete output mode for the drain-to-completion reason
+    documented at q_stream_tumbling."""
+    import re as _re
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("win_start_s"), "n", "total"
+        )
+    )
+    sink = "q_stream_sliding_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+    q = run_to_memory(agg, sink, "complete", available_now=True)
+    q.stop()
+    return (
+        spark.table(sink)
+        .select("win_start_s", "n", "total")
+        .transform(presentation_sort, "win_start_s")
+    )

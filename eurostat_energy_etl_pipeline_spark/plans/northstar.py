@@ -1842,3 +1842,77 @@ def q127(spark, sf_dir):
         .select("pos", "loading", "eigenvalue")
         .orderBy("pos")
     )
+
+
+@query(
+    "q132_sorted_neighborhood",
+    oracle="""
+    WITH base AS (
+      SELECT s_suppkey AS id, s_name AS nm, lower(s_name) AS key
+      FROM supplier
+    ),
+    ranked AS (
+      SELECT id, nm, row_number() OVER (ORDER BY key, id) AS r FROM base
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+    FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 5
+    WHERE levenshtein(a.nm, b.nm) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q132(spark, sf_dir):
+    """Sorted-neighborhood entity resolution (Hernandez-Stolfo) — the
+    third blocking family after q114's pigeonhole segments and q107's
+    prefix filter: records sort by a normalized key and only pairs
+    within a w=5 rank window are compared (levenshtein <= 2 verify).
+    The method of record for dirty keys where token/segment blocking
+    misses transpositions that SORT adjacently.
+
+    Scale shape: the global rank comes from the distributed ranking
+    kernel (operators/ranking.global_row_number — deterministic
+    boundaries, never a single-partition window); the neighborhood
+    self-join is an EQUI-join on floor(rank/w) blocks with the right
+    side exploding to {block, block-1} (a pair at rank distance <= w
+    spans at most two blocks, so each candidate is matched exactly
+    once — no distinct). Candidates are O(w * n), never n^2; the
+    inequality filter and the levenshtein verify run on that bounded
+    stream. The oracle is the textbook rank-window formulation."""
+    from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    w = 5
+    sup = load_tables(spark, sf_dir)["supplier"]
+    base = sup.select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("nm"),
+        F.lower(F.col("s_name")).alias("key"),
+    )
+    ranked = global_row_number(base, ["key", "id"], out_col="r").select(
+        "id", "nm", "r", F.floor((F.col("r") - 1) / w).alias("blk")
+    )
+    left = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("nm").alias("nm_a"),
+        F.col("r").alias("ra"),
+        F.col("blk").alias("jb"),
+    )
+    right = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("nm").alias("nm_b"),
+        F.col("r").alias("rb"),
+        F.explode(F.array(F.col("blk"), F.col("blk") - 1)).alias("jb"),
+    )
+    return (
+        left.join(right, "jb")
+        .where(
+            (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + w)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("nm_a", "nm_b").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= 2)
+    )

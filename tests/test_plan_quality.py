@@ -665,3 +665,39 @@ def test_q128_kmv_sketch_sides_take_ordered(spark, queries):
     plan = plan_of(queries["q128_kmv_set_ops"](spark, SF_DIR))
     assert plan.count("TakeOrderedAndProject") >= 3
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q132_sorted_neighborhood_block_equi_join(spark, queries):
+    """Neighborhood candidates come from an equi-join on rank blocks —
+    no cartesian/nested-loop, and the rank itself from the distributed
+    kernel (no single-partition window)."""
+    plan = plan_of(queries["q132_sorted_neighborhood"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "levenshtein" in plan
+
+
+def test_q129_mad_type_tables_broadcast(spark, queries):
+    """The type-grain median/MAD tables must broadcast back to the event
+    stream — never a sort-merge join of the stream against them."""
+    plan = plan_of(queries["q129_mad_outliers"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q130_ks_window_is_value_grain(spark, queries):
+    """The cumulative window may be unpartitioned ONLY because its input
+    is the value-grain aggregate; the aggregate must sit below the
+    window (one n_chars-keyed exchange feeding it)."""
+    plan = plan_of(queries["q130_ks_drift"](spark, SF_DIR))
+    assert "hashpartitioning(n_chars" in plan
+
+
+def test_q131_gini_uses_ranking_kernel(spark, queries):
+    """The global rank must come from the deterministic-bucket kernel —
+    no single-partition window, no range partitioning."""
+    plan = plan_of(queries["q131_gini_concentration"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan.split("HashAggregate", 1)[0]
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(__b" in plan

@@ -89,6 +89,8 @@ DUCKDB_ONLY = {
     "q126_centroid_similarity",  # duckdb parallel unnest + generate_series zip
     "q127_pca_power",        # duckdb flatten/list_transform gramian CTE
     "q128_kmv_set_ops",      # duckdb CAST('0x..') hex parse (same as q116)
+    "q129_mad_outliers",     # duckdb quantile_cont (Spark: percentile)
+    "q_stream_sliding",      # duckdb time_bucket/epoch (same as q_events_sliding)
 }
 
 
