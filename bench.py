@@ -247,7 +247,14 @@ def _render_summary(summary: dict) -> str:
         s.pop(k, None)
         line = json.dumps(s, separators=(",", ":"))
     if len(line) >= _LINE_BUDGET:
-        s["queries"] = {k: round(v, 1) for k, v in s["queries"].items()}
+        # 1dp, and whole numbers render as ints ("10", not "10.0") — at
+        # 150+ queries the two characters per entry decide whether the
+        # full set fits the tail window.
+        s["queries"] = {
+            k: (int(r) if float(r).is_integer() else r)
+            for k, v in s["queries"].items()
+            for r in (round(v, 1),)
+        }
         line = json.dumps(s, separators=(",", ":"))
     while len(line) >= _LINE_BUDGET and s["queries"]:
         keep = sorted(s["queries"], key=lambda k: -s["queries"][k])
