@@ -50,6 +50,9 @@ _DRIVER_CHECK_PRIORITY = [
     "q130_ks_drift",
     "q131_gini_concentration",
     "q132_sorted_neighborhood",
+    "q133_basket_pairs",
+    "q134_twap",
+    "q135_weighted_quantiles",
     "q_stream_enrich",
     "q_stream_sliding",
     # last driver-checked in round 4

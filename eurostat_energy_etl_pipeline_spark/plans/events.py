@@ -1507,3 +1507,83 @@ def stream_sliding(spark, sf_dir):
         .select("win_start_s", "n", "total")
         .transform(presentation_sort, "win_start_s")
     )
+
+
+@query(
+    "q134_twap",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, value,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS hold_us
+      FROM events
+    ),
+    h AS (SELECT event_type,
+                 CAST(value AS DECIMAL(10,2))
+                   * CAST(hold_us AS DECIMAL(16,0)) AS vw,
+                 hold_us
+          FROM g WHERE hold_us IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_holds,
+           floor(CAST(sum(hold_us) AS DOUBLE) / 1e6 * 1e2 + 0.5) / 1e2
+             AS total_hold_s,
+           floor(CAST(sum(vw) AS DOUBLE)
+                 / CAST(sum(hold_us) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS twap
+    FROM h GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q134_twap(spark, sf_dir):
+    """Time-weighted average value (TWAP) per event type — the
+    metrics/financial aggregation where a value HOLDS until the user's
+    next event: each event's value is weighted by its holding duration
+    (lead(ts) - ts within the user's stream) and attributed to the
+    holding event's type. The plain mean over-weights chatty bursts;
+    TWAP is what monitoring rollups and fair-price benchmarks actually
+    want.
+
+    Scale shape: ONE user-keyed lead window (the q124 contract), then a
+    type-keyed aggregate. Holding times are exact integer microseconds
+    and values carry two decimals, so value x duration folds as the
+    EXACT DECIMAL(27,2) product sum (order-independent; a 1e-6 double
+    grid would sit below the ulp at this magnitude — the q74-class
+    decimal-cast divergence), with one double division at the end —
+    identical IEEE ops on both engines."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "event_type",
+        "value",
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("hold_us"),
+    ).where(F.col("hold_us").isNotNull())
+    # value x duration products are ~1e11, where a 1e-6 double grid sits
+    # BELOW the ulp — floor-gridding there leaves raw doubles whose
+    # decimal cast rounds differently per engine (shortest-repr vs
+    # binary). The 2dp value and integer micros are both exact decimals,
+    # so the product is computed EXACTLY as DECIMAL(27,2) instead.
+    vw = F.col("value").cast("decimal(10,2)") * F.col("hold_us").cast(
+        "decimal(16,0)"
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holds"),
+            (
+                F.floor(F.sum("hold_us").cast("double") / 1e6 * 1e2 + 0.5)
+                / 1e2
+            ).alias("total_hold_s"),
+            (
+                F.floor(
+                    F.sum(vw).cast("double")
+                    / F.sum("hold_us").cast("double")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("twap"),
+        )
+        .transform(presentation_sort, "event_type")
+    )

@@ -1142,3 +1142,152 @@ def q131_gini_concentration(spark, sf_dir):
             / 1e6
         ).alias("gini"),
     )
+
+
+@query(
+    "q133_basket_pairs",
+    oracle="""
+    WITH bp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_baskets FROM bp),
+    ps AS (SELECT pk, count(*) AS c FROM bp GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, count(*) AS c_ab
+      FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk HAVING count(*) >= 2
+    )
+    SELECT p1, p2, CAST(c_ab AS BIGINT) AS n_pair,
+           floor(CAST(c_ab AS DOUBLE) / n.n_baskets * 1e6 + 0.5) / 1e6
+             AS support,
+           floor((CAST(c_ab AS DOUBLE) / n.n_baskets)
+                 / ((CAST(sa.c AS DOUBLE) / n.n_baskets)
+                    * (CAST(sb.c AS DOUBLE) / n.n_baskets))
+                 * 1e6 + 0.5) / 1e6 AS lift
+    FROM pairs
+    JOIN ps sa ON sa.pk = p1
+    JOIN ps sb ON sb.pk = p2
+    CROSS JOIN n
+    ORDER BY n_pair DESC, lift DESC, p1, p2 LIMIT 20
+    """,
+)
+def q133_basket_pairs(spark, sf_dir):
+    """Market-basket pair mining — the Apriori second pass (co-purchase
+    association): parts that appear together in the same order, with
+    support and lift, top-20 by frequency. The q122 PMI shape applied to
+    BASKETS instead of token adjacency — the recommender / bundling
+    primitive.
+
+    Scale shape: the basket table collapses to distinct (order, part)
+    first; the pair stream is one orderkey equi-self-join whose output
+    is bounded by sum(|basket|^2) with |basket| bounded by order size
+    (never corpus-squared — the same bound as q97's IVF cells); pair
+    counts aggregate with map-side combine, the HAVING floor prunes the
+    singleton tail before the two part-support joins (pair-grain rows
+    against the part-grain support table), and the top-20 is
+    TakeOrderedAndProject. Supports and lift are ratios of exact
+    integers, gridded at 1e-6."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    bp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = bp.agg(F.count_distinct("ok").cast("double").alias("n_baskets"))
+    ps = bp.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    a = bp.select("ok", F.col("pk").alias("p1"))
+    b = bp.select("ok", F.col("pk").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    sa = ps.select(F.col("pk").alias("p1"), F.col("c").alias("ca"))
+    sb = ps.select(F.col("pk").alias("p2"), F.col("c").alias("cb"))
+    sup = F.col("c_ab").cast("double") / F.col("n_baskets")
+    lift = sup / (
+        (F.col("ca").cast("double") / F.col("n_baskets"))
+        * (F.col("cb").cast("double") / F.col("n_baskets"))
+    )
+    return (
+        pairs.join(sa, "p1")
+        .join(sb, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            F.col("c_ab").cast("long").alias("n_pair"),
+            (F.floor(sup * 1e6 + 0.5) / 1e6).alias("support"),
+            (F.floor(lift * 1e6 + 0.5) / 1e6).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), F.desc("lift"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@query(
+    "q135_weighted_quantiles",
+    oracle="""
+    WITH base AS (
+      SELECT l_extendedprice AS price, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    c AS (
+      SELECT price, w,
+             sum(w) OVER (ORDER BY price, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS cw
+      FROM base
+    ),
+    t AS (SELECT sum(w) AS tw FROM base)
+    SELECT CAST(t.tw AS BIGINT) AS total_weight,
+           (SELECT min(price) FROM c WHERE cw * 2 >= t.tw) AS wmedian,
+           (SELECT min(price) FROM c WHERE cw * 10 >= t.tw * 9) AS wp90
+    FROM t
+    """,
+)
+def q135_weighted_quantiles(spark, sf_dir):
+    """Weighted quantiles — the quantity-weighted median and p90 of unit
+    price (every unit sold votes, not every line item): the
+    inventory-fairness statistic plain percentiles misstate whenever
+    weights are skewed. Defined exactly: the smallest price whose
+    cumulative weight reaches q * W (integer threshold compares —
+    cw*2 >= W and cw*10 >= 9W — so no floating-point quantile
+    interpolation exists to diverge).
+
+    Scale shape: the running weight comes from the distributed
+    prefix-sum kernel (operators/ranking.global_prefix_sum —
+    deterministic buckets, per-bucket windows, O(#buckets) offset
+    collect; the oracle's single-partition window is exactly what the
+    kernel replaces), and each quantile probe is a TakeOrdered(1) over
+    the threshold filter, never a global sort."""
+    from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    base = li.select(
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    c = global_prefix_sum(
+        base, ["price", "l_orderkey", "l_linenumber"], "w", out_col="cw"
+    )
+    t = base.agg(F.sum("w").alias("tw"))
+    med = (
+        c.crossJoin(F.broadcast(t))
+        .where(F.col("cw") * 2 >= F.col("tw"))
+        .agg(F.min("price").alias("wmedian"))
+    )
+    p90 = (
+        c.crossJoin(F.broadcast(t))
+        .where(F.col("cw") * 10 >= F.col("tw") * 9)
+        .agg(F.min("price").alias("wp90"))
+    )
+    return (
+        t.select(F.col("tw").cast("long").alias("total_weight"))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(p90))
+    )

@@ -701,3 +701,28 @@ def test_q131_gini_uses_ranking_kernel(spark, queries):
     assert "Exchange SinglePartition" not in plan.split("HashAggregate", 1)[0]
     assert "rangepartitioning" not in plan.lower()
     assert "hashpartitioning(__b" in plan
+
+
+def test_q133_basket_pairs_topk_no_global_sort(spark, queries):
+    """Pair counts aggregate before the support joins; top-20 is
+    TakeOrderedAndProject — no range exchange, no cartesian beyond the
+    broadcast 1-row basket count."""
+    plan = plan_of(queries["q133_basket_pairs"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_q134_twap_window_is_user_partitioned(spark, queries):
+    """The lead window must partition by user_id (the q124 contract)."""
+    plan = plan_of(queries["q134_twap"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q135_weighted_quantiles_use_prefix_kernel(spark, queries):
+    """The running weight comes from the deterministic-bucket kernel —
+    no single-partition window over the fact stream."""
+    plan = plan_of(queries["q135_weighted_quantiles"](spark, SF_DIR))
+    assert "hashpartitioning(__b" in plan
+    assert "rangepartitioning" not in plan.lower()

@@ -91,6 +91,7 @@ DUCKDB_ONLY = {
     "q128_kmv_set_ops",      # duckdb CAST('0x..') hex parse (same as q116)
     "q129_mad_outliers",     # duckdb quantile_cont (Spark: percentile)
     "q_stream_sliding",      # duckdb time_bucket/epoch (same as q_events_sliding)
+    "q134_twap",             # duckdb epoch_us (Spark: unix_micros)
 }
 
 
