@@ -53,6 +53,8 @@ _DRIVER_CHECK_PRIORITY = [
     "q133_basket_pairs",
     "q134_twap",
     "q135_weighted_quantiles",
+    "q136_hll_audit",
+    "q137_truncation_audit",
     "q_stream_enrich",
     "q_stream_sliding",
     # last driver-checked in round 4

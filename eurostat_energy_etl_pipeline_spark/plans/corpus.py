@@ -2951,3 +2951,142 @@ def q130(spark, sf_dir):
         )
         .select("n_a", "n_b", "ks_stat", "at_value")
     )
+
+
+_HLL_M = 64  # registers (top-6 bits of the portable 60-bit hash)
+
+
+@query(
+    "q136_hll_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS tk
+      FROM documents
+    ),
+    h AS (SELECT ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
+    r AS (
+      SELECT CAST(hv // 18014398509481984 AS INT) AS reg,
+             CASE WHEN hv % 18014398509481984 = 0 THEN 55
+                  ELSE CAST(instr(lpad(bin(hv % 18014398509481984), 54, '0'),
+                                  '1') AS INT) END AS rho
+      FROM h
+    ),
+    m AS (SELECT reg, max(rho) AS mr FROM r GROUP BY reg),
+    spine AS (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS reg),
+    regs AS (
+      SELECT spine.reg, coalesce(m.mr, 0) AS mr
+      FROM spine LEFT JOIN m ON spine.reg = m.reg
+    ),
+    agg AS (
+      SELECT CAST(sum(CAST(floor(pow(2.0, -mr) * 1e12 + 0.5) / 1e12
+                           AS DECIMAL(30,12))) AS DOUBLE) AS z,
+             CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS v
+      FROM regs
+    ),
+    est AS (
+      SELECT CASE
+               WHEN (0.7213 / (1.0 + 1.079 / {_HLL_M}.0))
+                    * {_HLL_M}.0 * {_HLL_M}.0 / z <= 2.5 * {_HLL_M}.0
+                    AND v > 0
+               THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v)
+               ELSE (0.7213 / (1.0 + 1.079 / {_HLL_M}.0))
+                    * {_HLL_M}.0 * {_HLL_M}.0 / z
+             END AS e
+      FROM agg
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_exact FROM tok)
+    SELECT CAST({_HLL_M} AS INT) AS m,
+           CAST(n.n_exact AS BIGINT) AS n_exact,
+           floor(est.e * 1e4 + 0.5) / 1e4 AS hll_est,
+           floor((est.e / n.n_exact - 1.0) * 1e6 + 0.5) / 1e6 AS rel_err
+    FROM est CROSS JOIN n
+    """,
+)
+def q136(spark, sf_dir):
+    """HyperLogLog cardinality AUDIT — the third sketch in the family
+    (q113 count-min frequencies, q116/q128 KMV order statistics): 64
+    stochastic-averaging registers hold the max leading-zero rank of the
+    portable 60-bit hash (top-6 bits pick the register, the remaining 54
+    carry the rank), harmonic-mean estimate with the standard
+    small-range linear-counting correction (Flajolet et al. 2007).
+    O(m)=64 longs of state per shard, merged by register-wise max — the
+    cheapest mergeable distinct counter there is, audited against the
+    exact count in the same plan (the q116 contract).
+
+    Determinism: register and rank derive from exact integer bit
+    arithmetic on the md5-prefix hash (rank via instr over the
+    zero-padded binary string — both engines render bin() of a positive
+    long identically); 2^-M terms are exactly representable doubles,
+    gridded and decimal-folded so the 64-term harmonic sum is
+    order-independent; the estimate is the same IEEE expression tree on
+    both engines."""
+    from eurostat_energy_etl_pipeline_spark.operators.text import (
+        whitespace_tokens,
+    )
+
+    m = _HLL_M
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = (
+        widen_if_narrow(docs)
+        .select(
+            F.explode(
+                F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+            ).alias("tk")
+        )
+        .distinct()
+        .persist()
+    )
+    h = tok.select(
+        F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    rem = F.col("hv") % F.lit(18014398509481984)  # 2^54
+    r = h.select(
+        # integer `div`, NOT `/`: double division of a near-2^60 long
+        # rounds past 2^53 and could misplace a register boundary (the
+        # oracle's `//` is exact int64 arithmetic).
+        F.expr("hv div 18014398509481984").cast("int").alias("reg"),
+        F.when(rem == 0, F.lit(55))
+        .otherwise(
+            F.instr(F.lpad(F.bin(rem), 54, "0"), "1").cast("int")
+        )
+        .alias("rho"),
+    )
+    mx = r.groupBy("reg").agg(F.max("rho").alias("mr"))
+    spine = spark.range(m).select(F.col("id").cast("int").alias("reg"))
+    regs = spine.join(F.broadcast(mx), "reg", "left").select(
+        F.coalesce("mr", F.lit(0)).alias("mr")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    agg = regs.agg(
+        F.sum(
+            (
+                F.floor(F.pow(F.lit(2.0), -F.col("mr")) * 1e12 + 0.5) / 1e12
+            ).cast("decimal(30,12)")
+        )
+        .cast("double")
+        .alias("z"),
+        F.sum(F.when(F.col("mr") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("v"),
+    )
+    raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / F.col("z")
+    e = F.when(
+        (raw <= 2.5 * float(m)) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(raw)
+    n = tok.agg(F.count(F.lit(1)).cast("double").alias("n_exact"))
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .select(
+            F.lit(m).cast("int").alias("m"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.floor(e * 1e4 + 0.5) / 1e4).alias("hll_est"),
+            (
+                F.floor((e / F.col("n_exact") - 1.0) * 1e6 + 0.5) / 1e6
+            ).alias("rel_err"),
+        )
+    )

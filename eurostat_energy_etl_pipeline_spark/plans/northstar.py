@@ -1916,3 +1916,87 @@ def q132(spark, sf_dir):
         )
         .where(F.col("dist") <= 2)
     )
+
+
+@query(
+    "q137_truncation_audit",
+    oracle="""
+    WITH per AS (
+      SELECT b.d,
+             floor(sqrt(
+               list_aggregate(list_transform(e.embedding[1:b.d],
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+               / list_aggregate(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+             ) * 1e9 + 0.5) / 1e9 AS ratio
+      FROM embeddings e
+      CROSS JOIN (VALUES (8), (16), (32), (64)) AS b(d)
+    )
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           floor(CAST(sum(CAST(ratio AS DECIMAL(20,9))) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS mean_energy,
+           floor(min(ratio) * 1e6 + 0.5) / 1e6 AS min_energy
+    FROM per GROUP BY d ORDER BY d
+    """,
+)
+def q137(spark, sf_dir):
+    """Matryoshka truncation audit — how much of each embedding's L2
+    energy the first d dimensions retain, for the dim budgets an MRL /
+    tiered-retrieval deployment would serve (8/16/32/64): mean and
+    worst-case energy ratio per budget. Because cos(v, v[:d] zero-padded)
+    = ||v[:d]|| / ||v||, this IS the retrieval-fidelity curve of
+    prefix-truncated vectors — the audit that decides which budget a
+    cheap first-pass index can use (q80's SQ8 quantization audit is the
+    width analog; this is the depth one).
+
+    Scale shape: entirely scan-side row arithmetic (array slice +
+    fold per vector, the q79/q83 list-kernel contract) exploded over a
+    4-row literal budget spine; the only aggregate is the 4-group
+    rollup. Per-row ratios grid to 1e-9 before the decimal-fold mean so
+    the cross-row sum is order-independent."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    budgets = F.array([F.lit(d) for d in (8, 16, 32, 64)])
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    energy = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per = (
+        widen_if_narrow(emb)
+        .select(vd.alias("v"), F.explode(budgets).alias("d"))
+        .select(
+            "d",
+            (
+                F.floor(
+                    F.sqrt(
+                        energy(F.slice(F.col("v"), 1, F.col("d")))
+                        / energy(F.col("v"))
+                    )
+                    * 1e9
+                    + 0.5
+                )
+                / 1e9
+            ).alias("ratio"),
+        )
+    )
+    return (
+        per.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (
+                F.floor(
+                    F.sum(F.col("ratio").cast("decimal(20,9)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("mean_energy"),
+            (F.floor(F.min("ratio") * 1e6 + 0.5) / 1e6).alias("min_energy"),
+        )
+        .transform(presentation_sort, "d")
+    )

@@ -726,3 +726,22 @@ def test_q135_weighted_quantiles_use_prefix_kernel(spark, queries):
     plan = plan_of(queries["q135_weighted_quantiles"](spark, SF_DIR))
     assert "hashpartitioning(__b" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q136_hll_register_state_is_tiny(spark, queries):
+    """The sketch side reduces to 64 register maxima — the register
+    aggregate must map-side combine, and the spine join must broadcast;
+    no global sort anywhere."""
+    plan = plan_of(queries["q136_hll_audit"](spark, SF_DIR))
+    assert "partial_max" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q137_truncation_is_scan_side(spark, queries):
+    """Per-vector energy ratios are row arithmetic (slice + fold)
+    exploded over the 4-row budget spine; the only exchange is the
+    4-group rollup's."""
+    plan = plan_of(queries["q137_truncation_audit"](spark, SF_DIR))
+    assert "Generate" in plan
+    assert plan.count("+- Exchange") <= 1, plan

@@ -92,6 +92,8 @@ DUCKDB_ONLY = {
     "q129_mad_outliers",     # duckdb quantile_cont (Spark: percentile)
     "q_stream_sliding",      # duckdb time_bucket/epoch (same as q_events_sliding)
     "q134_twap",             # duckdb epoch_us (Spark: unix_micros)
+    "q136_hll_audit",        # duckdb CAST('0x..') hex parse + bin()/instr
+    "q137_truncation_audit", # duckdb list_* vector arithmetic + VALUES lateral
 }
 
 
