@@ -1291,3 +1291,155 @@ def q135_weighted_quantiles(spark, sf_dir):
         .crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(p90))
     )
+
+
+_BLOOM_M = 1024  # bits
+_BLOOM_K = 3
+
+
+def _bloom_oracle_sql() -> str:
+    """DuckDB twin of q138: the identical salted md5-prefix hash grid
+    (the q113 construction), a 16-word BIGINT bitmap built by bit_or,
+    and three word-keyed joins testing the candidate bits."""
+    def h(expr: str, i: int) -> str:
+        return (
+            f"(('0x' || substr(md5(CAST({expr} AS STRING) || '#{i}'), 1, 15))"
+            f"::BIGINT % {_BLOOM_M})"
+        )
+
+    key_hashes = ", ".join(
+        f"{h('s_suppkey', i)} AS h{i}" for i in range(_BLOOM_K)
+    )
+    probe_hashes = ", ".join(
+        f"{h('l_suppkey', i)} AS h{i}" for i in range(_BLOOM_K)
+    )
+    # 32-bit words: DuckDB range-checks BIGINT << 63, so bits live in
+    # 0..31 and the bitmap is 32 words instead of 16.
+    bits = "\n      UNION ALL\n      ".join(
+        f"SELECT h{i} // 32 AS w, h{i} % 32 AS bit FROM kh"
+        for i in range(_BLOOM_K)
+    )
+    cand_joins = "\n      ".join(
+        f"JOIN bm b{i} ON b{i}.w = p.h{i} // 32 "
+        f"AND ((b{i}.v >> (p.h{i} % 32)) & 1) = 1"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+    WITH keys AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 8),
+    kh AS (SELECT {key_hashes} FROM keys),
+    bm AS (SELECT w, bit_or(CAST(1 AS BIGINT) << CAST(bit AS INT)) AS v
+           FROM ({bits}) GROUP BY w),
+    p AS (SELECT l_suppkey, l_extendedprice, {probe_hashes} FROM lineitem),
+    cand AS (
+      SELECT p.l_suppkey, p.l_extendedprice FROM p
+      {cand_joins}
+    )
+    SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(count(*) AS BIGINT) AS n_true,
+           floor((CAST((SELECT count(*) FROM cand) AS DOUBLE) - count(*))
+                 / CAST((SELECT count(*) FROM p) AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS fp_rate,
+           round(CAST(sum(CAST(c.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 4) AS revenue
+    FROM cand c
+    WHERE c.l_suppkey IN (SELECT s_suppkey FROM keys)
+    """
+
+
+@query("q138_bloom_join", oracle=_bloom_oracle_sql())
+def q138_bloom_join(spark, sf_dir):
+    """Explicit Bloom-filter join pruning — the runtime-filter pattern
+    made a first-class operator: the dimension side's join keys build a
+    k=3 / m=1024-bit Bloom bitmap (32 words, bit_or-merged — the
+    per-shard mergeable form), the fact stream is pre-filtered through
+    the bitmap BEFORE the real join, and the plan certifies the pruned
+    join is lossless (revenue over true matches) while auditing what the
+    filter let through (candidate count, false-positive rate). At 100 TB
+    this is the shuffle the filter deletes: only bloom-passing rows
+    reach the join exchange, and the bitmap rides a broadcast, never a
+    shuffle. Salted 60-bit md5-prefix hashes (the q113 grid
+    construction) keep every bit position engine-portable.
+
+    Spark builds the same runtime filters implicitly when statistics
+    warrant; materializing the operator makes the mechanism testable —
+    the one-sided guarantee (no true match ever pruned) is exactly what
+    the oracle's equality certifies."""
+    t = load_tables(spark, sf_dir)
+    m, k = _BLOOM_M, _BLOOM_K
+
+    def h(col, i):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(f"#{i}"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        )
+
+    keys = t["supplier"].where(F.col("s_nationkey") < 8).select("s_suppkey")
+    kh = keys.select(
+        *[h(F.col("s_suppkey"), i).alias(f"h{i}") for i in range(k)]
+    )
+    bits = None
+    for i in range(k):
+        part = kh.select(
+            F.expr(f"h{i} div 32").alias("w"),
+            (F.col(f"h{i}") % 32).cast("int").alias("bit"),
+        )
+        bits = part if bits is None else bits.unionByName(part)
+    # F.shiftleft takes a python int for numBits; SQL shiftleft accepts a
+    # column — route the variable shift through expr.
+    bm = bits.groupBy("w").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("v")
+    )
+    p = t["lineitem"].select(
+        "l_suppkey",
+        "l_extendedprice",
+        *[h(F.col("l_suppkey"), i).alias(f"h{i}") for i in range(k)],
+    )
+    cand = p
+    for i in range(k):
+        bmi = bm.select(
+            F.col("w").alias(f"w{i}"), F.col("v").alias(f"v{i}")
+        )
+        cand = cand.join(
+            F.broadcast(bmi),
+            (F.expr(f"h{i} div 32") == F.col(f"w{i}"))
+            & (
+                F.expr(
+                    f"shiftright(v{i}, CAST(h{i} % 32 AS INT)) & 1"
+                )
+                == 1
+            ),
+        ).drop(f"w{i}", f"v{i}")
+    cand = cand.select("l_suppkey", "l_extendedprice").persist()
+    n_cand = cand.agg(F.count(F.lit(1)).alias("nc"))
+    n_probe = p.agg(F.count(F.lit(1)).alias("np"))
+    true_m = cand.join(F.broadcast(keys), cand["l_suppkey"] == keys["s_suppkey"], "left_semi")
+    return (
+        true_m.agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.round(exact_sum("l_extendedprice"), 4).alias("revenue"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_probe))
+        .select(
+            F.col("nc").cast("long").alias("n_candidates"),
+            "n_true",
+            (
+                F.floor(
+                    (F.col("nc").cast("double") - F.col("n_true"))
+                    / F.col("np").cast("double")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("fp_rate"),
+            "revenue",
+        )
+    )

@@ -748,3 +748,13 @@ def test_q137_truncation_is_scan_side(spark, queries):
     assert plan.count("+- Exchange") <= 2, plan
     assert "Join" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q138_bloom_bitmap_broadcasts(spark, queries):
+    """The 32-word bitmap rides broadcasts into the fact stream — the
+    filter exists to DELETE the shuffle, so no sort-merge join and no
+    range exchange may appear."""
+    plan = plan_of(queries["q138_bloom_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()

@@ -94,6 +94,7 @@ DUCKDB_ONLY = {
     "q134_twap",             # duckdb epoch_us (Spark: unix_micros)
     "q136_hll_audit",        # duckdb CAST('0x..') hex parse + bin()/instr
     "q137_truncation_audit", # duckdb list_* vector arithmetic + VALUES lateral
+    "q138_bloom_join",       # duckdb CAST('0x..') hex parse + // int division
 }
 
 
