@@ -56,6 +56,7 @@ _DRIVER_CHECK_PRIORITY = [
     "q136_hll_audit",
     "q137_truncation_audit",
     "q138_bloom_join",
+    "q_stream_cms",
     "q_stream_enrich",
     "q_stream_sliding",
     # last driver-checked in round 4

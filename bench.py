@@ -317,6 +317,7 @@ _ABBREV = {
     "q_stream_screen": "s_scr",
     "q_stream_enrich": "s_enr",
     "q_stream_sliding": "s_sl",
+    "q_stream_cms": "s_cms",
 }
 
 

@@ -1587,3 +1587,78 @@ def q134_twap(spark, sf_dir):
         )
         .transform(presentation_sort, "event_type")
     )
+
+
+_SCMS_D = 4
+_SCMS_W = 256
+
+
+def _stream_cms_oracle_sql() -> str:
+    rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS i, "
+        f"(('0x' || substr(md5(CAST(user_id AS STRING) || '#{i}'), 1, 15))"
+        f"::BIGINT % {_SCMS_W}) AS b FROM events"
+        for i in range(_SCMS_D)
+    )
+    return f"""
+    WITH cells AS (
+      {rows}
+    )
+    SELECT CAST(i AS INT) AS i, CAST(b AS INT) AS b,
+           CAST(count(*) AS BIGINT) AS c
+    FROM cells GROUP BY i, b ORDER BY i, b
+    """
+
+
+@query("q_stream_cms", oracle=_stream_cms_oracle_sql())
+def stream_cms(spark, sf_dir):
+    """Count-min sketch maintained BY THE STREAM — q113's d=4 x w=256
+    frequency grid (here over user ids) as an incremental streaming
+    aggregate: each micro-batch folds its events into the 1024-cell
+    state and the drained grid must be cell-for-cell identical to the
+    batch-computed sketch. This is the monitoring deployment of the
+    sketch family — per-shard sketches on live streams, merged by
+    cell-wise add — and the certification covers exactly the property
+    that matters: incremental maintenance commutes with the batch fold.
+    Salted 60-bit md5-prefix buckets (the q113 grid) keep every cell
+    engine-portable; integer counts make accumulation order
+    unobservable. Complete output mode for the q_stream_tumbling
+    drain-to-completion reason."""
+    import re as _re
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    def bucket(col, i):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f"#{i}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(_SCMS_W))
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.select(
+        F.posexplode(
+            F.array(
+                *[bucket(F.col("user_id"), i) for i in range(_SCMS_D)]
+            )
+        ).alias("i", "b")
+    )
+    grid = cells.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    sink = "q_stream_cms_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+    q = run_to_memory(grid, sink, "complete", available_now=True)
+    q.stop()
+    return (
+        spark.table(sink)
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("b").cast("int").alias("b"),
+            F.col("c").cast("long").alias("c"),
+        )
+        .transform(presentation_sort, "i", "b")
+    )

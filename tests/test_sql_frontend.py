@@ -95,6 +95,7 @@ DUCKDB_ONLY = {
     "q136_hll_audit",        # duckdb CAST('0x..') hex parse + bin()/instr
     "q137_truncation_audit", # duckdb list_* vector arithmetic + VALUES lateral
     "q138_bloom_join",       # duckdb CAST('0x..') hex parse + // int division
+    "q_stream_cms",          # duckdb CAST('0x..') hex parse (q113 grid)
 }
 
 
