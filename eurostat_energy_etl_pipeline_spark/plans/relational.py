@@ -1178,26 +1178,42 @@ def q133_basket_pairs(spark, sf_dir):
     BASKETS instead of token adjacency — the recommender / bundling
     primitive.
 
-    Scale shape: the basket table collapses to distinct (order, part)
-    first; the pair stream is one orderkey equi-self-join whose output
-    is bounded by sum(|basket|^2) with |basket| bounded by order size
-    (never corpus-squared — the same bound as q97's IVF cells); pair
-    counts aggregate with map-side combine, the HAVING floor prunes the
-    singleton tail before the two part-support joins (pair-grain rows
-    against the part-grain support table), and the top-20 is
-    TakeOrderedAndProject. Supports and lift are ratios of exact
-    integers, gridded at 1e-6."""
+    Scale shape: ONE orderkey shuffle builds each basket as a sorted
+    part array; pairs are generated ROW-SIDE from the array (a
+    combinations explode — the self-join alternative would shuffle the
+    (order, part) table twice on different keys), so the pair stream is
+    bounded by sum(|basket|^2) with |basket| bounded by order size
+    (never corpus-squared — the same bound as q97's IVF cells) and
+    never crosses an exchange unaggregated; pair counts map-side
+    combine, the HAVING floor prunes the singleton tail before the two
+    part-support joins (pair-grain rows against the part-grain support
+    table), and the top-20 is TakeOrderedAndProject. Supports and lift
+    are ratios of exact integers, gridded at 1e-6."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    bp = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    n = bp.agg(F.count_distinct("ok").cast("double").alias("n_baskets"))
-    ps = bp.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
-    a = bp.select("ok", F.col("pk").alias("p1"))
-    b = bp.select("ok", F.col("pk").alias("p2"))
+    baskets = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+        .persist()
+    )
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_baskets"))
+    ps = baskets.select(F.explode("ps").alias("pk")).groupBy("pk").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "ok")
-        .where(F.col("p1") < F.col("p2"))
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .where(F.col("c_ab") >= 2)
