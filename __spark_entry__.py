@@ -56,6 +56,8 @@ _DRIVER_CHECK_PRIORITY = [
     "q136_hll_audit",
     "q137_truncation_audit",
     "q138_bloom_join",
+    "q139_table_checksum",
+    "q140_chi_square",
     "q_stream_cms",
     "q_stream_enrich",
     "q_stream_sliding",

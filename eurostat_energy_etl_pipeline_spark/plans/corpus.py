@@ -3090,3 +3090,61 @@ def q136(spark, sf_dir):
             ).alias("rel_err"),
         )
     )
+
+
+@query(
+    "q139_table_checksum",
+    oracle="""
+    WITH rh AS (
+      SELECT source,
+             ('0x' || substr(md5(
+                 CAST(doc_id AS STRING) || '|' || text || '|' ||
+                 lang || '|' || source || '|' || CAST(n_chars AS STRING)
+             ), 1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(h AS DECIMAL(38,0))) AS STRING) AS checksum
+    FROM rh GROUP BY source ORDER BY source
+    """,
+)
+def q139(spark, sf_dir):
+    """Content CHECKSUM per source — the replica-reconciliation primitive
+    of a 100 TB migration: an order-independent table fingerprint
+    (sum of per-row canonical-rendering hashes) that two sides compute
+    INDEPENDENTLY and compare as one tiny row set, instead of shipping
+    or sorting either copy. A single flipped byte, dropped row, or
+    duplicated row moves the per-source checksum; the row count
+    disambiguates drops from flips.
+
+    Scale shape: one map-side-combinable aggregate over the scan — the
+    hash never shuffles row content, only (source, partial-sum) state.
+    Exactness: the portable 60-bit md5-prefix hash over an explicit
+    '|'-delimited rendering of int/string columns only (doubles are
+    excluded from the canonical form by design — their cross-engine
+    rendering is the one thing that can't be pinned); sums fold as
+    DECIMAL(38,0) and are compared as strings so no engine's integer
+    width matters."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    canon = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        widen_if_narrow(docs)
+        .select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("checksum"),
+        )
+        .transform(presentation_sort, "source")
+    )

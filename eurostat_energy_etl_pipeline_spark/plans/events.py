@@ -1662,3 +1662,94 @@ def stream_cms(spark, sf_dir):
         )
         .transform(presentation_sort, "i", "b")
     )
+
+
+@query(
+    "q140_chi_square",
+    oracle="""
+    WITH j AS (
+      SELECT e.event_type, c.c_mktsegment AS segment
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ),
+    o AS (SELECT event_type, segment, CAST(count(*) AS DOUBLE) AS obs
+          FROM j GROUP BY event_type, segment),
+    rt AS (SELECT event_type, sum(obs) AS r FROM o GROUP BY event_type),
+    ct AS (SELECT segment, sum(obs) AS c FROM o GROUP BY segment),
+    n AS (SELECT sum(obs) AS n FROM o),
+    cell AS (
+      SELECT o.event_type, o.segment,
+             floor((o.obs - rt.r * ct.c / n.n)
+                   * (o.obs - rt.r * ct.c / n.n)
+                   / (rt.r * ct.c / n.n) * 1e9 + 0.5) / 1e9 AS term
+      FROM o JOIN rt USING (event_type) JOIN ct USING (segment)
+      CROSS JOIN n
+    )
+    SELECT CAST((SELECT count(*) FROM rt) AS INT) AS n_rows,
+           CAST((SELECT count(*) FROM ct) AS INT) AS n_cols,
+           CAST(((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS INT) AS dof,
+           floor(CAST(sum(CAST(term AS DECIMAL(25,9))) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS chi2
+    FROM cell
+    """,
+)
+def q140_chi_square(spark, sf_dir):
+    """Chi-square test of independence — event type vs customer market
+    segment: the contingency-table statistic that answers "does behavior
+    differ by segment" (the categorical sibling of q130's KS and q103's
+    PSI). Reports the table shape, degrees of freedom, and the chi^2
+    sum over (obs - exp)^2 / exp.
+
+    Scale shape: the fact stream reduces to CELL grain first (one
+    (type, segment)-keyed aggregate after the broadcast dimension
+    lookup — cells are category-bounded, never data-bounded); marginals
+    fold out of the cell table and broadcast back; per-cell terms grid
+    to 1e-9 and decimal-fold so the cell-order of the final sum is
+    unobservable. Everything after the first aggregate moves
+    O(#cells) rows."""
+    t = load_tables(spark, sf_dir)
+    j = t["events"].join(
+        F.broadcast(
+            t["customer"].select(
+                F.col("c_custkey").alias("user_id"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+        ),
+        "user_id",
+    )
+    o = (
+        j.groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+        .persist()
+    )
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("segment").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    term = (
+        F.floor(
+            (F.col("obs") - exp) * (F.col("obs") - exp) / exp * 1e9 + 0.5
+        )
+        / 1e9
+    )
+    nr = rt.agg(F.count(F.lit(1)).alias("nr"))
+    nc = ct.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "segment")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("term"))
+        .agg(
+            F.sum(F.col("term").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("_chi2")
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("nr").cast("int").alias("n_rows"),
+            F.col("nc").cast("int").alias("n_cols"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
+            (F.floor(F.col("_chi2") * 1e6 + 0.5) / 1e6).alias("chi2"),
+        )
+    )

@@ -758,3 +758,29 @@ def test_q138_bloom_bitmap_broadcasts(spark, queries):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q139_checksum_is_one_aggregate(spark, queries):
+    """The fingerprint is one map-side-combinable aggregate over the
+    scan — no joins, no windows, no range exchange; row content never
+    shuffles (only source + partial sums)."""
+    plan = plan_of(queries["q139_table_checksum"](spark, SF_DIR))
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    exchanges = [
+        b for b in plan.split("\n\n")
+        if b.lstrip().startswith("(") and ") Exchange" in b.splitlines()[0]
+        and "hashpartitioning(source" in b
+    ]
+    for b in exchanges:
+        assert "text#" not in b, f"row content in an exchange:\n{b}"
+
+
+def test_q140_chi_square_reduces_to_cell_grain(spark, queries):
+    """The fact stream must collapse to (type, segment) cells right
+    after the broadcast lookup; marginals broadcast back — no
+    sort-merge join anywhere."""
+    plan = plan_of(queries["q140_chi_square"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -96,6 +96,7 @@ DUCKDB_ONLY = {
     "q137_truncation_audit", # duckdb list_* vector arithmetic + VALUES lateral
     "q138_bloom_join",       # duckdb CAST('0x..') hex parse + // int division
     "q_stream_cms",          # duckdb CAST('0x..') hex parse (q113 grid)
+    "q139_table_checksum",   # duckdb CAST('0x..') hex parse (Spark: conv)
 }
 
 
