@@ -38,58 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tiebreak — regenerated each round by scripts in this repo's workflow.
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
-    # never driver-checked (new this round)
-    "q122_pmi_collocations",
-    "q123_benford_audit",
-    "q124_interarrival_stats",
-    "q125_novelty_rate",
-    "q126_centroid_similarity",
-    "q127_pca_power",
-    "q128_kmv_set_ops",
-    "q129_mad_outliers",
-    "q130_ks_drift",
-    "q131_gini_concentration",
-    "q132_sorted_neighborhood",
-    "q133_basket_pairs",
-    "q134_twap",
-    "q135_weighted_quantiles",
-    "q136_hll_audit",
-    "q137_truncation_audit",
-    "q138_bloom_join",
-    "q139_table_checksum",
-    "q140_chi_square",
-    "q_stream_cms",
-    "q_stream_enrich",
-    "q_stream_sliding",
     # last driver-checked in round 4
-    "q51_pii_scan",
-    "q52_decontaminate",
-    "q53_quality_deciles",
-    "q54_token_percentiles",
-    "q55_label_cohesion",
-    "q56_tombstone_delete",
-    "q57_mixture_weights",
-    "q58_repetition_ratio",
-    "q59_cross_source_overlap",
-    "q60_global_ids",
-    "q61_canonical_docs",
-    "q62_json_props",
-    "q63_incremental_dedup",
-    "q64_funnel",
-    "q65_retention",
-    "q66_rare_word_filter",
-    "q67_cluster_canonical",
-    "q68_topk_per_group",
-    "q70_dataset_split",
-    "q71_jsonstat_decode",
-    "q72_source_audit",
-    "q73_mixture_sample",
-    "q79_quantize_audit",
-    "q80_ivf_sq8_ann",
-    "q83_crossmodal_audit",
-    "q85_median_bridge",
-    "q87_knn_join_exact",
-    "q88_knn_join_lsh",
     "q89_bpe_pair_stats",
     "q90_trailing_burst",
     "q91_kmeans_update",
@@ -205,6 +154,57 @@ _DRIVER_CHECK_PRIORITY = [
     "q_stream_dedup",
     "q_stream_running_totals",
     "q_stream_screen",
+    # last driver-checked in round 9
+    "q122_pmi_collocations",
+    "q123_benford_audit",
+    "q124_interarrival_stats",
+    "q125_novelty_rate",
+    "q126_centroid_similarity",
+    "q127_pca_power",
+    "q128_kmv_set_ops",
+    "q129_mad_outliers",
+    "q130_ks_drift",
+    "q131_gini_concentration",
+    "q132_sorted_neighborhood",
+    "q133_basket_pairs",
+    "q134_twap",
+    "q135_weighted_quantiles",
+    "q136_hll_audit",
+    "q137_truncation_audit",
+    "q138_bloom_join",
+    "q139_table_checksum",
+    "q140_chi_square",
+    "q51_pii_scan",
+    "q52_decontaminate",
+    "q53_quality_deciles",
+    "q54_token_percentiles",
+    "q55_label_cohesion",
+    "q56_tombstone_delete",
+    "q57_mixture_weights",
+    "q58_repetition_ratio",
+    "q59_cross_source_overlap",
+    "q60_global_ids",
+    "q61_canonical_docs",
+    "q62_json_props",
+    "q63_incremental_dedup",
+    "q64_funnel",
+    "q65_retention",
+    "q66_rare_word_filter",
+    "q67_cluster_canonical",
+    "q68_topk_per_group",
+    "q70_dataset_split",
+    "q71_jsonstat_decode",
+    "q72_source_audit",
+    "q73_mixture_sample",
+    "q79_quantize_audit",
+    "q80_ivf_sq8_ann",
+    "q83_crossmodal_audit",
+    "q85_median_bridge",
+    "q87_knn_join_exact",
+    "q88_knn_join_lsh",
+    "q_stream_cms",
+    "q_stream_enrich",
+    "q_stream_sliding",
 ]
 
 
