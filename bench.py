@@ -106,6 +106,17 @@ def main() -> None:
         seq_walls.append(round(wall, 4))
         _duckdb_pass(duck_con, oracles, duck)
 
+    # Sequential measurement done: release every plan-pinned intermediate
+    # (plans.pin/release_pins — the r10 lifetime contract). The pins ARE
+    # part of the measured steady state above (an engine keeps its caches
+    # while a query is being served), but nothing below re-reads them and
+    # a 163-query session must not accumulate cached blocks it no longer
+    # needs. The throughput pass below therefore re-executes unpinned —
+    # slightly conservative for the 8 pin-using queries.
+    from eurostat_energy_etl_pipeline_spark import plans as plans_mod
+
+    plans_mod.release_pins()
+
     # Pass 3 (throughput): the whole set submitted from 8 client threads —
     # the TPC-style concurrent run. Spark's scheduler overlaps the many tiny
     # stages that dominate sequential latency at this scale factor.
@@ -145,6 +156,12 @@ def main() -> None:
         "q107_prefix_jaccard_join",
         "q111_index_maintenance",
         "q114_edit_distance_join",
+        # r10 ANN conversions: the oracles bucket/train/score the WHOLE
+        # corpus with cross joins (no pruning) by design
+        "q32_lsh_ann",
+        "q37_ivf_ann",
+        "q80_ivf_sq8_ann",
+        "q88_knn_join_lsh",
     }
 
     def _ratios() -> dict:

@@ -287,70 +287,123 @@ def ann_index_topk(
     )
 
 
+IVF_GRID = 1_000_000  # 1e-6 component grid for the auditable trainer
+
+
+def grid_int_col(vec_col: Column) -> Column:
+    """Component-wise 1e-6 grid as integers (array<long>): the portable
+    `floor(x * 1e6 + 0.5)` formula both engines execute identically on
+    doubles, after which EVERY downstream distance/score is exact integer
+    arithmetic — order-independent, bit-equal across engines by
+    construction (all magnitudes stay far below 2^53)."""
+    return F.transform(
+        _as_double(vec_col), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5))
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
     nlist: int = 16,
-    seed: int = 42,
     id_col: str = "vec_id",
     sample_size: int = 4096,
-    max_iter: int = 25,
+    n_iter: int = 2,
+    salt: str = "ivf",
 ) -> np.ndarray:
-    """IVF coarse quantizer: seeded Lloyd's k-means on a DETERMINISTIC
-    corpus sample, returning the (nlist x dim) centroid matrix.
+    """IVF coarse quantizer: Lloyd's k-means on a DETERMINISTIC corpus
+    sample, returning the (nlist x dim) centroid matrix on the 1e-6
+    INTEGER grid (int64).
 
     This is the standard IVF training recipe (FAISS trains its quantizer
-    on ~a few hundred vectors per cell, not the corpus): the sample is the
-    `sample_size` rows with the smallest xxhash64(id) — one
-    TakeOrderedAndProject scan, identical on any partitioning — and the
-    Lloyd iterations run in numpy on the driver (sample_size x dim, a few
-    MB). Training cost is O(sample), not O(corpus), which is what makes
+    on ~a few hundred vectors per cell, not the corpus), restated so every
+    step is exactly reproducible by a SQL engine (the q127 power-iteration
+    recipe applied to k-means — VERDICT r9 item 1):
+
+    - sample = the `sample_size` rows smallest by md5(salt + ':' + id) —
+      one TakeOrderedAndProject scan, identical on any partitioning, and
+      recomputable as ORDER BY md5(...) LIMIT n in any engine;
+    - init = the first `nlist` sample vectors in that same md5 order
+      (hash-random Forgy init — no RNG anywhere);
+    - components live on the 1e-6 integer grid, so assignment scores
+      (|c|^2 - 2<v,c>) and the half-up mean update
+      floor((2*sum + n) / (2n)) are EXACT int64 arithmetic — a fixed
+      `n_iter` Lloyd rounds with lowest-cell tie-breaks and
+      keep-previous-centroid on empty cells (deterministic, no reseeding).
+
+    Training cost is O(sample), not O(corpus), which is what makes
     retraining viable at 100 TB; a distributed KMeans over the full corpus
     (the pyspark.ml route) pays tens of scheduler jobs to average numbers
-    a sample already pins down. Deterministic by construction: hash-picked
-    sample, seeded init, fixed iteration count."""
+    a sample already pins down. The fixed small iteration count is also
+    standard (coarse quantizers need rough Voronoi cells, not converged
+    ones) and is what lets a DuckDB oracle unroll training as a CTE
+    ladder (plans/northstar._ivf_oracle_sql)."""
+    sid = F.col(id_col).cast("string")
     rows = (
         df.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
+        .orderBy(F.md5(F.concat(F.lit(salt + ":"), sid)), F.col(id_col))
         .limit(sample_size)
         .collect()
     )
-    x = np.array([r["v"] for r in rows], dtype=float)
-    if len(x) < nlist:
-        raise ValueError(f"corpus smaller than nlist ({len(x)} < {nlist})")
-    rng = np.random.RandomState(seed)
-    cents = x[rng.choice(len(x), size=nlist, replace=False)]
-    for _ in range(max_iter):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        new = np.empty_like(cents)
+    xf = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(xf) < nlist:
+        raise ValueError(f"corpus smaller than nlist ({len(xf)} < {nlist})")
+    x = np.floor(xf * 1e6 + 0.5).astype(np.int64)
+    cents = x[:nlist].copy()
+    for _ in range(n_iter):
+        # score = |c|^2 - 2<v,c> (the |v|^2 term cancels in the argmin);
+        # argmin's first-occurrence rule IS the lowest-cell tiebreak.
+        cc = (cents * cents).sum(axis=1)
+        assign = (cc[None, :] - 2 * (x @ cents.T)).argmin(axis=1)
         for c in range(nlist):
             members = x[assign == c]
-            # re-seed empty cells from a random sample point (standard
-            # Lloyd's fix; deterministic under the seeded rng)
-            new[c] = members.mean(axis=0) if len(members) else x[rng.randint(len(x))]
-        if np.allclose(new, cents, rtol=0, atol=1e-9):
-            cents = new
-            break
-        cents = new
+            if len(members):
+                s = members.sum(axis=0)
+                n = len(members)
+                # round-half-up mean on the grid: floor((2s + n) / 2n),
+                # floor-division toward -inf exactly like SQL floor()
+                cents[c] = np.floor_divide(2 * s + n, 2 * n)
+            # empty cell: keep the previous centroid (deterministic)
     return cents
 
 
 def ivf_cell_of(vec_col: Column, centroids: np.ndarray) -> Column:
-    """Nearest-centroid cell id as a column expression (codegen, no Python):
-    argmin ||v-c||^2 = argmax (<v,c> - ||c||^2/2). The centroid matrix is
-    inlined as literals like the LSH planes."""
-    v = _as_double(vec_col)
+    """Nearest-centroid cell id as a column expression (codegen, no
+    Python): argmin ||v-c||^2 via the exact integer score
+    |c|^2 - 2<v_grid, c> over the 1e-6-gridded components. `centroids`
+    is the int64 grid matrix from :func:`train_ivf_centroids`, inlined
+    as literals like the LSH planes; `array_position(arr, array_min)`
+    returns the FIRST minimum = the lowest-cell tiebreak, matching both
+    the trainer's argmin and the oracle's row_number ordering. All
+    arithmetic is int64-exact, so cell assignment is bit-identical in
+    any engine."""
+    vi = grid_int_col(vec_col)
     scores = []
     for c in centroids:
         dot_c = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
-            F.lit(0.0),
+            F.zip_with(
+                vi,
+                F.array(*[F.lit(int(x)) for x in c]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        scores.append(dot_c - float(np.dot(c, c)) / 2.0)
+        scores.append(F.lit(int(np.dot(c, c))) - F.lit(2) * dot_c)
     arr = F.array(*scores)
-    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def ivf_probe_cells(
+    query_vec: list[float], centroids: np.ndarray, nprobe: int
+) -> list[int]:
+    """The `nprobe` cells nearest the query under the same exact integer
+    score the trainer and `ivf_cell_of` use, lowest-cell tiebreak."""
+    qi = np.floor(np.asarray(query_vec, dtype=np.float64) * 1e6 + 0.5).astype(
+        np.int64
+    )
+    scores = (centroids * centroids).sum(axis=1) - 2 * (centroids @ qi)
+    order = np.lexsort((np.arange(len(centroids)), scores))
+    return [int(i) for i in order[:nprobe]]
 
 
 def ivf_topk(
@@ -368,9 +421,7 @@ def ivf_topk(
     — reading ~nprobe/nlist of the data. Data-adapted cells beat LSH's
     data-oblivious buckets on clustered corpora; LSH needs no training.
     Both share the exact-rerank tail."""
-    q = np.asarray(query_vec, dtype=float)
-    scores = centroids @ q - 0.5 * (centroids * centroids).sum(axis=1)
-    probes = [int(i) for i in np.argsort(-scores)[:nprobe]]
+    probes = ivf_probe_cells(query_vec, centroids, nprobe)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.withColumn("_cell", ivf_cell_of(F.col(vec_col), centroids))
@@ -473,7 +524,6 @@ def write_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nlist: int = 16,
-    seed: int = 42,
     quantize: bool = False,
     centroids: np.ndarray | None = None,
 ) -> np.ndarray:
@@ -499,7 +549,7 @@ def write_ivf_index(
     cents = (
         centroids
         if centroids is not None
-        else train_ivf_centroids(df, vec_col, nlist, seed)
+        else train_ivf_centroids(df, vec_col, nlist, id_col=id_col)
     )
     assigned = df.withColumn("cell", ivf_cell_of(F.col(vec_col), cents))
     if quantize:
@@ -533,11 +583,14 @@ def write_ivf_index(
     rows = pd.DataFrame(
         {
             "cell": range(len(cents)),
-            "centroid": [[float(x) for x in c] for c in cents],
+            # int64 grid values — the trainer's exact representation, so a
+            # cold session (or a SQL oracle) probes with identical integer
+            # arithmetic
+            "centroid": [[int(x) for x in c] for c in cents],
         }
     )
     # pandas -> LocalTableScan (no python-RDD partitions; the q93 lesson)
-    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+    spark.createDataFrame(rows, "cell int, centroid array<long>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}_centroids")
     return cents
@@ -560,10 +613,8 @@ def ivf_index_topk(
     cent_rows = (
         spark.read.parquet(f"{path}_centroids").orderBy("cell").collect()
     )
-    cents = np.array([r.centroid for r in cent_rows])
-    q = np.asarray(query_vec, dtype=float)
-    scores = cents @ q - 0.5 * (cents * cents).sum(axis=1)
-    probes = [int(i) for i in np.argsort(-scores)[:nprobe]]
+    cents = np.array([r.centroid for r in cent_rows], dtype=np.int64)
+    probes = ivf_probe_cells(query_vec, cents, nprobe)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     scan = spark.read.parquet(path).where(F.col("cell").isin(probes))
     if "qvec" in scan.columns:
@@ -605,16 +656,18 @@ def knn_join_exact(
     """Exact cosine kNN join: for every left row, the k nearest right rows.
 
     Exact kNN is inherently all-pairs, and the scale-correct brute force
-    is NOT a row-at-a-time pair stream: it is a BLAS matmul of each query
-    batch against the broadcast neighbor matrix — exactly how sharded
+    is NOT a row-at-a-time pair stream: it is a vectorized batch kernel of
+    each query batch against the broadcast neighbor matrix — exactly how sharded
     brute-force ANN runs in production (queries partition across
     executors; each Arrow batch computes `Q @ M.T` for the whole corpus
     at once). The first cut here planned a BroadcastNestedLoopJoin with
     per-pair higher-order-function cosines and measured 130x slower than
     DuckDB's vectorized cross join at sf0.1 (20.7 s vs 0.16 s): HOF
     lambdas evaluate per element per pair, so the 6.25M-pair stream paid
-    ~400M interpreted closure calls for what one dgemm does in
-    milliseconds. mapInPandas keeps the whole kernel in numpy, O(batch x
+    ~400M interpreted closure calls for what one vectorized numpy pass does
+    in milliseconds (the kernel folds dimensions left-to-right rather than
+    calling dgemm, trading a small constant for bit-parity with the SQL
+    oracle's sequential fold). mapInPandas keeps the whole kernel in numpy, O(batch x
     |R|) memory, zero shuffle (the only exchange is the caller's
     presentation sort).
 
@@ -634,7 +687,12 @@ def knn_join_exact(
     rows = right.select(F.col(right_id), F.col(vec_col)).collect()
     nids = [r[0] for r in rows]
     M = np.array([r[1] for r in rows], dtype=np.float64)
-    nrm = np.sqrt((M * M).sum(axis=1))
+    # left-to-right fold for the norms too (np.sum is pairwise — see the
+    # kernel comment below)
+    n2 = np.zeros(len(M))
+    for j in range(M.shape[1] if len(M) else 0):
+        n2 += M[:, j] * M[:, j]
+    nrm = np.sqrt(n2)
     spark = left.sparkSession
     bc = spark.sparkContext.broadcast((nids, M, nrm))
 
@@ -659,9 +717,18 @@ def knn_join_exact(
             if not len(pdf):
                 continue
             Q = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
-            qn = np.sqrt((Q * Q).sum(axis=1))
-            denom = qn[:, None] * nrm_l[None, :]
-            dots = Q @ Mt
+            # dim-at-a-time left-to-right accumulation == the sequential
+            # fold DuckDB's list functions and Catalyst's F.aggregate
+            # execute (verified bit-identical), so the 1e-6 grid can never
+            # straddle differently across engines; dgemm's pairwise
+            # summation places the last ulp elsewhere (cosine_batch_fold's
+            # lesson), which a permanent hash oracle can't tolerate.
+            dots = np.zeros((len(Q), len(nid_arr)))
+            qn2 = np.zeros(len(Q))
+            for j in range(Q.shape[1]):
+                dots += Q[:, j, None] * Mt[j][None, :]
+                qn2 += Q[:, j] * Q[:, j]
+            denom = np.sqrt(qn2)[:, None] * nrm_l[None, :]
             cos = np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0)
             cosr = np.floor(cos * 1e6 + 0.5) / 1e6
             qids, onids, ocos, orks = [], [], [], []
@@ -774,7 +841,7 @@ def knn_join_lsh(
     """Approximate kNN join: LSH-bucket both corpora with shared
     hyperplane matrices (one per hash table), explode each query into its
     multiprobe bucket set in every table, CO-GROUP the two sides on the
-    (table, bucket) key, score each cell with one BLAS matmul, and
+    (table, bucket) key, score each cell with one vectorized fold kernel, and
     exactly rerank the deduped per-query candidate union.
 
     This replaces the exact join's |L| x |R| pair stream with
@@ -783,15 +850,16 @@ def knn_join_lsh(
     pairs-as-rows equi-join shape paid Arrow transfer of two vectors per
     CANDIDATE PAIR (~1 GB at sf0.1; measured 3.3 s), where the co-group
     ships each vector once per PROBE (O(P x |L| + T x |R|) rows), does
-    the cell's |L_b| x |R_b| scoring as a single dgemm, and emits only
+    the cell's |L_b| x |R_b| scoring as one vectorized kernel, and emits only
     each query's per-cell top-k — a lossless truncation, since rank
     within a subset lower-bounds rank within the union, so anything
     outside every cell top-k is outside the global top-k. The dedup
     exchange then carries (qid, nid, cos) 24-byte rows, vectors never.
-    Scores land on the 1e-6 grid inside the kernel, but the dgemm
-    summation's last ulp depends on cell shape, so duplicate instances
-    across tables/probes are NOT guaranteed bit-equal — the dedup takes
-    max(cos) per (qid, nid), which is deterministic either way.
+    Scores are computed with a dim-at-a-time left-to-right fold (not
+    dgemm), so every instance of a pair is bit-identical regardless of
+    which (table, probe) cell scored it AND matches the sequential fold a
+    SQL engine executes — the property the q88 hash oracle stands on; the
+    max(cos) dedup is then exact by construction.
 
     Skew contract: a co-grouped cell is one task (grouped kernels cannot
     be AQE-split), so degenerate buckets — the hyperplane analogue of
@@ -856,11 +924,21 @@ def knn_join_lsh(
         nids = ndf["nid"].to_numpy()
         order = np.argsort(nids, kind="stable")  # nid-asc tiebreak below
         B, nids = B[order], nids[order]
-        na = np.sqrt((A * A).sum(axis=1))
-        nb = np.sqrt((B * B).sum(axis=1))
-        denom = np.outer(na, nb)
+        # dim-at-a-time left-to-right accumulation: bit-identical to the
+        # sequential fold DuckDB / Catalyst execute, so every instance of
+        # a (qid, nid) pair — whichever cell scored it — lands on the
+        # same 1e-6 grid value and the max() dedup is exact (dgemm's
+        # shape-dependent last ulp made instances diverge pre-r10).
+        dots = np.zeros((len(A), len(B)))
+        na2 = np.zeros(len(A))
+        nb2 = np.zeros(len(B))
+        for j in range(A.shape[1]):
+            dots += A[:, j, None] * B[None, :, j]
+            na2 += A[:, j] * A[:, j]
+            nb2 += B[:, j] * B[:, j]
+        denom = np.outer(np.sqrt(na2), np.sqrt(nb2))
         cos = np.divide(
-            A @ B.T, denom, out=np.zeros((len(A), len(nids))), where=denom > 0
+            dots, denom, out=np.zeros((len(A), len(nids))), where=denom > 0
         )
         cos = np.floor(cos * 1e6 + 0.5) / 1e6
         kk = min(k, len(nids))
@@ -880,11 +958,10 @@ def knn_join_lsh(
         .cogroup(b.groupby("tbl", "bucket"))
         .applyInPandas(_score_cell, "qid long, nid long, cos double")
     )
-    # BLAS dgemm's last-ulp summation depends on matrix SHAPE, so the same
-    # (qid,nid) pair scored in two different (tbl,bucket) cells is not
-    # guaranteed bit-identical after the 1e-6 grid — dedup with max(cos)
-    # (deterministic regardless of which cell a row came from), never
-    # dropDuplicates (keeps a partition-order-dependent instance).
+    # Instances of the same (qid,nid) pair are bit-identical across cells
+    # (fold-order kernel), so max(cos) is exactly the pair's one score —
+    # still preferred over dropDuplicates, which would keep a
+    # partition-order-dependent instance if the kernel ever regressed.
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
     return (
         cand.groupBy("qid", "nid")

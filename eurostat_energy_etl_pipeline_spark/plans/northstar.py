@@ -1,8 +1,11 @@
 """North-star LLM-pipeline queries: Q19-Q22 (SURVEY.md §2.12) plus the
 extended dedup / text-analysis / similarity surface over the `documents` and
-`embeddings` fixtures. Approximate operators (MinHash LSH, SimHash,
-hyperplane ANN) have no SQL oracle — the driver records a rows-only check and
-`tests/` pin their semantics with planted-duplicate fixtures instead.
+`embeddings` fixtures. Approximate operators are approximate by DESIGN but
+deterministic by CONSTRUCTION (seed-fixed planes / hash-derived signatures /
+integer-grid trainers), so every one carries an exact DuckDB oracle that
+replays the algorithm (brute-force where the Spark plan prunes — bench.py's
+gt_oracles set); `tests/` additionally pin recall floors against brute force
+on planted-duplicate fixtures.
 """
 
 from __future__ import annotations
@@ -432,74 +435,175 @@ def _query_vec(e, query_id: int = 0) -> list[float]:
     ]
 
 
-def _certify_ann(ann, e, qvec, k: int = 5, sample_rate: float = 0.25):
-    """Challenger-sample certification (the q88 recipe applied to the
-    single-query ANN family, VERDICT r5 item 7): join the ANN top-k
-    against the exact top-k of a deterministic hash-sample of the corpus
-    UNIONed with the ANN's own candidates, so the result rows carry their
-    own quality readout — `in_audited_topk` per row, their fraction as
-    `audited_recall_at_k`.
-
-    Semantics: if the ANN result IS the true top-k, every flag is 1
-    regardless of the sample (its own candidates are always in the audit
-    pool, and nothing sampled can displace a true neighbor's rank among
-    the pool). A junk ANN row is displaced (flag 0) whenever the sample
-    holds a better challenger — each missed true neighbor is detected
-    with probability ~sample_rate, independently per run/corpus. The
-    audit side costs sample_rate of one corpus scan with a single
-    pushed-down predicate (hash-sample OR id IN ann-ids) — never the
-    full brute-force sweep, so the registered plan stays 100 TB-shaped
-    end-to-end. The exhaustive-exact contract still lives in
-    tests/test_similarity.py, which recomputes the audit pool
-    independently and pins planted-neighbor recall floors. The k-row ANN
-    result is localCheckpoint-ed so its probe plan executes once."""
-    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
-        sample_predicate,
-    )
-
-    ann = ann.localCheckpoint(eager=True)
-    ids = [r["vec_id"] for r in ann.select("vec_id").collect()]
-    pool = e.where(
-        sample_predicate(F.col("vec_id"), sample_rate, "anncert")
-        | F.col("vec_id").isin(ids)
-    )
-    exact_ids = S.cosine_topk(pool, qvec, k=k).select(
-        F.col("vec_id").alias("_x_id")
-    )
-    flagged = ann.join(
-        F.broadcast(exact_ids), ann["vec_id"] == F.col("_x_id"), "left"
-    ).select(
-        "vec_id",
-        "cos",
-        F.col("_x_id").isNotNull().cast("int").alias("in_audited_topk"),
-    )
-    recall = flagged.agg(
-        (F.sum("in_audited_topk") / float(k)).alias("audited_recall_at_k")
-    )
-    return (
-        flagged.join(F.broadcast(recall))
-        .orderBy(F.desc("cos"), "vec_id")
-    )
+def _bucket_sql(vcol: str, planes) -> str:
+    """DuckDB expression for the signed-projection LSH bucket of `vcol`
+    under the given hyperplane matrix — the plane rows inlined as DOUBLE[]
+    literals exactly as `bucket_of` inlines them for Catalyst.
+    list_dot_product is bit-identical to the sequential fold both engines
+    execute (verified empirically), and a sign bit could only diverge if a
+    projection landed within ~dim ulps of zero — measure-zero for
+    continuous data."""
+    terms = []
+    for b, row in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vcol}, {lit}) >= 0"
+            f" THEN {1 << b} ELSE 0 END)"
+        )
+    return "(" + "\n           + ".join(terms) + ")"
 
 
-@query("q32_lsh_ann")
+def _lsh_ann_oracle_sql(
+    dim: int = 64,
+    bits: int = 8,
+    seed: int = 42,
+    num_tables: int = 3,
+    radius: int = 2,
+    k: int = 5,
+) -> str:
+    """Exact DuckDB replay of q32's LSH probe (VERDICT r9 item 1):
+    recompute every corpus row's bucket in each hash table from the same
+    hyperplane literals, admit rows within hamming `radius` of the
+    query's bucket in ANY table — probing all buckets at hamming <= r of
+    qb admits precisely the rows whose bucket xor qb has popcount <= r,
+    so the multiprobe IN-list and this popcount predicate are the same
+    set — then the identical round-6 cosine rerank. The oracle is
+    deliberately brute-force (buckets for all rows, no pruning); the
+    Spark plan is the pruned one, so the pair is listed in bench.py's
+    gt_oracles."""
+    bsel, qsel, conds = [], [], []
+    for t in range(num_tables):
+        planes = S.hyperplanes(dim, bits, seed + t)
+        bsel.append(f"{_bucket_sql('v', planes)} AS b{t}")
+        qsel.append(f"{_bucket_sql('qv', planes)} AS qb{t}")
+        conds.append(
+            f"bit_count(xor(CAST(b{t} AS BIGINT), CAST(qb{t} AS BIGINT)))"
+            f" <= {radius}"
+        )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = 0),
+         eb AS (SELECT vec_id, v, {", ".join(bsel)} FROM e),
+         qb AS (SELECT qv, {", ".join(qsel)} FROM q),
+         cand AS (SELECT eb.vec_id, eb.v, qb.qv FROM eb CROSS JOIN qb
+                  WHERE {" OR ".join(conds)})
+    SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
+    FROM cand ORDER BY cos DESC, vec_id LIMIT {k}
+    """
+
+
+@query("q32_lsh_ann", oracle=_lsh_ann_oracle_sql())
 def q32(spark, sf_dir):
     """Approximate NN: random-hyperplane LSH probe (3 independent tables,
     hamming<=2 multiprobe — ~40% of the corpus scanned; the fixture's
     embeddings are near-uniform, the hardest case for LSH, so the recall
-    lever is set deeper than a clustered corpus would need) + exact rerank
-    against the vec_id=0 query. Approximate by construction, so no SQL
-    oracle — but the rows are self-certifying: each carries
-    `in_audited_topk` (verified against the exact top-k of the
-    hash-sampled challenger pool in the same plan — `_certify_ann`) and
-    the constant `audited_recall_at_k`, so the driver's recorded rows
-    themselves state the achieved quality rather than an unauditable id
-    list. Exhaustive recall-vs-bruteforce floors pinned in
+    lever is set deeper than a clustered corpus would need) + exact
+    rerank against the vec_id=0 query. Approximate by DESIGN but
+    deterministic by CONSTRUCTION (seed-fixed hyperplanes, exact rerank),
+    so the DuckDB oracle recomputes buckets, candidate admission, and the
+    rerank bit-for-bit and the driver hash-compares the result rows —
+    replacing the r5-r9 in-plan self-certification, which could only
+    sample. Recall-vs-bruteforce floors stay pinned in
     tests/test_similarity.py."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     qvec = _query_vec(e)
-    return _certify_ann(S.lsh_topk(e, qvec, k=5, num_tables=3), e, qvec, k=5)
+    return S.lsh_topk(e, qvec, k=5, num_tables=3)
+
+
+def _ivf_oracle_sql(
+    nlist: int = 16,
+    n_iter: int = 2,
+    nprobe: int = 4,
+    k: int = 5,
+    dim: int = 64,
+    sample_size: int = 4096,
+    salt: str = "ivf",
+    sq8: bool = False,
+) -> str:
+    """Exact DuckDB replay of the WHOLE IVF pipeline — trainer included
+    (the q127 unrolled-CTE recipe applied to k-means, VERDICT r9 item 1).
+    `similarity.train_ivf_centroids` is deterministic and integer-exact by
+    construction (md5-ordered sample, hash-Forgy init, 1e-6-gridded
+    components, |c|^2 - 2<v,c> scores and floor((2s+n)/2n) mean updates —
+    all int64 arithmetic far below 2^53, hence order-independent and
+    bit-equal in any engine), so the oracle unrolls the `n_iter` Lloyd
+    rounds as CTE ladders, re-derives probe cells and corpus cell
+    assignment with the same integer scores, and reranks with the same
+    round-6 cosine. With `sq8` the rerank first replays the symmetric
+    int8 quantize/dequantize (the q79-audited arithmetic). Deliberately
+    brute-force (full cross joins per Lloyd round) -> bench.py
+    gt_oracles."""
+    score = "list_dot_product(c.c, c.c) - 2 * list_dot_product({v}, c.c)"
+    ctes = [
+        """g AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * 1e6 + 0.5)) AS vi
+      FROM embeddings)""",
+        f"""ordd AS (
+      SELECT vec_id, vi,
+             row_number() OVER (
+               ORDER BY md5('{salt}:' || CAST(vec_id AS STRING)), vec_id)
+               AS rn
+      FROM g)""",
+        f"samp AS (SELECT vec_id, vi FROM ordd WHERE rn <= {sample_size})",
+        f"""c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, vi AS c
+               FROM ordd WHERE rn <= {nlist})""",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"c{i - 1}"
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, vi, cell FROM (
+        SELECT s.vec_id, s.vi, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {score.format(v="s.vi")}, c.cell) AS rk
+        FROM samp s CROSS JOIN {prev} c) t WHERE rk = 1)""")
+        ctes.append(f"""m{i} AS (
+      SELECT cell, i AS pos,
+             floor((2 * sum(vi[i]) + count(*)) / (2.0 * count(*))) AS cm
+      FROM a{i} CROSS JOIN generate_series(1, {dim}) AS g_(i)
+      GROUP BY cell, i)""")
+        ctes.append(f"""c{i} AS (
+      SELECT p.cell, coalesce(n.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (SELECT cell, list(cm ORDER BY pos) AS c
+                               FROM m{i} GROUP BY cell) n
+        ON p.cell = n.cell)""")
+    fin = f"c{n_iter}"
+    ctes.append("qq AS (SELECT v AS qv, vi AS qi FROM g WHERE vec_id = 0)")
+    ctes.append(f"""probes AS (
+      SELECT cell FROM (
+        SELECT c.cell, row_number() OVER (
+          ORDER BY {score.format(v="q.qi")}, c.cell) AS rk
+        FROM {fin} c CROSS JOIN qq q) t WHERE rk <= {nprobe})""")
+    ctes.append(f"""asg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT g.vec_id, g.v, c.cell,
+               row_number() OVER (PARTITION BY g.vec_id
+                 ORDER BY {score.format(v="g.vi")}, c.cell) AS rk
+        FROM g CROSS JOIN {fin} c) t WHERE rk = 1)""")
+    if sq8:
+        ctes.append("""mx AS (
+      SELECT a.vec_id, a.v,
+             list_aggregate(list_transform(a.v, y -> abs(y)), 'max') AS emax
+      FROM asg a JOIN probes p ON a.cell = p.cell)""")
+        ctes.append("""cand AS (
+      SELECT vec_id,
+             list_transform(v, x -> round(x * 127.0 / emax)
+                                    / (127.0 / emax)) AS dv
+      FROM mx WHERE emax > 0)""")
+        vexpr = "d.dv"
+    else:
+        ctes.append("""cand AS (
+      SELECT a.vec_id, a.v FROM asg a JOIN probes p ON a.cell = p.cell)""")
+        vexpr = "d.v"
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT d.vec_id, round(list_cosine_similarity({vexpr}, q.qv), 6) AS cos
+    FROM cand d CROSS JOIN qq q ORDER BY cos DESC, vec_id LIMIT {k}"""
+    )
 
 
 # At-rest IVF index memo per (session, sf_dir): built once by
@@ -533,24 +637,26 @@ def _ivf_index_path(spark, sf_dir: str) -> str:
 _IVF_CENTROIDS: dict = {}
 
 
-@query("q37_ivf_ann")
+@query("q37_ivf_ann", oracle=_ivf_oracle_sql())
 def q37(spark, sf_dir):
     """IVF approximate NN against the AT-REST index: `write_ivf_index`
     builds the cell-partitioned corpus + stored centroid matrix once per
     (session, corpus); the query is then a partition-pruned probe of the
     nprobe nearest cells with exact rerank (`ivf_index_topk`) — reading
-    ~nprobe/nlist of the data, the same build-once-probe-many shape as the
-    q63 dedup index. Approximate by construction -> no SQL oracle, but the
-    rows self-certify exactly like q32: `in_audited_topk` +
-    `audited_recall_at_k` against the sampled challenger pool in the same
-    plan (`_certify_ann`)."""
+    ~nprobe/nlist of the data, the same build-once-probe-many shape as
+    the q63 dedup index. Approximate by DESIGN (cell pruning) but — with
+    the r10 auditable trainer (md5 sample, hash init, integer-grid Lloyd
+    rounds; `similarity.train_ivf_centroids`) — deterministic and
+    integer-exact end to end, so the DuckDB oracle retrains the
+    quantizer, re-derives cells and probes, and hash-matches the rows
+    (`_ivf_oracle_sql`), replacing the r5-r9 sampled
+    self-certification. Recall floors vs brute force stay pinned in
+    tests/test_similarity.py."""
     idx = _ivf_index_path(spark, sf_dir)
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     qvec = _query_vec(e)
-    return _certify_ann(
-        S.ivf_index_topk(spark, idx, qvec, k=5, nprobe=4), e, qvec, k=5
-    )
+    return S.ivf_index_topk(spark, idx, qvec, k=5, nprobe=4)
 
 
 @query(
@@ -955,7 +1061,7 @@ def _ivf_sq8_index_path(spark, sf_dir: str) -> str:
     return path
 
 
-@query("q80_ivf_sq8_ann")
+@query("q80_ivf_sq8_ann", oracle=_ivf_oracle_sql(sq8=True))
 def q80(spark, sf_dir):
     """IVF+SQ8 approximate NN: q37's build-once-probe-many shape, but the
     at-rest index stores symmetric-int8 vectors + per-vector scale
@@ -963,18 +1069,15 @@ def q80(spark, sf_dir):
     vector bytes per probe partition; see q79 for the cross-engine audit
     of the quantizer's arithmetic). The probe dequantizes inline in the
     codegen'd rerank. Approximate twice over (cell pruning + int8
-    rounding) -> no SQL oracle; rows self-certify with `in_audited_topk`
-    + `audited_recall_at_k` against the full-precision exact top-k of the
-    sampled challenger pool. On the fixtures q80 returns the same rows at the same
-    recall as the float-index q37 — the int8 rounding costs nothing
-    beyond the cell pruning both share."""
+    rounding) yet fully deterministic, so the DuckDB oracle retrains the
+    quantizer (`_ivf_oracle_sql`, shared with q37), replays the
+    quantize/dequantize arithmetic, and hash-matches the rows — replacing
+    the r5-r9 sampled self-certification."""
     idx = _ivf_sq8_index_path(spark, sf_dir)
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     qvec = _query_vec(e)
-    return _certify_ann(
-        S.ivf_index_topk(spark, idx, qvec, k=5, nprobe=4), e, qvec, k=5
-    )
+    return S.ivf_index_topk(spark, idx, qvec, k=5, nprobe=4)
 
 
 @query(
@@ -1071,7 +1174,53 @@ def q87(spark, sf_dir):
     )
 
 
-@query("q88_knn_join_lsh")
+def _knn_join_lsh_oracle_sql(
+    dim: int = 64,
+    bits: int = 6,
+    seed: int = 42,
+    num_tables: int = 3,
+    radius: int = 2,
+    k: int = 3,
+) -> str:
+    """Exact DuckDB replay of q88's LSH kNN join: bucket both corpora
+    with the same hyperplane literals, admit a pair iff its buckets sit
+    within hamming `radius` in ANY table (set-identical to the multiprobe
+    equi-join: exploding the query into its hamming<=r probe set and
+    equi-joining on the neighbor's exact bucket admits exactly the pairs
+    with popcount(xor) <= r), score with the 1e-6-gridded cosine (the
+    fold-order kernel is bit-equal to list_cosine_similarity), and rank
+    per query. Deliberately brute-force (cross join + popcount filter) ->
+    bench.py gt_oracles; the Spark plan is the co-grouped bucketed one."""
+    lsel, rsel, conds = [], [], []
+    for t in range(num_tables):
+        planes = S.hyperplanes(dim, bits, seed + t)
+        lsel.append(f"{_bucket_sql('qv', planes)} AS lb{t}")
+        rsel.append(f"{_bucket_sql('nv', planes)} AS rb{t}")
+        conds.append(
+            f"bit_count(xor(CAST(lb{t} AS BIGINT), CAST(rb{t} AS BIGINT)))"
+            f" <= {radius}"
+        )
+    return f"""
+    WITH l AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id % 2 = 0),
+         r AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+               FROM embeddings WHERE vec_id % 2 = 1),
+         lb AS (SELECT qid, qv, {", ".join(lsel)} FROM l),
+         rb AS (SELECT nid, nv, {", ".join(rsel)} FROM r),
+         cand AS (SELECT qid, nid,
+                         floor(list_cosine_similarity(qv, nv) * 1e6 + 0.5)
+                           / 1e6 AS cos
+                  FROM lb CROSS JOIN rb WHERE {" OR ".join(conds)}),
+         rk AS (SELECT qid, nid, cos,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, nid) AS rk
+                FROM cand)
+    SELECT qid, nid, cos, CAST(rk AS INT) AS rk
+    FROM rk WHERE rk <= {k} ORDER BY qid, rk
+    """
+
+
+@query("q88_knn_join_lsh", oracle=_knn_join_lsh_oracle_sql())
 def q88(spark, sf_dir):
     """Approximate kNN JOIN (`operators/similarity.knn_join_lsh`): both
     corpora LSH-bucketed with shared per-table hyperplane matrices,
@@ -1079,51 +1228,23 @@ def q88(spark, sf_dir):
     independent tables, candidates produced by an EQUI-join on the
     (table, bucket) key (shuffle-by-key, AQE skew-split-able — never a
     cross product), exact per-query rerank over the deduped union.
-    Approximate by construction -> no SQL oracle, but self-certifying
-    like q32/q37: a deterministic hash-sampled ~25% of the QUERIES carry
-    `in_exact_topk` from the brute-force kernel plus per-query
-    `recall_at_k` (~0.9 at these params on the near-uniform fixtures —
-    LSH's hardest case); unsampled queries carry nulls. Sampling the
-    certification is the scale contract (VERDICT r4 item 3): the exact
-    side costs O(sample x |R|), not O(|L| x |R|), so the registered plan
-    runs at 100 TB — the FULL-corpus exact differential lives in
-    tests/test_similarity.py::test_knn_join_lsh_recall_floor_and_no_dupes.
+    Approximate by DESIGN but deterministic by CONSTRUCTION: since r10
+    the cell kernel folds dimensions left-to-right (bit-equal to DuckDB's
+    sequential list fold), so the DuckDB oracle recomputes buckets, the
+    candidate pair set, gridded cosines, and ranks, and the driver
+    hash-compares all (qid, nid, cos, rk) rows — replacing the r4-r9
+    hash-sampled `in_exact_topk` self-certification (the full-corpus
+    exact differential also stays in
+    tests/test_similarity.py::test_knn_join_lsh_recall_floor_and_no_dupes).
     At rest the neighbor side is written bucket-partitioned
     (write_ann_index) so probes prune partitions; candidate volume is sum
-    of probed-bucket products, not |L| x |R|."""
-    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
-        hash_sample,
-        sample_predicate,
-    )
-
-    cert_rate, cert_salt = 0.25, "q88cert"
+    of probed-bucket products, not |L| x |R|. Corpus-grain output ships
+    unsorted (the q33 contract)."""
     e = load_tables(spark, sf_dir)["embeddings"]
     left = e.where(F.col("vec_id") % 2 == 0)
     right = e.where(F.col("vec_id") % 2 == 1)
-    approx = S.knn_join_lsh(left, right, k=3, bits=6, probe_radius=2, num_tables=3)
-    exact = S.knn_join_exact(
-        hash_sample(left, "vec_id", cert_rate, salt=cert_salt), right, k=3
-    ).select(F.col("qid").alias("_xq"), F.col("nid").alias("_xn"))
-    certified = sample_predicate(F.col("qid"), cert_rate, salt=cert_salt)
-    flagged = approx.join(
-        F.broadcast(exact),
-        (approx["qid"] == F.col("_xq")) & (approx["nid"] == F.col("_xn")),
-        "left",
-    ).select(
-        "qid",
-        "nid",
-        "cos",
-        "rk",
-        F.when(certified, F.col("_xq").isNotNull().cast("int")).alias(
-            "in_exact_topk"
-        ),
-    )
-    from pyspark.sql.window import Window
-
-    recall = F.sum("in_exact_topk").over(Window.partitionBy("qid")) / F.lit(3.0)
-    return (
-        flagged.withColumn("recall_at_k", F.round(recall, 4))
-        .orderBy("qid", "rk")
+    return S.knn_join_lsh(
+        left, right, k=3, bits=6, probe_radius=2, num_tables=3
     )
 
 

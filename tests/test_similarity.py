@@ -69,8 +69,9 @@ def test_bucket_deterministic(vectors):
 def test_ivf_recall_vs_bruteforce(vectors):
     df, base = vectors
     q = list(base[0])
-    centroids = S.train_ivf_centroids(df, nlist=4, seed=42)
+    centroids = S.train_ivf_centroids(df, nlist=4)
     assert centroids.shape == (4, DIM)
+    assert centroids.dtype == np.int64  # the 1e-6 integer grid
     exact = set(S.cosine_topk(df, q, k=5).toPandas()["vec_id"])
     approx = S.ivf_topk(df, q, centroids, k=5, nprobe=2).toPandas()
     got = set(approx["vec_id"])
@@ -86,13 +87,17 @@ def test_ivf_cell_assignment_is_nearest_centroid(vectors):
     from pyspark.sql import functions as F
 
     df, base = vectors
-    centroids = S.train_ivf_centroids(df, nlist=4, seed=42)
+    centroids = S.train_ivf_centroids(df, nlist=4)
     got = (
         df.select("vec_id", S.ivf_cell_of(F.col("embedding"), centroids).alias("cell"))
         .toPandas()
         .set_index("vec_id")["cell"]
     )
-    d2 = ((base[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    # expectation in the trainer's own exact integer metric: grid the
+    # vectors and argmin the int64 squared distance — bit-reproducible
+    # anywhere (this fixture stores float64 columns, so grid base as-is)
+    bg = np.floor(base * 1e6 + 0.5).astype(np.int64)
+    d2 = ((bg[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     expect = d2.argmin(axis=1)
     assert (got.sort_index().values == expect).all()
 
@@ -142,7 +147,7 @@ def test_ivf_index_at_rest_cold_session_probe(vectors, tmp_path):
 
     df, base = vectors
     path = str(tmp_path / "ivf")
-    cents = S.write_ivf_index(df, path, nlist=4, seed=42)
+    cents = S.write_ivf_index(df, path, nlist=4)
     spark = df.sparkSession
     stored = (
         spark.read.parquet(f"{path}_centroids").orderBy("cell").toPandas()
@@ -167,19 +172,13 @@ def test_ivf_index_at_rest_cold_session_probe(vectors, tmp_path):
     assert abs(hits.iloc[0]["cos"] - 1.0) < 1e-6
 
 
-def test_ann_certification_columns_are_truthful(spark):
-    """q32/q37's self-certification contract: `in_audited_topk` must agree
-    with an independently recomputed exact top-k of the audit pool (the
-    deterministic hash-sample UNION the ANN's own candidates), and
-    `audited_recall_at_k` must equal the mean of the flags — the rows the
-    driver records must not be able to overstate their own quality. Also
-    pins the estimator's one-sided guarantee: any TRUE top-k member the
-    ANN returned is always flagged 1 (its challengers can only displace
-    non-members)."""
+def test_ann_queries_match_bruteforce_on_fixture(spark):
+    """q32/q37/q80 are oracle-backed since r10 (the DuckDB oracle replays
+    buckets / trainer / rerank exactly — tests/test_oracle_differential
+    covers the differential); this pins the QUALITY floor the oracles
+    don't: at sf0.001's corpus the probe parameters must recover most of
+    the true top-5, always including the query's own row at cos ~1."""
     import __spark_entry__ as m
-    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
-        sample_predicate,
-    )
 
     sf_dir = "/root/testdata/sf0.001"
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -190,41 +189,70 @@ def test_ann_certification_columns_are_truthful(spark):
         .collect()
     ]
     true_exact = {r["vec_id"] for r in S.cosine_topk(e, qvec, k=5).collect()}
-    for name in ("q32_lsh_ann", "q37_ivf_ann"):
+    # floors calibrated to the fixture's near-uniform embeddings (ANN's
+    # hardest case): the 3-table hamming<=2 LSH probe scans ~40% of the
+    # corpus; IVF probes nprobe/nlist = 4/16 of data-adapted cells, which
+    # on UNIFORM data approaches the 25% random baseline (plus the
+    # guaranteed self-cell hit) — clustered corpora, not this fixture,
+    # are where IVF's data adaptation pays.
+    for name, floor in (
+        ("q32_lsh_ann", 3),
+        ("q37_ivf_ann", 2),
+        ("q80_ivf_sq8_ann", 2),
+    ):
         rows = m.queries()[name](spark, sf_dir).collect()
-        assert len(rows) == 5
+        assert len(rows) == 5, name
         ids = [r["vec_id"] for r in rows]
-        pool = e.where(
-            sample_predicate(F.col("vec_id"), 0.25, "anncert")
-            | F.col("vec_id").isin(ids)
-        )
-        audited = {r["vec_id"] for r in S.cosine_topk(pool, qvec, k=5).collect()}
-        flags = [r["in_audited_topk"] for r in rows]
-        assert flags == [int(r["vec_id"] in audited) for r in rows]
-        assert all(
-            abs(r["audited_recall_at_k"] - sum(flags) / 5.0) < 1e-9 for r in rows
-        )
-        for r in rows:
-            if r["vec_id"] in true_exact:
-                assert r["in_audited_topk"] == 1
+        assert ids[0] == 0, name  # the query row itself ranks first
+        assert rows[0]["cos"] >= 0.999, name
+        assert len(set(ids) & true_exact) >= floor, (name, ids, true_exact)
+        cos = [r["cos"] for r in rows]
+        assert all(a >= b for a, b in zip(cos, cos[1:])), name
 
 
-def test_ann_certification_exact_side_is_sampled(spark):
-    """The 100 TB-shape gate for the ANN family (VERDICT r5 item 7): the
-    certification side of the registered q32 plan must scan the corpus
-    through the hash-sample predicate (the salted md5 literal is visible
-    in the plan), never as an unfiltered brute-force sweep."""
-    import io
-    import contextlib
+def test_ivf_trainer_is_integer_exact_and_deterministic(vectors):
+    """The r10 auditable-trainer contract (what the q37/q80 oracle CTE
+    ladder stands on): centroids are int64 grid vectors, retraining is
+    bit-identical, and one hand-rolled pure-Python replay of the md5
+    sample + hash init + gridded Lloyd rounds reproduces them exactly."""
+    import hashlib
+    import math
 
-    import __spark_entry__ as m
+    df, _ = vectors
+    c1 = S.train_ivf_centroids(df, nlist=4)
+    c2 = S.train_ivf_centroids(df, nlist=4)
+    assert (c1 == c2).all()
 
-    df = m.queries()["q32_lsh_ann"](spark, "/root/testdata/sf0.001")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
-    assert "anncert" in plan, "exact side lost its hash-sample predicate"
+    rows = df.select("vec_id", "embedding").collect()
+    ordered = sorted(
+        rows,
+        key=lambda r: (
+            hashlib.md5(f"ivf:{r['vec_id']}".encode()).hexdigest(),
+            r["vec_id"],
+        ),
+    )
+    samp = [
+        [math.floor(float(x) * 1e6 + 0.5) for x in r["embedding"]]
+        for r in ordered
+    ]
+    cents = [list(v) for v in samp[:4]]
+    for _ in range(2):
+        assign = []
+        for v in samp:
+            scores = [
+                sum(c * c for c in cent) - 2 * sum(a * b for a, b in zip(v, cent))
+                for cent in cents
+            ]
+            assign.append(scores.index(min(scores)))
+        for c in range(4):
+            members = [v for v, a in zip(samp, assign) if a == c]
+            if members:
+                n = len(members)
+                cents[c] = [
+                    (2 * sum(col) + n) // (2 * n)
+                    for col in zip(*members)
+                ]
+    assert [[int(x) for x in row] for row in c1] == cents
 
 
 def test_ivf_quantized_index_probe_matches_float_path(vectors, tmp_path):
@@ -235,8 +263,8 @@ def test_ivf_quantized_index_probe_matches_float_path(vectors, tmp_path):
     spark = df.sparkSession
     fpath = str(tmp_path / "ivf_f")
     qpath = str(tmp_path / "ivf_q")
-    S.write_ivf_index(df, fpath, nlist=4, seed=42)
-    S.write_ivf_index(df, qpath, nlist=4, seed=42, quantize=True)
+    S.write_ivf_index(df, fpath, nlist=4)
+    S.write_ivf_index(df, qpath, nlist=4, quantize=True)
 
     stored = spark.read.parquet(qpath)
     dtypes = dict(stored.dtypes)
@@ -332,40 +360,3 @@ def test_knn_join_lsh_recall_floor_and_no_dupes(vectors):
     from collections import Counter
 
     assert max(Counter(q for q, _ in pairs).values()) <= 3
-
-
-def test_q88_certification_is_sampled(spark):
-    """The registered q88 certifies recall on a deterministic hash-sampled
-    query subset (VERDICT r4 item 3): sampled queries carry non-null
-    in_exact_topk / recall_at_k from the O(sample x |R|) exact kernel,
-    unsampled queries carry nulls, and the sampled set is exactly the
-    sample_predicate set — so the registered plan has no full-width
-    |L| x |R| stage (the full-exact differential lives in
-    test_knn_join_lsh_recall_floor_and_no_dupes above)."""
-    import __spark_entry__ as entry_mod
-    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
-        sample_threshold,
-    )
-    import hashlib
-
-    rows = entry_mod.queries()["q88_knn_join_lsh"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
-    assert rows
-    thr = sample_threshold(0.25)
-    want_cert = {
-        r["qid"]
-        for r in rows
-        if hashlib.md5(f"{r['qid']}q88cert".encode()).hexdigest()[:4] < thr
-    }
-    got_cert = {r["qid"] for r in rows if r["in_exact_topk"] is not None}
-    got_null = {r["qid"] for r in rows if r["in_exact_topk"] is None}
-    assert got_cert == want_cert
-    assert got_cert.isdisjoint(got_null)
-    # Certified queries: recall is the mean of their in_exact_topk flags;
-    # uncertified queries carry null recall.
-    for r in rows:
-        if r["in_exact_topk"] is None:
-            assert r["recall_at_k"] is None
-        else:
-            assert r["recall_at_k"] is not None

@@ -32,6 +32,11 @@ DUCKDB_ONLY = {
     "q49_sequence_pack",     # duckdb string_split_regex (same token idiom)
     "q30_quality_buckets",   # duckdb string_split_regex/list_*
     "q31_embedding_neardup", # duckdb list_* vector arithmetic
+    "q32_lsh_ann",           # duckdb list_dot_product/bit_count LSH replay
+    "q37_ivf_ann",           # duckdb unrolled-CTE IVF trainer replay
+    "q80_ivf_sq8_ann",       # same + quantize/dequantize list arithmetic
+    "q88_knn_join_lsh",      # duckdb list_* bucket replay + popcount join
+    "q141_substring_dedup",  # duckdb list slicing + generate_series windows
     "q50_doc_chunks",        # duckdb list slicing + lateral generate_series
     "q51_pii_scan",          # duckdb regexp_extract_all/len + 'g' flag
     "q52_decontaminate",     # duckdb string_split_regex/list_transform
