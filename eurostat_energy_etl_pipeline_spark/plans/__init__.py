@@ -34,6 +34,42 @@ def clear_plan_cache() -> None:
     _PLAN_CACHE.clear()
 
 
+# Persisted-intermediate registry (VERDICT r9 item 4): plans that persist
+# a shared subtree register the handle under the query being built, so the
+# harness (bench.py between measurements, tests) can return the session's
+# cached-block footprint to baseline instead of accumulating dozens of
+# pinned RDDs across a 163-query run. graph.py's iterative pins manage
+# their own lifetime internally and don't use this.
+_PINNED: dict[str, list[DataFrame]] = {}
+_BUILDING: list[str] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() + register the handle for :func:`release_pins`. Use for
+    an expensive subtree referenced more than once in the SAME returned
+    plan; the pin stays alive while the query is measured and is released
+    by the harness afterwards (re-executing the memoized plan after a
+    release is still correct — just recomputes the subtree)."""
+    name = _BUILDING[-1] if _BUILDING else "__anon__"
+    _PINNED.setdefault(name, []).append(df.persist())
+    return df
+
+
+def release_pins(name: str | None = None) -> int:
+    """Unpersist every handle pinned by `name` (or by all queries when
+    None). Returns the number of handles released."""
+    names = [name] if name is not None else list(_PINNED)
+    n = 0
+    for q in names:
+        for df in _PINNED.pop(q, []):
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass
+    return n
+
+
 def query(name: str, oracle: str | None = None):
     """Register a declared query (and optionally its DuckDB oracle SQL).
     The registered callable is plan-memoized; the undecorated function is
@@ -44,7 +80,11 @@ def query(name: str, oracle: str | None = None):
             key = (spark.sparkContext.applicationId, sf_dir, name)
             df = _PLAN_CACHE.get(key)
             if df is None:
-                df = fn(spark, sf_dir)
+                _BUILDING.append(name)
+                try:
+                    df = fn(spark, sf_dir)
+                finally:
+                    _BUILDING.pop()
                 _PLAN_CACHE[key] = df
             return df
 

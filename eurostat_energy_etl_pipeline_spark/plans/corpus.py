@@ -27,7 +27,7 @@ from eurostat_energy_etl_pipeline_spark.operators.dedup import (
 )
 from eurostat_energy_etl_pipeline_spark.operators.ranking import global_ntile
 from eurostat_energy_etl_pipeline_spark.operators.similarity import label_cohesion
-from eurostat_energy_etl_pipeline_spark.plans import query
+from eurostat_energy_etl_pipeline_spark.plans import pin, query
 
 
 @query(
@@ -2615,7 +2615,7 @@ def q122(spark, sf_dir):
             "tk"
         )
     )
-    tok = tok.persist()
+    tok = pin(tok)  # shared by the unigram and bigram branches
     bigrams = tok.select(
         F.explode(
             F.when(F.size("tk") < 2, F.array().cast("array<string>")).otherwise(
@@ -2808,7 +2808,7 @@ def q128(spark, sf_dir):
             ).alias("tk"),
         )
         .distinct()
-        .persist()
+        .transform(pin)  # shared by both halves' KMV sketch builds
     )
     h = tok.select(
         "half",
@@ -2823,7 +2823,7 @@ def q128(spark, sf_dir):
         .distinct()
         .orderBy("hv")
         .limit(_KMV_K)
-        .persist()
+        .transform(pin)  # probed three times (k_eff/kth, ka, kb)
     )
     ua = u.agg(F.count(F.lit(1)).alias("k_eff"), F.max("hv").alias("kth"))
     ki = (
@@ -3036,7 +3036,7 @@ def q136(spark, sf_dir):
             ).alias("tk")
         )
         .distinct()
-        .persist()
+        .transform(pin)  # shared by the sketch and the exact side
     )
     h = tok.select(
         F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10)
@@ -3098,8 +3098,22 @@ def q136(spark, sf_dir):
     WITH rh AS (
       SELECT source,
              ('0x' || substr(md5(
-                 CAST(doc_id AS STRING) || '|' || text || '|' ||
-                 lang || '|' || source || '|' || CAST(n_chars AS STRING)
+                 (CASE WHEN doc_id IS NULL THEN '~N'
+                       ELSE CAST(length(CAST(doc_id AS STRING)) AS STRING)
+                            || ':' || CAST(doc_id AS STRING) END)
+                 || '|' ||
+                 (CASE WHEN text IS NULL THEN '~N'
+                       ELSE CAST(length(text) AS STRING) || ':' || text END)
+                 || '|' ||
+                 (CASE WHEN lang IS NULL THEN '~N'
+                       ELSE CAST(length(lang) AS STRING) || ':' || lang END)
+                 || '|' ||
+                 (CASE WHEN source IS NULL THEN '~N'
+                       ELSE CAST(length(source) AS STRING) || ':' || source END)
+                 || '|' ||
+                 (CASE WHEN n_chars IS NULL THEN '~N'
+                       ELSE CAST(length(CAST(n_chars AS STRING)) AS STRING)
+                            || ':' || CAST(n_chars AS STRING) END)
              ), 1, 15))::BIGINT AS h
       FROM documents
     )
@@ -3120,20 +3134,36 @@ def q139(spark, sf_dir):
 
     Scale shape: one map-side-combinable aggregate over the scan — the
     hash never shuffles row content, only (source, partial-sum) state.
-    Exactness: the portable 60-bit md5-prefix hash over an explicit
+    Exactness: the portable 60-bit md5-prefix hash over an INJECTIVE
     '|'-delimited rendering of int/string columns only (doubles are
     excluded from the canonical form by design — their cross-engine
-    rendering is the one thing that can't be pinned); sums fold as
-    DECIMAL(38,0) and are compared as strings so no engine's integer
-    width matters."""
+    rendering is the one thing that can't be pinned): every field is
+    length-prefixed and NULL renders as an explicit '~N' sentinel in
+    BOTH engines, so a '|' inside text cannot realign fields and a NULL
+    cannot silently drop one (the r9 ADVICE aliasing classes); sums
+    fold as DECIMAL(38,0) and are compared as strings so no engine's
+    integer width matters."""
     docs = load_tables(spark, sf_dir)["documents"]
+
+    def field(c):
+        # injective field rendering (r9 ADVICE): NULL gets an explicit
+        # sentinel (concat_ws would silently SKIP it, aliasing
+        # (a,NULL,b) with (a,b,NULL)); non-null values are
+        # length-prefixed so a '|' inside text can never realign field
+        # boundaries. '~N' cannot collide with a real field — real
+        # fields always render as <digits>:<value>.
+        st = c.cast("string")
+        return F.when(st.isNull(), F.lit("~N")).otherwise(
+            F.concat(F.length(st).cast("string"), F.lit(":"), st)
+        )
+
     canon = F.concat_ws(
         "|",
-        F.col("doc_id").cast("string"),
-        F.col("text"),
-        F.col("lang"),
-        F.col("source"),
-        F.col("n_chars").cast("string"),
+        field(F.col("doc_id")),
+        field(F.col("text")),
+        field(F.col("lang")),
+        field(F.col("source")),
+        field(F.col("n_chars")),
     )
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     return (
@@ -3148,3 +3178,76 @@ def q139(spark, sf_dir):
         )
         .transform(presentation_sort, "source")
     )
+
+
+@query(
+    "q141_substring_dedup",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(len(tk) - 7 AS BIGINT) AS n_grams, pos,
+             substr(md5(array_to_string(tk[pos:pos+7], ' ')), 1, 15) AS gh
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - 7)) AS pos
+            FROM tok WHERE len(tk) >= 8)
+    ),
+    d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    dp AS (SELECT g.doc_id, g.n_grams, g.pos FROM g JOIN d USING (gh)),
+    brk AS (
+      SELECT doc_id, n_grams, pos,
+             CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS brk
+      FROM dp
+    ),
+    isl AS (
+      SELECT doc_id, n_grams, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, n_grams, island, count(*) AS npos,
+             max(pos) + 7 - min(pos) + 1 AS covered
+      FROM isl GROUP BY doc_id, n_grams, island
+    )
+    SELECT doc_id, n_grams,
+           CAST(sum(npos) AS BIGINT) AS dup_grams,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(covered) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id, n_grams ORDER BY doc_id
+    """,
+)
+def q141(spark, sf_dir):
+    """Exact SUBSTRING-level dedup (the suffix-array family, Lee et al.
+    2022; `operators/substrings.duplicated_span_profile`) — the one
+    dedup grain the document-level family (q19/q25/q26/q97/q107/q114/
+    q132) cannot see: a verbatim k-token span pasted into two otherwise-
+    distinct documents. Per document: repeated-gram positions, maximal
+    covered spans, and the token count a span-level dedup pass would
+    remove. k=8 whitespace tokens on these short synthetic fixtures
+    (Lee et al. use 50 BPE tokens; the operator takes k).
+
+    Scale shape (never a driver suffix array): grams are hashed
+    scan-side to 60-bit md5 prefixes, so the one content-keyed exchange
+    carries 15-byte keys; the repeated-hash aggregate and the
+    position-stream join consume the SAME exchange (ReusedExchange);
+    run detection is a per-document gaps-and-islands window — integer
+    arithmetic end to end, replayed exactly by the DuckDB oracle.
+    Corpus-grain output ships unsorted (the q33 contract); the oracle's
+    ORDER BY is presentation only."""
+    from eurostat_energy_etl_pipeline_spark.operators.substrings import (
+        duplicated_span_profile,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return duplicated_span_profile(widen_if_narrow(docs), k=8, min_count=2)

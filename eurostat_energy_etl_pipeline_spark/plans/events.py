@@ -17,7 +17,7 @@ from eurostat_energy_etl_pipeline_spark.functions import (
     portable_round,
     presentation_sort,
 )
-from eurostat_energy_etl_pipeline_spark.plans import query
+from eurostat_energy_etl_pipeline_spark.plans import pin, query
 
 SESSION_GAP_S = 1800.0  # 30-minute inactivity gap
 
@@ -1364,9 +1364,13 @@ def stream_enrich(spark, sf_dir):
             F.col("c_mktsegment").alias("segment"),
         )
     )
+    # INNER join, matching the oracle exactly: a matched customer whose
+    # c_mktsegment is NULL belongs in the NULL-segment group, which the
+    # old left-join + segment-isNotNull filter would have dropped
+    # (r9 ADVICE).
     enriched = enrich_stream(
-        read_events_stream(spark, sf_dir), dim, on="user_id"
-    ).where(F.col("segment").isNotNull())
+        read_events_stream(spark, sf_dir), dim, on="user_id", how="inner"
+    )
     agg = enriched.groupBy("segment", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
@@ -1720,7 +1724,7 @@ def q140_chi_square(spark, sf_dir):
     o = (
         j.groupBy("event_type", "segment")
         .agg(F.count(F.lit(1)).cast("double").alias("obs"))
-        .persist()
+        .transform(pin)  # shared by row/col/grand totals + the chi2 join
     )
     rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
     ct = o.groupBy("segment").agg(F.sum("obs").alias("c"))

@@ -25,7 +25,7 @@ from eurostat_energy_etl_pipeline_spark.functions import (
     portable_round,
     presentation_sort,
 )
-from eurostat_energy_etl_pipeline_spark.plans import query
+from eurostat_energy_etl_pipeline_spark.plans import pin, query
 
 
 # --- projections / filters -------------------------------------------------
@@ -761,7 +761,7 @@ def q86(spark, sf_dir):
     skew_factor > 5 here."""
     t = load_tables(spark, sf_dir)
     k = t["orders"].groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
-    k.persist()
+    pin(k)  # shared by stats + top-5; released by the harness
     stats = k.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").alias("max_n"),
@@ -1196,7 +1196,7 @@ def q133_basket_pairs(spark, sf_dir):
         )
         .groupBy("ok")
         .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
-        .persist()
+        .transform(pin)  # shared by basket count + item supports + pairs
     )
     n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_baskets"))
     ps = baskets.select(F.explode("ps").alias("pk")).groupBy("pk").agg(
@@ -1433,7 +1433,7 @@ def q138_bloom_join(spark, sf_dir):
                 == 1
             ),
         ).drop(f"w{i}", f"v{i}")
-    cand = cand.select("l_suppkey", "l_extendedprice").persist()
+    cand = pin(cand.select("l_suppkey", "l_extendedprice"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("nc"))
     n_probe = p.agg(F.count(F.lit(1)).alias("np"))
     true_m = cand.join(F.broadcast(keys), cand["l_suppkey"] == keys["s_suppkey"], "left_semi")

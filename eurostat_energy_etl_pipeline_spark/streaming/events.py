@@ -259,12 +259,22 @@ def run_to_memory(
     return q
 
 
-def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
     """Stream-static enrichment join — the standard streaming dimension
     lookup: each micro-batch joins against the (batch) dimension table,
     which Spark re-plans per batch, so a broadcast-sized dim never shuffles
-    the stream. No watermark needed (static side is unbounded-lifetime)."""
-    return events.join(F.broadcast(dim), on, "left")
+    the stream. No watermark needed (static side is unbounded-lifetime).
+    `how` picks keep-unmatched ('left', enrich-with-nulls) vs
+    drop-unmatched ('inner') — filtering a LEFT join on a looked-up
+    attribute is NOT a substitute for 'inner': a matched dim row whose
+    attribute is NULL would be dropped even though the key matched
+    (r9 ADVICE)."""
+    return events.join(F.broadcast(dim), on, how)
 
 
 def attribution_join(

@@ -152,10 +152,15 @@ def main() -> int:
     if "--only" in sys.argv:
         wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
         queries = {k: v for k, v in queries.items() if k in wanted}
+    from eurostat_energy_etl_pipeline_spark import plans as plans_mod
+
     results, n_match, n_rows_only, n_fail = {}, 0, 0, 0
     for name, fn in queries.items():
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            # one-shot harness: return the cached-block footprint to
+            # baseline after each query (the r10 pin/release contract)
+            plans_mod.release_pins(name)
             sql = oracles.get(name)
             if sql is None:
                 results[name] = {"rows": len(sdf), "oracle": None, "ok": True}

@@ -784,3 +784,38 @@ def test_q140_chi_square_reduces_to_cell_grain(spark, queries):
     plan = plan_of(queries["q140_chi_square"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pinned_intermediates_release_to_baseline(spark, queries):
+    """The r10 pin/release lifetime contract (VERDICT r9 item 4): every
+    plan that persists a shared subtree registers the handle via
+    plans.pin(), and after a query executes the harness can return the
+    session's persistent-RDD count to its pre-build baseline with
+    release_pins(name) — no cached blocks accumulate across a
+    163-query session. Exercises every pin-using query."""
+    from eurostat_energy_etl_pipeline_spark import plans as P
+
+    pin_users = [
+        "q86_join_skew_profile",
+        "q122_pmi_collocations",
+        "q128_kmv_set_ops",
+        "q133_basket_pairs",
+        "q136_hll_audit",
+        "q138_bloom_join",
+        "q140_chi_square",
+    ]
+    sc = spark.sparkContext
+    for name in pin_users:
+        P.release_pins(name)  # in case an earlier test built this plan
+        P.clear_plan_cache()
+        base = len(sc._jsc.getPersistentRDDs())
+        df = queries[name](spark, SF_DIR)  # build registers the pins
+        df.write.format("noop").mode("overwrite").save()
+        assert len(sc._jsc.getPersistentRDDs()) > base, (
+            f"{name}: expected pin() to register persisted blocks"
+        )
+        released = P.release_pins(name)
+        assert released >= 1, name
+        assert len(sc._jsc.getPersistentRDDs()) == base, (
+            f"{name}: persistent RDDs did not return to baseline"
+        )

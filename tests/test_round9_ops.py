@@ -235,3 +235,45 @@ def test_weighted_quantiles_match_pure_python(spark):
 
     assert row["wmedian"] == quantile(1, 2)
     assert row["wp90"] == quantile(9, 10)
+
+
+def test_q139_canonical_rendering_is_injective(spark, tmp_path):
+    """The r10 fix for the r9 ADVICE aliasing classes: a '|' inside text
+    must not realign field boundaries, and a NULL must not silently drop
+    a field (concat_ws skips NULLs). Two crafted row pairs that alias
+    under the old rendering must checksum differently now, and both rows
+    of each pair must still count."""
+    from eurostat_energy_etl_pipeline_spark.plans.corpus import q139
+
+    rows = [
+        # old aliasing class 1: '|' migrates between adjacent fields
+        (1, "a|b", "c", "s1", 3),
+        (2, "a", "b|c", "s1", 3),
+        # old aliasing class 2: NULL skipped by concat_ws shifts fields
+        (3, None, "xx", "s2", 7),
+        (4, "xx", None, "s2", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["source"]: r
+        for r in q139(spark, str(tmp_path)).collect()
+    }
+    assert out["s1"]["n_rows"] == 2 and out["s2"]["n_rows"] == 2
+    # injectivity: within each pair the two rows hash differently, so the
+    # per-source checksum cannot equal 2x either row's hash; cheapest
+    # observable proof — recompute each single row's checksum alone.
+    import hashlib
+
+    def h(doc_id, text, lang, source, n_chars):
+        def f(v):
+            return "~N" if v is None else f"{len(str(v))}:{v}"
+        canon = "|".join([f(doc_id), f(text), f(lang), f(source), f(n_chars)])
+        return int(hashlib.md5(canon.encode()).hexdigest()[:15], 16)
+
+    assert int(out["s1"]["checksum"]) == h(*rows[0]) + h(*rows[1])
+    assert int(out["s2"]["checksum"]) == h(*rows[2]) + h(*rows[3])
+    assert h(*rows[0]) != h(*rows[1])
+    assert h(*rows[2]) != h(*rows[3])

@@ -107,6 +107,37 @@ def test_enrich_stream_static_join(spark, stream, sf_dir):
         q.stop()
 
 
+def test_enrich_stream_inner_keeps_null_attribute_matches(spark, stream, sf_dir):
+    """how='inner' (the r10 q_stream_enrich semantics) keys the drop on
+    JOIN-KEY presence, not on a looked-up attribute: a matched dim row
+    whose attribute is NULL must be KEPT (in its own NULL group) — the
+    r9 ADVICE divergence class the old left-join + isNotNull filter had."""
+    from pyspark.sql import functions as F
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import enrich_stream
+
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("segment_"), (F.col("id") % 3))
+        ).alias("segment"),
+    )
+    q = run_to_memory(
+        enrich_stream(stream, dim, how="inner"), "t_enriched_inner", "append"
+    )
+    try:
+        got = spark.table("t_enriched_inner")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        assert got.count() == events.where(F.col("user_id") < 50).count()
+        null_seg = got.where(F.col("segment").isNull()).count()
+        want_null = events.where(
+            (F.col("user_id") < 50) & (F.col("user_id") % 5 == 0)
+        ).count()
+        assert null_seg == want_null and want_null > 0
+    finally:
+        q.stop()
+
+
 def test_attribution_join_matches_batch(spark, sf_dir, stream):
     from eurostat_energy_etl_pipeline_spark.streaming.events import attribution_join
 
