@@ -149,3 +149,235 @@ def duplicated_span_profile(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("covered").cast("long").alias("dup_tokens"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): hash every k-token gram, then in every window
+    of `w` consecutive gram positions select the minimum hash (position
+    as tiebreak). The selected set is the document's fingerprint sketch:
+    any shared substring of length >= k + w - 1 tokens is GUARANTEED to
+    contribute at least one common selected fingerprint (winnowing's
+    correctness theorem), at an expected density of only 2/(w+1) of the
+    gram stream — which is the scale point: the cross-document exchange
+    ships the SELECTED 15-byte hashes, ~one third of the grams at w=4,
+    never the text.
+
+    Returns (doc_id, gh, pos) — the distinct selected fingerprints per
+    document. Docs shorter than k + w - 1 tokens have no full window and
+    are absent. The min key is `gh || ':' || lpad(pos)` so the
+    (hash, position) tiebreak is one portable lexicographic comparison
+    in any engine."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(whitespace_tokens(F.col(text_col)), lambda x: x != "").alias(
+            "tk"
+        ),
+    ).where(F.size("tk") >= k + w - 1)
+    g = tok.select(
+        "doc_id",
+        (F.size("tk") - F.lit(k - 1)).alias("n_grams"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("tk") - F.lit(k - 1))
+        ).alias("pos"),
+        "tk",
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        F.concat(
+            F.substring(
+                F.md5(
+                    F.array_join(F.slice(F.col("tk"), F.col("pos"), k), " ")
+                ),
+                1,
+                15,
+            ),
+            F.lit(":"),
+            F.lpad(F.col("pos").cast("string"), 6, "0"),
+        ).alias("key"),
+    )
+    fwd = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = (
+        g.select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            F.min("key").over(fwd).alias("sel_key"),
+        )
+        .where(F.col("pos") <= F.col("n_grams") - F.lit(w - 1))
+        .select(
+            "doc_id",
+            F.substring("sel_key", 1, 15).alias("gh"),
+            F.substring("sel_key", 17, 6).cast("int").alias("pos"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def repetition_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_k: int = 5,
+) -> DataFrame:
+    """WITHIN-document repetition metrics — the Gopher / MassiveText
+    repetition quality rules (Rae et al. 2021, token-level variant):
+
+    - top2_frac / top3_frac: tokens attributable to occurrences of the
+      document's most frequent 2-gram / 3-gram (count x n / n_tokens;
+      Gopher's own rule multiplies naively too, so pathological overlap
+      can exceed 1 — it is a filter signal, not a measure);
+    - dup5_frac: fraction of tokens covered by `dup_k`-grams occurring
+      >= 2 times WITHIN the document (interval-union coverage — the
+      within-doc twin of duplicated_span_profile's corpus-wide run
+      detection).
+
+    Top-gram tie-break is (count desc, gram asc) so both engines pick
+    the same gram. All fractions are ratios of exact integers, gridded
+    at 1e-6. Complements the corpus-wide q141: that finds spans repeated
+    ACROSS documents; this flags documents that repeat THEMSELVES (the
+    boilerplate/keyword-stuffing failure mode the MassiveText rules
+    exist for).
+
+    Scale shape: everything is (doc, gram)-keyed — shuffle cardinality
+    is the per-document gram-type count, and no key is corpus-global, so
+    there is no hot key by construction; the three metrics then reduce
+    to doc grain before the final join of three doc-grain tables."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(whitespace_tokens(F.col(text_col)), lambda x: x != "").alias(
+            "tk"
+        ),
+    ).where(F.size("tk") >= dup_k)
+    tok = tok.select("doc_id", "tk", F.size("tk").alias("n_tokens"))
+
+    def gram_positions(n: int):
+        return tok.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(n - 1))
+            ).alias("pos"),
+            "tk",
+        ).select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            F.array_join(F.slice(F.col("tk"), F.col("pos"), n), " ").alias(
+                "gram"
+            ),
+        )
+
+    def top_frac(n: int, out: str):
+        counts = (
+            gram_positions(n)
+            .groupBy("doc_id", "n_tokens", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("cnt"), F.asc("gram")
+        )
+        return (
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(
+                "doc_id",
+                (
+                    F.floor(
+                        F.col("cnt").cast("double")
+                        * n
+                        / F.col("n_tokens").cast("double")
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                ).alias(out),
+            )
+        )
+
+    g5 = gram_positions(dup_k)
+    within_cnt = F.count(F.lit(1)).over(Window.partitionBy("doc_id", "gram"))
+    dp = (
+        g5.withColumn("cnt", within_cnt)
+        .where(F.col("cnt") >= 2)
+        .select("doc_id", "n_tokens", "pos")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + F.lit(dup_k - 1)).over(w_prev)
+    brk = dp.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    isl = brk.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.sum("brk").over(w_run).alias("island"),
+    )
+    cov = (
+        isl.groupBy("doc_id", "n_tokens", "island")
+        .agg(
+            (F.max("pos") + F.lit(dup_k - 1) - F.min("pos") + F.lit(1)).alias(
+                "covered"
+            )
+        )
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum("covered").alias("dup_cov"))
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    F.col("dup_cov").cast("double")
+                    / F.col("n_tokens").cast("double")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("dup5_frac"),
+        )
+    )
+    base = tok.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+    out = (
+        base.join(top_frac(2, "top2_frac"), "doc_id", "left")
+        .join(top_frac(3, "top3_frac"), "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
+            F.coalesce("dup5_frac", F.lit(0.0)).alias("dup5_frac"),
+        )
+    )
+    # MassiveText-style go/no-go flag (token-variant thresholds)
+    return out.withColumn(
+        "flagged",
+        (
+            (F.col("top2_frac") > 0.20)
+            | (F.col("top3_frac") > 0.18)
+            | (F.col("dup5_frac") > 0.30)
+        ).cast("int"),
+    )

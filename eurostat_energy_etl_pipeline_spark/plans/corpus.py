@@ -3251,3 +3251,226 @@ def q141(spark, sf_dir):
 
     docs = load_tables(spark, sf_dir)["documents"]
     return duplicated_span_profile(widen_if_narrow(docs), k=8, min_count=2)
+
+
+@query(
+    "q144_winnowing",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(tk) - 3 AS n_grams, pos,
+             substr(md5(array_to_string(tk[pos:pos+3], ' ')), 1, 15)
+               || ':' || lpad(CAST(pos AS STRING), 6, '0') AS key
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - 3)) AS pos
+            FROM tok WHERE len(tk) >= 7)
+    ),
+    m AS (
+      SELECT doc_id, n_grams, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS sel_key
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, substr(sel_key, 1, 15) AS gh,
+             CAST(substr(sel_key, 17, 6) AS INT) AS pos
+      FROM m WHERE pos <= n_grams - 3
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_fps, count(DISTINCT gh) AS n_hashes
+      FROM sel GROUP BY doc_id
+    ),
+    selg AS (SELECT DISTINCT doc_id, gh FROM sel),
+    sh AS (
+      SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS nd FROM selg
+    ),
+    per_shared AS (
+      SELECT doc_id, sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS shared_fps
+      FROM sh GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(p.n_fps AS BIGINT) AS n_fps,
+           CAST(p.n_hashes AS BIGINT) AS n_hashes,
+           CAST(s.shared_fps AS BIGINT) AS shared_fps,
+           floor(CAST(s.shared_fps AS DOUBLE) / CAST(p.n_hashes AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS shared_frac
+    FROM per_doc p JOIN per_shared s ON p.doc_id = s.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def q144(spark, sf_dir):
+    """WINNOWING fingerprint sketches (Schleimer/Wilkerson/Aiken 2003 —
+    MOSS; `operators/substrings.winnowing_fingerprints`): per document,
+    the count of selected (hash, position) fingerprints, distinct
+    hashes, and how many of those hashes are also selected by ANOTHER
+    document — the plagiarism/mirror-detection signal. Winnowing
+    guarantees any shared span of >= k + w - 1 tokens (here 7) yields a
+    common selected fingerprint while shipping only ~2/(w+1) of the
+    gram stream — the bandwidth contract that makes cross-corpus
+    fingerprint joins feasible at 100 TB (q141 finds the spans
+    exhaustively; this is the sketched tier above it).
+
+    Scale shape: selection is per-document window work (no exchange of
+    text or grams); only the selected 15-byte hashes cross the one
+    gh-keyed exchange for the sharing count. Fractions are ratios of
+    exact integers, gridded at 1e-6."""
+    from eurostat_energy_etl_pipeline_spark.operators.substrings import (
+        winnowing_fingerprints,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sel = winnowing_fingerprints(widen_if_narrow(docs), k=4, w=4)
+    per_doc = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.countDistinct("gh").cast("long").alias("n_hashes"),
+    )
+    selg = sel.select("doc_id", "gh").distinct()
+    nd = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    per_shared = (
+        selg.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("nd") >= 2).cast("int")).cast("long").alias(
+                "shared_fps"
+            )
+        )
+    )
+    return (
+        per_doc.join(per_shared, "doc_id")
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_hashes",
+            "shared_fps",
+            (
+                F.floor(
+                    F.col("shared_fps").cast("double")
+                    / F.col("n_hashes").cast("double")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("shared_frac"),
+        )
+    )
+
+
+@query(
+    "q145_repetition_filters",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS tk
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+      FROM tok WHERE len(tk) >= 5
+    ),
+    g2 AS (
+      SELECT doc_id, n_tokens,
+             array_to_string(tk[pos:pos+1], ' ') AS gram
+      FROM (SELECT doc_id, tk, n_tokens,
+                   unnest(generate_series(1, len(tk) - 1)) AS pos
+            FROM base)
+    ),
+    t2 AS (
+      SELECT doc_id,
+             floor(CAST(cnt AS DOUBLE) * 2 / CAST(n_tokens AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS top2_frac
+      FROM (SELECT doc_id, n_tokens, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY count(*) DESC, gram ASC) AS rk
+            FROM g2 GROUP BY doc_id, n_tokens, gram) WHERE rk = 1
+    ),
+    g3 AS (
+      SELECT doc_id, n_tokens,
+             array_to_string(tk[pos:pos+2], ' ') AS gram
+      FROM (SELECT doc_id, tk, n_tokens,
+                   unnest(generate_series(1, len(tk) - 2)) AS pos
+            FROM base WHERE len(tk) >= 3)
+    ),
+    t3 AS (
+      SELECT doc_id,
+             floor(CAST(cnt AS DOUBLE) * 3 / CAST(n_tokens AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS top3_frac
+      FROM (SELECT doc_id, n_tokens, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY count(*) DESC, gram ASC) AS rk
+            FROM g3 GROUP BY doc_id, n_tokens, gram) WHERE rk = 1
+    ),
+    g5 AS (
+      SELECT doc_id, n_tokens, pos,
+             array_to_string(tk[pos:pos+4], ' ') AS gram
+      FROM (SELECT doc_id, tk, n_tokens,
+                   unnest(generate_series(1, len(tk) - 4)) AS pos
+            FROM base)
+    ),
+    dp AS (
+      SELECT doc_id, n_tokens, pos,
+             count(*) OVER (PARTITION BY doc_id, gram) AS cnt
+      FROM g5
+    ),
+    brk AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR pos > max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS brk
+      FROM dp WHERE cnt >= 2
+    ),
+    isl AS (
+      SELECT doc_id, n_tokens, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM brk
+    ),
+    cov AS (
+      SELECT doc_id,
+             floor(CAST(sum(covered) AS DOUBLE) / CAST(max(n_tokens) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS dup5_frac
+      FROM (SELECT doc_id, n_tokens, island,
+                   max(pos) + 4 - min(pos) + 1 AS covered
+            FROM isl GROUP BY doc_id, n_tokens, island)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(t2.top2_frac, 0.0) AS top2_frac,
+           coalesce(t3.top3_frac, 0.0) AS top3_frac,
+           coalesce(cov.dup5_frac, 0.0) AS dup5_frac,
+           CAST(CASE WHEN coalesce(t2.top2_frac, 0.0) > 0.20
+                       OR coalesce(t3.top3_frac, 0.0) > 0.18
+                       OR coalesce(cov.dup5_frac, 0.0) > 0.30
+                     THEN 1 ELSE 0 END AS INT) AS flagged
+    FROM (SELECT doc_id, n_tokens FROM base) b
+    LEFT JOIN t2 ON b.doc_id = t2.doc_id
+    LEFT JOIN t3 ON b.doc_id = t3.doc_id
+    LEFT JOIN cov ON b.doc_id = cov.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q145(spark, sf_dir):
+    """WITHIN-document repetition quality rules — the Gopher /
+    MassiveText repetition filters (Rae et al. 2021; token-level
+    variant): per document, the token share of its most frequent 2-gram
+    and 3-gram and the share covered by internally-repeated 5-grams,
+    plus the composite go/no-go flag. The boilerplate/keyword-stuffing
+    screen every LLM curation pipeline runs; q141 finds spans repeated
+    ACROSS documents, this flags documents repeating THEMSELVES.
+    `operators/substrings.repetition_profile` — see its docstring for
+    the scale shape ((doc, gram)-keyed, no corpus-global key)."""
+    from eurostat_energy_etl_pipeline_spark.operators.substrings import (
+        repetition_profile,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return repetition_profile(widen_if_narrow(docs))

@@ -1757,3 +1757,164 @@ def q140_chi_square(spark, sf_dir):
             (F.floor(F.col("_chi2") * 1e6 + 0.5) / 1e6).alias("chi2"),
         )
     )
+
+
+@query(
+    "q142_locf_gap_fill",
+    oracle="""
+    WITH span AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, CAST(unnest(generate_series(s.d0, s.d1,
+                                       INTERVAL 1 DAY)) AS DATE) AS d
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN span s
+    ),
+    obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, max(value) AS v
+      FROM events WHERE value >= 250 GROUP BY 1, 2
+    ),
+    filled AS (
+      SELECT sp.event_type, sp.d,
+             CASE WHEN o.d IS NULL THEN 0 ELSE 1 END AS observed,
+             last_value(o.v IGNORE NULLS) OVER (
+               PARTITION BY sp.event_type ORDER BY sp.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+             last_value(o.d IGNORE NULLS) OVER (
+               PARTITION BY sp.event_type ORDER BY sp.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS od
+      FROM spine sp LEFT JOIN obs o
+        ON sp.event_type = o.event_type AND sp.d = o.d
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, observed,
+           floor(fv * 1e4 + 0.5) / 1e4 AS filled_value,
+           CAST(d - od AS BIGINT) AS gap_age_days
+    FROM filled WHERE fv IS NOT NULL
+    ORDER BY event_type, day
+    """,
+)
+def q142(spark, sf_dir):
+    """Calendar-spine GAP FILL with last-observation-carried-forward —
+    the time-series resampling primitive (sensor rollups, slowly-updated
+    reference prices, sparse metric streams): build the full
+    (event_type x day) spine from the table's own date span, left-join
+    the sparse observations (here: daily max of value >= 250 — a
+    deterministically sparse slice at every SF), and carry the last
+    observed value forward per series, reporting the fill's age so
+    consumers can bound staleness. Rows before a series' first
+    observation are dropped (LOCF has nothing to carry).
+
+    Scale shape: the spine is |types| x |days| (domain-bounded — tiny
+    relative to the event stream); the observation side reduces to the
+    same day grain BEFORE the join, so the only O(events) work is one
+    map-side-combined aggregate. The LOCF window runs over the
+    domain-bounded spine, partitioned per series. Day keys ship as
+    strings (the q_dash_dau contract); values grid at 1e-4."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("d"),
+    )
+    obs = (
+        ev.where(F.col("value") >= 250)
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.max("value").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        spine.join(F.broadcast(obs), ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.col("v").isNotNull().cast("int").alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("fv"),
+            F.last(
+                F.when(F.col("v").isNotNull(), F.col("d")), ignorenulls=True
+            )
+            .over(w)
+            .alias("od"),
+        )
+    )
+    return (
+        filled.where(F.col("fv").isNotNull())
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "observed",
+            (F.floor(F.col("fv") * 1e4 + 0.5) / 1e4).alias("filled_value"),
+            F.datediff("d", "od").cast("long").alias("gap_age_days"),
+        )
+        .transform(presentation_sort, "event_type", "day")
+    )
+
+
+@query(
+    "q143_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, count(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    r AS (SELECT src, sum(n) AS row_n FROM c GROUP BY src)
+    SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+           floor(CAST(c.n AS DOUBLE) / CAST(r.row_n AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS p
+    FROM c JOIN r ON c.src = r.src
+    ORDER BY c.src, c.dst
+    """,
+)
+def q143(spark, sf_dir):
+    """First-order MARKOV transition matrix over per-user event
+    sequences — the behavioral-model readout of a clickstream (which
+    state follows which, and with what probability). Sequence order is
+    (ts, event_id): the event-id tiebreak makes same-timestamp ordering
+    deterministic in any engine, the same contract the sessionizer uses.
+
+    Scale shape: ONE user-keyed window pass builds the (src, dst) pair
+    stream scan-side (no self-join on adjacent rows), which then
+    collapses to the |types|^2-bounded transition grain before anything
+    else happens; row normalization joins two domain-bounded tables.
+    Probabilities are ratios of exact integers, gridded at 1e-6."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    r = c.groupBy("src").agg(F.sum("n").alias("row_n"))
+    return (
+        c.join(F.broadcast(r), "src")
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            (
+                F.floor(
+                    F.col("n").cast("double")
+                    / F.col("row_n").cast("double")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("p"),
+        )
+        .transform(presentation_sort, "src", "dst")
+    )

@@ -305,19 +305,16 @@ def test_q88_lsh_knn_candidates_are_cogrouped_cells(spark, queries):
     # The scale path must NEVER plan an unconditioned pair stream for
     # candidate generation — and (round 5) must not MATERIALIZE the
     # bucketed pair stream either: both sides co-group on the (table,
-    # bucket) key and each cell is scored by one BLAS matmul that emits
-    # only per-query cell top-k, so Arrow carries each vector once per
-    # PROBE, never once per candidate pair, and the dedup exchange
-    # carries (qid, nid, cos) 24-byte rows. The exact ground-truth side
-    # the certification columns compare against is the MapInPandas BLAS
-    # kernel, SAMPLED (VERDICT r4 item 3) so certification costs
-    # O(sample x |R|) — no full-width |L| x |R| stage anywhere.
+    # bucket) key and each cell is scored by one vectorized fold kernel
+    # that emits only per-query cell top-k, so Arrow carries each vector
+    # once per PROBE, never once per candidate pair, and the dedup
+    # exchange carries (qid, nid, cos) 24-byte rows. (Since r10 the
+    # correctness side is the full DuckDB oracle — no in-plan
+    # certification stage exists anymore.)
     plan = plan_of(queries["q88_knn_join_lsh"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapCoGroupsInPandas" in plan  # the (tbl, bucket) cell kernel
-    assert "MapInPandas" in plan  # the exact certification side
-    assert "md5" in plan  # the hash-sample predicate on the exact side
     assert "WindowGroupLimit" in plan  # rerank bound pushed down
     # candidate dedup is an aggregate (map-side combinable), not a sort
     assert "HashAggregate" in plan

@@ -1,0 +1,146 @@
+"""Semantic invariants for the round-10 operators, on planted fixtures
+the driver's oracle differential doesn't independently exercise:
+LOCF fill values/ages, Markov transition normalization, winnowing's
+shared-span guarantee, and the repetition filters' exact fractions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_locf_fills_known_gaps(spark, tmp_path):
+    from eurostat_energy_etl_pipeline_spark.plans.events import q142
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, "2024-01-01 10:00:00", 1, "click", 300.0, ""),
+        (2, "2024-01-04 10:00:00", 1, "click", 280.0, ""),
+        # low-value noise fixes the global span at Jan 1-6
+        (3, "2024-01-06 10:00:00", 2, "view", 10.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in q142(spark, str(tmp_path)).collect()
+    }
+    # click observed Jan 1 (300) and Jan 4 (280); LOCF carries 300
+    # through Jan 2-3 with rising gap age, then 280 through Jan 5-6.
+    assert set(got) == {("click", f"2024-01-0{d}") for d in range(1, 7)}
+    expect = {
+        "2024-01-01": (1, 300.0, 0),
+        "2024-01-02": (0, 300.0, 1),
+        "2024-01-03": (0, 300.0, 2),
+        "2024-01-04": (1, 280.0, 0),
+        "2024-01-05": (0, 280.0, 1),
+        "2024-01-06": (0, 280.0, 2),
+    }
+    for day, (obs, val, age) in expect.items():
+        r = got[("click", day)]
+        assert (r["observed"], r["filled_value"], r["gap_age_days"]) == (
+            obs, val, age,
+        )
+    # view never crosses the threshold -> no view rows at all
+    assert not any(t == "view" for t, _ in got)
+
+
+def test_markov_rows_normalize_and_order_by_event_id(spark, tmp_path):
+    from eurostat_energy_etl_pipeline_spark.plans.events import q143
+
+    # user 1: view -> click -> purchase; user 2: view -> view.
+    # Events 10/11 share a timestamp: event_id must break the tie.
+    rows = [
+        (10, "2024-01-01 10:00:00", 1, "view", 1.0, ""),
+        (11, "2024-01-01 10:00:00", 1, "click", 1.0, ""),
+        (12, "2024-01-01 11:00:00", 1, "purchase", 1.0, ""),
+        (20, "2024-01-02 10:00:00", 2, "view", 1.0, ""),
+        (21, "2024-01-02 11:00:00", 2, "view", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {(r["src"], r["dst"]): r for r in q143(spark, str(tmp_path)).collect()}
+    assert set(got) == {
+        ("view", "click"), ("click", "purchase"), ("view", "view"),
+    }
+    assert got[("view", "click")]["n"] == 1
+    # row 'view' has two outgoing transitions -> p = 0.5 each
+    assert got[("view", "click")]["p"] == 0.5
+    assert got[("view", "view")]["p"] == 0.5
+    assert got[("click", "purchase")]["p"] == 1.0
+    # per-src probabilities sum to 1 on the 1e-6 grid
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (src, _), r in got.items():
+        sums[src] += r["p"]
+    assert all(abs(s - 1.0) < 2e-6 for s in sums.values())
+
+
+def test_winnowing_shared_span_guarantee(spark):
+    """Winnowing's theorem: two documents sharing a verbatim span of
+    >= k + w - 1 tokens share at least one selected fingerprint HASH."""
+    from eurostat_energy_etl_pipeline_spark.operators.substrings import (
+        winnowing_fingerprints,
+    )
+
+    span = "s1 s2 s3 s4 s5 s6 s7"  # exactly k + w - 1 = 7 tokens
+    rows = [
+        (1, f"a b c {span} d e f g"),
+        (2, f"zz {span} yy xx ww vv uu"),
+        (3, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sel = winnowing_fingerprints(df, k=4, w=4).collect()
+    by_doc = {}
+    for r in sel:
+        by_doc.setdefault(r["doc_id"], set()).add(r["gh"])
+    assert by_doc[1] & by_doc[2], "shared 7-token span must share a fingerprint"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # density: selected positions are a strict subset of gram positions
+    for d, (_, text) in zip((1, 2, 3), [(r[0], r[1]) for r in rows]):
+        n_grams = len(rows[d - 1][1].split()) - 3
+        n_sel = sum(1 for r in sel if r["doc_id"] == d)
+        assert 0 < n_sel < n_grams
+
+
+def test_repetition_profile_exact_fractions(spark):
+    from eurostat_energy_etl_pipeline_spark.operators.substrings import (
+        repetition_profile,
+    )
+
+    rows = [
+        # doc 1: "x y" repeated 3x -> top2 gram "x y" cnt=3 of 6 tokens
+        # -> top2_frac = 3*2/6 = 1.0; 5-gram "x y x y x" occurs at pos
+        # 1 and... tokens: x y x y x y -> 5-grams: (x y x y x),(y x y x y)
+        # each once -> dup5_frac 0.
+        (1, "x y x y x y"),
+        # doc 2: no repeated 2-gram; 8 distinct tokens
+        (2, "a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_profile(df).collect()}
+    assert got[1]["top2_frac"] == 1.0
+    assert got[1]["dup5_frac"] == 0.0
+    assert got[1]["flagged"] == 1
+    # doc 2: every 2-gram unique -> top2 = 1 occurrence * 2 / 8 = 0.25
+    assert got[2]["top2_frac"] == 0.25
+    assert got[2]["dup5_frac"] == 0.0
+    # doc with a whole-doc 5-gram repeat: 12 tokens, "p q r s t" at
+    # pos 1 and pos 7 (disjoint) -> coverage 10/12
+    df2 = spark.createDataFrame(
+        [(3, "p q r s t zz p q r s t yy")], "doc_id long, text string"
+    )
+    r3 = repetition_profile(df2).collect()[0]
+    # positions 1..6? grams of len 5 over 12 tokens -> 8 positions;
+    # repeated gram "p q r s t" at pos 1 and 7 -> covered [1,5]+[7,11]=10
+    assert r3["dup5_frac"] == round(10 / 12, 6) or abs(
+        r3["dup5_frac"] - 0.833333
+    ) < 1e-9
+    assert r3["flagged"] == 1

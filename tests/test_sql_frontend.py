@@ -37,6 +37,9 @@ DUCKDB_ONLY = {
     "q80_ivf_sq8_ann",       # same + quantize/dequantize list arithmetic
     "q88_knn_join_lsh",      # duckdb list_* bucket replay + popcount join
     "q141_substring_dedup",  # duckdb list slicing + generate_series windows
+    "q142_locf_gap_fill",    # duckdb generate_series date spine + IGNORE NULLS
+    "q144_winnowing",        # duckdb list slicing + generate_series windows
+    "q145_repetition_filters",  # duckdb list slicing + generate_series
     "q50_doc_chunks",        # duckdb list slicing + lateral generate_series
     "q51_pii_scan",          # duckdb regexp_extract_all/len + 'g' flag
     "q52_decontaminate",     # duckdb string_split_regex/list_transform
