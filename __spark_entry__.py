@@ -38,6 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # tiebreak — regenerated each round by scripts in this repo's workflow.
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
+    # never driver-checked (new this round)
+    "q141_substring_dedup",
+    "q142_locf_gap_fill",
+    "q143_markov_transitions",
+    "q144_winnowing",
+    "q145_repetition_filters",
     # last driver-checked in round 4
     "q89_bpe_pair_stats",
     "q90_trailing_burst",
