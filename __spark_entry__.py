@@ -44,6 +44,9 @@ _DRIVER_CHECK_PRIORITY = [
     "q143_markov_transitions",
     "q144_winnowing",
     "q145_repetition_filters",
+    "q146_mutual_information",
+    "q148_rank_fusion",
+    "q149_new_vs_returning",
     # last driver-checked in round 4
     "q89_bpe_pair_stats",
     "q90_trailing_burst",

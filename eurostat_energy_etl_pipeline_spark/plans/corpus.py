@@ -3324,7 +3324,10 @@ def q144(spark, sf_dir):
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
-    sel = winnowing_fingerprints(widen_if_narrow(docs), k=4, w=4)
+    # the selection subtree (explode + window + distinct) feeds BOTH the
+    # per-doc rollup and the sharing count: pin it (plans.pin lifetime
+    # contract) so it executes once per measurement, not twice
+    sel = pin(winnowing_fingerprints(widen_if_narrow(docs), k=4, w=4))
     per_doc = sel.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fps"),
         F.countDistinct("gh").cast("long").alias("n_hashes"),
@@ -3474,3 +3477,188 @@ def q145(spark, sf_dir):
 
     docs = load_tables(spark, sf_dir)["documents"]
     return repetition_profile(widen_if_narrow(docs))
+
+
+@query(
+    "q146_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, count(*) AS c
+      FROM documents GROUP BY lang, source
+    ),
+    ml AS (SELECT lang, sum(c) AS cl FROM cells GROUP BY lang),
+    ms AS (SELECT source, sum(c) AS cs FROM cells GROUP BY source),
+    n AS (SELECT sum(c) AS n FROM cells),
+    hj AS (
+      SELECT CAST(sum(CAST(floor(
+               (CAST(c AS DOUBLE) / n.n) * ln(CAST(c AS DOUBLE) / n.n)
+               * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12))) AS DOUBLE) AS s
+      FROM cells CROSS JOIN n
+    ),
+    hl AS (
+      SELECT CAST(sum(CAST(floor(
+               (CAST(cl AS DOUBLE) / n.n) * ln(CAST(cl AS DOUBLE) / n.n)
+               * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12))) AS DOUBLE) AS s
+      FROM ml CROSS JOIN n
+    ),
+    hs AS (
+      SELECT CAST(sum(CAST(floor(
+               (CAST(cs AS DOUBLE) / n.n) * ln(CAST(cs AS DOUBLE) / n.n)
+               * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12))) AS DOUBLE) AS s
+      FROM ms CROSS JOIN n
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_docs,
+           floor(-hl.s * 1e6 + 0.5) / 1e6 AS h_lang,
+           floor(-hs.s * 1e6 + 0.5) / 1e6 AS h_source,
+           floor(-hj.s * 1e6 + 0.5) / 1e6 AS h_joint,
+           floor((-hl.s - hs.s + hj.s) * 1e6 + 0.5) / 1e6 AS mi,
+           floor((-hj.s + hs.s) * 1e6 + 0.5) / 1e6 AS h_lang_given_source
+    FROM n CROSS JOIN hj CROSS JOIN hl CROSS JOIN hs
+    """,
+)
+def q146(spark, sf_dir):
+    """MUTUAL INFORMATION and conditional entropy between two metadata
+    fields (lang x source) — the information-theoretic twin of q140's
+    chi-square: MI ~ 0 certifies the fields are independent (a corpus
+    whose languages are balanced across sources); high H(lang|source)
+    says source does NOT determine language. The leakage/correlation
+    audit run before stratifying a training mix on either field.
+
+    Scale shape: the fact stream collapses to (lang, source) cells in
+    one map-side-combined aggregate; marginals and entropies are
+    arithmetic over the domain-bounded cell table (|langs| x |sources|).
+    Exactness: each p*ln(p) term is computed with an identical op order
+    in both engines, gridded to 1e-12, and summed as DECIMAL
+    (order-independent — the q126 recipe); MI and H(lang|source) are
+    then derived from the three entropy sums with single IEEE ops."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    dec = "decimal(30,12)"
+    cells = (
+        widen_if_narrow(docs)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ml = cells.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = cells.groupBy("source").agg(F.sum("c").alias("cs"))
+    n = cells.agg(F.sum("c").alias("n"))
+
+    def plogp_sum(df, cnt_col):
+        p = F.col(cnt_col).cast("double") / F.col("n")
+        term = F.floor(p * F.log(p) * 1e12 + 0.5) / 1e12
+        return df.crossJoin(F.broadcast(n)).agg(
+            F.sum(term.cast(dec)).cast("double").alias("s")
+        )
+
+    hj = plogp_sum(cells, "c").select(F.col("s").alias("sj"))
+    hl = plogp_sum(ml, "cl").select(F.col("s").alias("sl"))
+    hs = plogp_sum(ms, "cs").select(F.col("s").alias("ss"))
+    g6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6
+    return (
+        n.crossJoin(F.broadcast(hj))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            g6(-F.col("sl")).alias("h_lang"),
+            g6(-F.col("ss")).alias("h_source"),
+            g6(-F.col("sj")).alias("h_joint"),
+            g6(-F.col("sl") - F.col("ss") + F.col("sj")).alias("mi"),
+            g6(-F.col("sj") + F.col("ss")).alias("h_lang_given_source"),
+        )
+    )
+
+
+@query(
+    "q148_rank_fusion",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             CASE WHEN len(text) > 0
+               THEN CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                    / len(text) ELSE 0.0 END AS pr,
+             CASE WHEN trim(text) = '' THEN 0.0
+               ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> list_contains(['the','and','of','is','to','in','that','with',
+                                        'a','an','for','on','as','are','it'], t))) AS DOUBLE)
+                    / len(string_split_regex(trim(lower(text)), '\\s+')) END AS sr,
+             CAST(len(text) AS DOUBLE) AS n,
+             n_chars
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_chars,
+             CAST(floor((least(n / 500.0, 1.0) * 0.5
+                         + least(sr * 4.0, 1.0) * 0.3
+                         + (1.0 - least(pr * 5.0, 1.0)) * 0.2) * 1e12 + 0.5)
+                  AS BIGINT) AS qg
+      FROM q
+    ),
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY qg DESC, doc_id) AS rank_quality,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_length
+      FROM s
+    )
+    SELECT doc_id, CAST(rank_quality AS BIGINT) AS rank_quality,
+           CAST(rank_length AS BIGINT) AS rank_length,
+           floor((1.0 / (60 + rank_quality) + 1.0 / (60 + rank_length))
+                 * 1e9 + 0.5) / 1e9 AS rrf
+    FROM r
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q148(spark, sf_dir):
+    """Reciprocal-rank FUSION (Cormack et al. 2009, k=60) of two
+    independent document rankings — the standard way a retrieval stack
+    combines heterogeneous scorers (BM25 + embedding + freshness)
+    without calibrating their score scales: rrf = sum 1/(k + rank_i).
+    Here the two deterministic signals are the q30 quality score and
+    document length; top-20 fused.
+
+    Scale shape: each global ranking uses the distributed ranking kernel
+    (`operators/ranking.global_row_number`: range partitioning +
+    per-partition offsets — never a SinglePartition window); the fusion
+    is a doc-keyed join of two (doc_id, rank) columns and the top-20 is
+    TakeOrderedAndProject. Exactness: scores are 1e-12-gridded integers
+    BEFORE ranking (a raw-double sort key would hang rank identity on
+    the last ulp), and the two reciprocal terms are added in a fixed
+    order then 1e-9-gridded."""
+    from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+        global_row_number,
+    )
+    from eurostat_energy_etl_pipeline_spark.operators.text import (
+        quality_score,
+    )
+
+    docs = widen_if_narrow(load_tables(spark, sf_dir)["documents"])
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        (-F.floor(quality_score(F.col("text")) * 1e12 + 0.5))
+        .cast("long")
+        .alias("neg_qg"),
+        (-F.col("n_chars")).cast("long").alias("neg_len"),
+    )
+    ra = global_row_number(s, ["neg_qg", "doc_id"], "rank_quality").select(
+        "doc_id", "rank_quality"
+    )
+    rb = global_row_number(
+        s.select("doc_id", "neg_len"), ["neg_len", "doc_id"], "rank_length"
+    ).select("doc_id", "rank_length")
+    fused = ra.join(rb, "doc_id").select(
+        "doc_id",
+        F.col("rank_quality").cast("long").alias("rank_quality"),
+        F.col("rank_length").cast("long").alias("rank_length"),
+        (
+            F.floor(
+                (
+                    1.0 / (F.lit(60) + F.col("rank_quality"))
+                    + 1.0 / (F.lit(60) + F.col("rank_length"))
+                )
+                * 1e9
+                + 0.5
+            )
+            / 1e9
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)

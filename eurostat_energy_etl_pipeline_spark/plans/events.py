@@ -1918,3 +1918,69 @@ def q143(spark, sf_dir):
         )
         .transform(presentation_sort, "src", "dst")
     )
+
+
+@query(
+    "q149_new_vs_returning",
+    oracle="""
+    WITH fd AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_d FROM events
+      GROUP BY user_id
+    ),
+    dau AS (
+      SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    news AS (SELECT first_d AS d, count(*) AS new_users FROM fd GROUP BY 1)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(coalesce(news.new_users, 0) AS BIGINT) AS new_users,
+           CAST(dau.dau - coalesce(news.new_users, 0) AS BIGINT)
+             AS returning_users,
+           CAST(sum(coalesce(news.new_users, 0)) OVER (ORDER BY dau.d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM dau LEFT JOIN news ON dau.d = news.d
+    ORDER BY day
+    """,
+)
+def q149(spark, sf_dir):
+    """NEW vs RETURNING daily active users + the cumulative
+    distinct-user growth curve — the standard product-analytics split
+    (every DAU dashboard carries it) and the discrete growth-curve
+    primitive: cum_users(d) = running sum of first-seen counts, which
+    computes cumulative COUNT(DISTINCT) without any cumulative distinct
+    state.
+
+    Scale shape: two map-side-combined aggregates over the stream (per
+    user first-day, per day distinct users) reduce everything to user
+    then day grain; the running sum is a window over the
+    domain-bounded day table (the q121 dimension-bounded-window
+    contract). Day keys ship as strings; all counts exact integers."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = F.col("ts").cast("date")
+    fd = ev.groupBy("user_id").agg(F.min(d).alias("first_d"))
+    dau = ev.groupBy(d.alias("d")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    news = fd.groupBy(F.col("first_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    joined = dau.join(F.broadcast(news), "d", "left").select(
+        "d",
+        "dau",
+        F.coalesce("new_users", F.lit(0)).alias("nu"),
+    )
+    return (
+        joined.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("nu").cast("long").alias("new_users"),
+            (F.col("dau") - F.col("nu")).cast("long").alias(
+                "returning_users"
+            ),
+            F.sum("nu").over(w).cast("long").alias("cum_users"),
+        )
+        .transform(presentation_sort, "day")
+    )

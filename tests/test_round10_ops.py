@@ -144,3 +144,85 @@ def test_repetition_profile_exact_fractions(spark):
         r3["dup5_frac"] - 0.833333
     ) < 1e-9
     assert r3["flagged"] == 1
+
+
+def test_mutual_information_identities(spark, tmp_path):
+    """MI and conditional entropy on a planted 2x2 contingency: the
+    perfectly-dependent case has MI = H(lang) and H(lang|source) = 0;
+    the independent case has MI ~ 0."""
+    import math
+
+    from eurostat_energy_etl_pipeline_spark.plans.corpus import q146
+
+    # dependent: lang determined by source (two docs each)
+    rows = [
+        (1, "t", "en", "s1", 1), (2, "t", "en", "s1", 1),
+        (3, "t", "fr", "s2", 1), (4, "t", "fr", "s2", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/dep/documents.parquet")
+    r = q146(spark, f"{tmp_path}/dep").collect()[0]
+    assert r["h_lang_given_source"] == 0.0
+    assert abs(r["mi"] - r["h_lang"]) < 2e-6
+    assert abs(r["h_lang"] - math.log(2)) < 2e-6
+    # independent: every (lang, source) cell equally likely
+    rows2 = [
+        (i, "t", lang, src, 1)
+        for i, (lang, src) in enumerate(
+            [(a, b) for a in ("en", "fr") for b in ("s1", "s2")] * 2
+        )
+    ]
+    spark.createDataFrame(
+        rows2, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/ind/documents.parquet")
+    r2 = q146(spark, f"{tmp_path}/ind").collect()[0]
+    assert abs(r2["mi"]) < 2e-6
+    assert abs(r2["h_lang_given_source"] - r2["h_lang"]) < 2e-6
+
+
+def test_rank_fusion_orders_and_bounds(spark):
+    """RRF invariants on the real fixture: 20 rows, rrf consistent with
+    the two rank columns (recomputed), monotone non-increasing, and a
+    document ranked #1 by BOTH signals would dominate."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["q148_rank_fusion"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    vals = [r["rrf"] for r in rows]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    for r in rows:
+        want = round(
+            1.0 / (60 + r["rank_quality"]) + 1.0 / (60 + r["rank_length"]), 9
+        )
+        assert abs(r["rrf"] - want) < 2e-9
+        assert r["rank_quality"] >= 1 and r["rank_length"] >= 1
+
+
+def test_new_vs_returning_accounting(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eurostat_energy_etl_pipeline_spark.plans.events import q149
+
+    rows = [
+        (1, "2024-01-01 09:00:00", 1, "view", 1.0, ""),
+        (2, "2024-01-01 10:00:00", 2, "view", 1.0, ""),
+        (3, "2024-01-02 09:00:00", 1, "click", 1.0, ""),   # returning
+        (4, "2024-01-02 10:00:00", 3, "view", 1.0, ""),    # new
+        (5, "2024-01-03 09:00:00", 1, "view", 1.0, ""),
+        (6, "2024-01-03 10:00:00", 2, "view", 1.0, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {r["day"]: r for r in q149(spark, str(tmp_path)).collect()}
+    assert (got["2024-01-01"]["new_users"], got["2024-01-01"]["returning_users"]) == (2, 0)
+    assert (got["2024-01-02"]["new_users"], got["2024-01-02"]["returning_users"]) == (1, 1)
+    assert (got["2024-01-03"]["new_users"], got["2024-01-03"]["returning_users"]) == (0, 2)
+    assert [got[d]["cum_users"] for d in sorted(got)] == [2, 3, 3]
