@@ -235,11 +235,15 @@ def q10(spark, sf_dir):
             F.sum(F.when(F.col("l_returnflag") == v, dec).otherwise(zero)).cast("double"), 4
         ).alias(f"flag_{v.lower()}")
 
+    # No final sort: supplier grain scales with the corpus (SF x 10k), so
+    # a global orderBy pays a range exchange PLUS a boundary-sampling job
+    # that re-executes the aggregate (measured 0.72 -> 0.53 s at sf0.1
+    # without it); the driver's hash canonicalizes row order and the
+    # oracle keeps ORDER BY for presentation (the q33 contract).
     return (
         t["lineitem"]
         .groupBy("l_suppkey")
         .agg(flag("A"), flag("N"), flag("R"))
-        .orderBy("l_suppkey")
     )
 
 
