@@ -47,6 +47,8 @@ _DRIVER_CHECK_PRIORITY = [
     "q146_mutual_information",
     "q148_rank_fusion",
     "q149_new_vs_returning",
+    "q150_classifier_eval",
+    "q151_ab_test",
     # last driver-checked in round 4
     "q89_bpe_pair_stats",
     "q90_trailing_burst",

@@ -1984,3 +1984,135 @@ def q149(spark, sf_dir):
         )
         .transform(presentation_sort, "day")
     )
+
+
+@query(
+    "q151_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab:' || CAST(user_id AS STRING)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS cohort,
+             max(CASE WHEN event_type = 'purchase' AND value >= 480
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN cohort = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN cohort = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN cohort = 'A' THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN cohort = 'B' THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM u
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           floor(CAST(conv_a AS DOUBLE) / n_a * 1e6 + 0.5) / 1e6 AS rate_a,
+           floor(CAST(conv_b AS DOUBLE) / n_b * 1e6 + 0.5) / 1e6 AS rate_b,
+           floor((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 * 1e6 + 0.5) / 1e6 AS diff,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN 0.0
+                ELSE floor((CAST(conv_a AS DOUBLE) / n_a
+                            - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))
+                 * 1e6 + 0.5) / 1e6 END AS z,
+           floor((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b
+                  - 1.96 * sqrt((CAST(conv_a AS DOUBLE) / n_a)
+                                * (1.0 - CAST(conv_a AS DOUBLE) / n_a) / n_a
+                                + (CAST(conv_b AS DOUBLE) / n_b)
+                                * (1.0 - CAST(conv_b AS DOUBLE) / n_b) / n_b))
+                 * 1e6 + 0.5) / 1e6 AS ci_lo,
+           floor((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b
+                  + 1.96 * sqrt((CAST(conv_a AS DOUBLE) / n_a)
+                                * (1.0 - CAST(conv_a AS DOUBLE) / n_a) / n_a
+                                + (CAST(conv_b AS DOUBLE) / n_b)
+                                * (1.0 - CAST(conv_b AS DOUBLE) / n_b) / n_b))
+                 * 1e6 + 0.5) / 1e6 AS ci_hi
+    FROM c
+    """,
+)
+def q151(spark, sf_dir):
+    """Two-proportion A/B TEST — the experimentation primitive on top of
+    the warehouse: users hash-split into deterministic cohorts (salted
+    md5 first hex digit, the library's standard sampling device), per-user
+    conversion = any 'purchase' event, then the pooled two-proportion
+    z-statistic and the 95% Wald confidence interval of the rate
+    difference. Complements q140's chi-square (which tests a full
+    contingency table); this is the 2x2 directional test with effect-size
+    CI every A/B readout reports.
+
+    Scale shape: one user-keyed map-side-combined aggregate reduces the
+    stream to user grain; everything after runs on a 1-row conditional
+    rollup. Exactness: counts are exact integers; rates, z, and CI are
+    fixed-order single IEEE ops over them, gridded at 1e-6."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cohort = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    # conversion = any HIGH-VALUE purchase (value >= 480): on the
+    # uniform-value fixture every user has SOME purchase, which would
+    # make the pooled rate 1.0 and the z-statistic 0/0
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") >= 480)
+            ).cast("int")
+        ).alias("converted")
+    ).select(cohort.alias("cohort"), "converted")
+    c = u.agg(
+        F.sum((F.col("cohort") == "A").cast("int")).cast("long").alias("n_a"),
+        F.sum((F.col("cohort") == "B").cast("int")).cast("long").alias("n_b"),
+        F.sum(
+            F.when(F.col("cohort") == "A", F.col("converted")).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(
+            F.when(F.col("cohort") == "B", F.col("converted")).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se_pooled = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    se_wald = F.sqrt(
+        ra * (F.lit(1.0) - ra) / F.col("n_a")
+        + rb * (F.lit(1.0) - rb) / F.col("n_b")
+    )
+    g6 = lambda col: F.floor(col * 1e6 + 0.5) / 1e6
+    return c.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        g6(ra).alias("rate_a"),
+        g6(rb).alias("rate_b"),
+        g6(ra - rb).alias("diff"),
+        F.when(
+            (F.col("conv_a") + F.col("conv_b") == 0)
+            | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")),
+            F.lit(0.0),
+        )
+        .otherwise(g6((ra - rb) / se_pooled))
+        .alias("z"),
+        g6(ra - rb - F.lit(1.96) * se_wald).alias("ci_lo"),
+        g6(ra - rb + F.lit(1.96) * se_wald).alias("ci_hi"),
+    )

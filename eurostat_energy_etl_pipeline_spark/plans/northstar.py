@@ -2121,3 +2121,131 @@ def q137(spark, sf_dir):
         )
         .transform(presentation_sort, "d")
     )
+
+
+@query(
+    "q150_classifier_eval",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS actual,
+{_LANG_SCORE_SQL}
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    pred AS (
+      SELECT actual, CASE
+        WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) <= 0 THEN 'und'
+        WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        ELSE 'zh' END AS predicted
+      FROM scored
+    ),
+    cells AS (SELECT actual, predicted, count(*) AS c FROM pred GROUP BY 1, 2),
+    cls AS (SELECT DISTINCT actual AS cls FROM cells),
+    m AS (
+      SELECT cls,
+             CAST(coalesce(sum(CASE WHEN actual = cls AND predicted = cls
+                                    THEN c END), 0) AS BIGINT) AS tp,
+             CAST(coalesce(sum(CASE WHEN predicted = cls AND actual <> cls
+                                    THEN c END), 0) AS BIGINT) AS fp,
+             CAST(coalesce(sum(CASE WHEN actual = cls AND predicted <> cls
+                                    THEN c END), 0) AS BIGINT) AS fn
+      FROM cls CROSS JOIN cells GROUP BY cls
+    )
+    SELECT cls, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE floor(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5) / 1e6
+           END AS precision_,
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) / 1e6
+           END AS recall_,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                ELSE floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+                           * 1e6 + 0.5) / 1e6
+           END AS f1
+    FROM m ORDER BY cls
+    """,
+)
+def q150(spark, sf_dir):
+    """CLASSIFIER EVALUATION — per-class precision / recall / F1 of the
+    deterministic marker-stopword language identifier (q28) against the
+    labeled `lang` column: the confusion-matrix rollup every model-eval
+    pipeline computes, expressed as the engine operator it is. F1 uses
+    the exact-integer identity 2tp/(2tp+fp+fn), so every metric is a
+    single division of exact counts, gridded at 1e-6.
+
+    Scale shape: prediction is scan-side arithmetic (no UDF); the stream
+    collapses to |classes|^2 confusion cells in one map-side-combined
+    aggregate; metrics are computed on the domain-bounded cell table."""
+    t = load_tables(spark, sf_dir)
+    pred = widen_if_narrow(t["documents"]).select(
+        F.col("lang").alias("actual"),
+        T.lang_id(F.col("text")).alias("predicted"),
+    )
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cls = cells.select(F.col("actual").alias("cls")).distinct()
+    m = (
+        cls.join(F.broadcast(cells))
+        .groupBy("cls")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("actual") == F.col("cls"))
+                        & (F.col("predicted") == F.col("cls")),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("predicted") == F.col("cls"))
+                        & (F.col("actual") != F.col("cls")),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("fp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("actual") == F.col("cls"))
+                        & (F.col("predicted") != F.col("cls")),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+
+    def ratio(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.floor(num.cast("double") / den * 1e6 + 0.5) / 1e6
+        )
+
+    return m.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_"),
+        ratio(
+            F.lit(2) * F.col("tp"),
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+        ).alias("f1"),
+    ).transform(presentation_sort, "cls")

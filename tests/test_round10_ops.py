@@ -226,3 +226,58 @@ def test_new_vs_returning_accounting(spark, tmp_path):
     assert (got["2024-01-02"]["new_users"], got["2024-01-02"]["returning_users"]) == (1, 1)
     assert (got["2024-01-03"]["new_users"], got["2024-01-03"]["returning_users"]) == (0, 2)
     assert [got[d]["cum_users"] for d in sorted(got)] == [2, 3, 3]
+
+
+def test_classifier_eval_exact_on_planted_labels(spark, tmp_path):
+    """Per-class precision/recall/F1 on documents whose predictions are
+    known: stopword-heavy English text predicts 'en' deterministically,
+    so mislabeling half of them 'fr' yields exact metric values."""
+    from eurostat_energy_etl_pipeline_spark.plans.northstar import q150
+
+    en = "the cat and the dog is on a mat with the hat for it"
+    rows = [
+        (1, en, "en", "s", 1), (2, en, "en", "s", 1),
+        (3, en, "fr", "s", 1),  # actual fr, predicted en -> fn for fr
+        (4, en, "fr", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["cls"]: r for r in q150(spark, str(tmp_path)).collect()}
+    assert set(got) == {"en", "fr"}
+    # en: tp=2 (both en docs predicted en), fp=2 (fr docs predicted en)
+    assert (got["en"]["tp"], got["en"]["fp"], got["en"]["fn"]) == (2, 2, 0)
+    assert got["en"]["precision_"] == 0.5
+    assert got["en"]["recall_"] == 1.0
+    assert abs(got["en"]["f1"] - round(4 / 6, 6)) < 2e-6
+    # fr: never predicted -> tp=0, fp=0, fn=2, all metrics 0
+    assert (got["fr"]["tp"], got["fr"]["fp"], got["fr"]["fn"]) == (0, 0, 2)
+    assert got["fr"]["precision_"] == 0.0 and got["fr"]["f1"] == 0.0
+
+
+def test_ab_test_statistics_are_consistent(spark):
+    """A/B readout invariants on the real fixture: cohorts partition the
+    user base, the hash split is reproducible, the CI brackets the
+    difference, and z's sign matches the difference's."""
+    import hashlib
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.01"
+    r = m.queries()["q151_ab_test"](spark, sf).collect()[0]
+    users = {
+        x["user_id"]
+        for x in spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    n_a = sum(
+        1 for u in users if hashlib.md5(f"ab:{u}".encode()).hexdigest()[0] < "8"
+    )
+    assert (r["n_a"], r["n_b"]) == (n_a, len(users) - n_a)
+    assert 0 <= r["conv_a"] <= r["n_a"] and 0 <= r["conv_b"] <= r["n_b"]
+    assert r["ci_lo"] <= r["diff"] <= r["ci_hi"]
+    if r["diff"] != 0:
+        assert (r["z"] > 0) == (r["diff"] > 0)
+    assert abs(r["diff"] - round(r["rate_a"] - r["rate_b"], 6)) < 3e-6
