@@ -49,6 +49,8 @@ _DRIVER_CHECK_PRIORITY = [
     "q149_new_vs_returning",
     "q150_classifier_eval",
     "q151_ab_test",
+    "q152_ivm_merge",
+    "q153_decayed_leaderboard",
     # last driver-checked in round 4
     "q89_bpe_pair_stats",
     "q90_trailing_burst",

@@ -2116,3 +2116,71 @@ def q151(spark, sf_dir):
         g6(ra - rb - F.lit(1.96) * se_wald).alias("ci_lo"),
         g6(ra - rb + F.lit(1.96) * se_wald).alias("ci_hi"),
     )
+
+
+@query(
+    "q153_decayed_leaderboard",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+    w AS (
+      SELECT user_id,
+             floor(value * (1.0 / CAST(1 << least(ref - CAST(ts AS DATE), 30)
+                                       AS BIGINT))
+                   * 1e9 + 0.5) / 1e9 AS term
+      FROM events CROSS JOIN mx WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(sum(CAST(term AS DECIMAL(30,9))) AS DOUBLE) AS score,
+             CAST(count(*) AS BIGINT) AS n_purchases
+      FROM w GROUP BY user_id
+    )
+    SELECT user_id, n_purchases,
+           floor(score * 1e6 + 0.5) / 1e6 AS decayed_value
+    FROM s ORDER BY decayed_value DESC, user_id LIMIT 20
+    """,
+)
+def q153(spark, sf_dir):
+    """Time-DECAYED leaderboard — recency-weighted scoring with an exact
+    half-life of one day: each purchase contributes value * 2^-age_days
+    (clamped at 30 half-lives), ranking users by decayed spend. The
+    recency-weighting primitive behind trending-content ranks and decayed
+    feature stores, with the decay anchored to the corpus's own max day
+    so the query is deterministic.
+
+    Exactness trick: with an integer day age, the weight is an exact
+    power of two, and multiplying a double by 2^-d NEVER rounds (pure
+    exponent shift) — so each term is exact in both engines regardless
+    of libm (a pow()-based decay would not be portable); terms then grid
+    at 1e-9 and sum as decimals (order-independent). Scale shape: one
+    map-side-combined user-keyed aggregate after a broadcast of the
+    1-row reference day; top-20 is TakeOrderedAndProject."""
+    ev = load_tables(spark, sf_dir)["events"]
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("ref"))
+    d = F.least(F.datediff(F.col("ref"), F.col("ts").cast("date")), F.lit(30))
+    weight = F.lit(1.0) / F.expr(
+        "cast(shiftleft(1L, cast(least(datediff(ref, cast(ts as date)), 30) as int)) as bigint)"
+    )
+    term = F.floor(F.col("value") * weight * 1e9 + 0.5) / 1e9
+    w = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .select("user_id", term.alias("term"))
+    )
+    s = w.groupBy("user_id").agg(
+        F.sum(F.col("term").cast("decimal(30,9)")).cast("double").alias(
+            "score"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+    )
+    return (
+        s.select(
+            "user_id",
+            "n_purchases",
+            (F.floor(F.col("score") * 1e6 + 0.5) / 1e6).alias(
+                "decayed_value"
+            ),
+        )
+        .orderBy(F.desc("decayed_value"), "user_id")
+        .limit(20)
+    )

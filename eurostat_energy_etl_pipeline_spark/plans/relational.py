@@ -1463,3 +1463,103 @@ def q138_bloom_join(spark, sf_dir):
             "revenue",
         )
     )
+
+
+# At-rest materialized partial-aggregate per (session, sf_dir): written
+# once by q152's first call, merged with the delta by every later call —
+# the build-once-merge-many shape of q63's dedup index applied to
+# incremental view maintenance.
+_MV_BASE: dict[tuple[str, str], str] = {}
+
+
+def _mv_base_path(spark, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    path = _MV_BASE.get(key)
+    if path is None:
+        tag = hashlib.md5(f"{app}:{sf_dir}:mv".encode()).hexdigest()[:12]
+        path = f"{tempfile.gettempdir()}/spark_graft_mv_base_{tag}"
+        t = load_tables(spark, sf_dir)
+        (
+            t["orders"]
+            .where(F.year("o_orderdate") <= 1996)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "total"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _MV_BASE[key] = path
+    return path
+
+
+@query(
+    "q152_ivm_merge",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_price
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY total DESC, o_custkey LIMIT 20
+    """,
+)
+def q152(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE — the materialized-aggregate merge
+    every warehouse / streaming engine is built on: a per-customer
+    (count, decimal-sum) partial-aggregate over the historical slice
+    (orders through 1996) is materialized AT REST once per session; the
+    query then merges only the DELTA slice (1997+) into it and derives
+    the final top-20 — never rescanning history. The oracle recomputes
+    from scratch, certifying merge(partials(base), partials(delta)) ==
+    full recompute — the algebraic mergeability (count/sum are
+    commutative monoids) that makes partial aggregation, AQE, and
+    streaming state correct.
+
+    Scale shape: history cost is paid once at MV build; steady-state
+    reads are O(delta) + O(|MV|); the merge is one custkey-keyed
+    aggregate over the union of two partial tables; top-20 is
+    TakeOrderedAndProject. Exact decimal sums; avg derived as one
+    double division."""
+    mv = _mv_base_path(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    base = spark.read.parquet(mv)
+    delta = (
+        t["orders"]
+        .where(F.year("o_orderdate") >= 1997)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total").alias("total_dec"),
+        )
+    )
+    return (
+        merged.select(
+            "o_custkey",
+            "n_orders",
+            F.round(F.col("total_dec").cast("double"), 4).alias("total"),
+            F.round(
+                F.col("total_dec").cast("double") / F.col("n_orders"), 6
+            ).alias("avg_price"),
+        )
+        .orderBy(F.desc("total"), "o_custkey")
+        .limit(20)
+    )

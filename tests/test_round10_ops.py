@@ -281,3 +281,65 @@ def test_ab_test_statistics_are_consistent(spark):
     if r["diff"] != 0:
         assert (r["z"] > 0) == (r["diff"] > 0)
     assert abs(r["diff"] - round(r["rate_a"] - r["rate_b"], 6)) < 3e-6
+
+
+def test_ivm_merge_equals_recompute_and_reuses_mv(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eurostat_energy_etl_pipeline_spark.plans.relational import (
+        _MV_BASE,
+        q152,
+    )
+
+    rows = [
+        # custkey 1: base 2 orders (100, 200), delta 1 order (50)
+        (1, 1, "F", 100.0, "1995-01-01"),
+        (2, 1, "F", 200.0, "1996-06-01"),
+        (3, 1, "F", 50.0, "1997-01-01"),
+        # custkey 2: delta-only (no base partial row exists)
+        (4, 2, "O", 400.0, "1998-01-01"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {r["o_custkey"]: r for r in q152(spark, str(tmp_path)).collect()}
+    assert got[1]["n_orders"] == 3 and got[1]["total"] == 350.0
+    assert got[2]["n_orders"] == 1 and got[2]["total"] == 400.0
+    assert got[1]["avg_price"] == round(350.0 / 3, 6)
+    # the at-rest MV was memoized for this (session, sf_dir)
+    key = (spark.sparkContext.applicationId, str(tmp_path))
+    assert key in _MV_BASE
+    import os
+
+    mtime = os.path.getmtime(_MV_BASE[key])
+    q152(spark, str(tmp_path)).collect()  # second call: merge only
+    assert os.path.getmtime(_MV_BASE[key]) == mtime  # base not rewritten
+
+
+def test_decayed_leaderboard_exact_weights(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eurostat_energy_etl_pipeline_spark.plans.events import q153
+
+    rows = [
+        # ref day = 2024-01-10 (max). user 1: purchase on ref (w=1) and
+        # ref-1 (w=0.5); user 2: one purchase 3 days old (w=0.125).
+        (1, "2024-01-10 12:00:00", 1, "purchase", 100.0, ""),
+        (2, "2024-01-09 12:00:00", 1, "purchase", 100.0, ""),
+        (3, "2024-01-07 12:00:00", 2, "purchase", 80.0, ""),
+        (4, "2024-01-10 13:00:00", 2, "view", 999.0, ""),  # not a purchase
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {r["user_id"]: r for r in q153(spark, str(tmp_path)).collect()}
+    assert got[1]["decayed_value"] == 150.0  # 100*1 + 100*0.5
+    assert got[2]["decayed_value"] == 10.0   # 80 * 2^-3
+    assert got[1]["n_purchases"] == 2 and got[2]["n_purchases"] == 1
