@@ -2184,3 +2184,82 @@ def q153(spark, sf_dir):
         .orderBy(F.desc("decayed_value"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "q_stream_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, count(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    r AS (SELECT src, sum(n) AS row_n FROM c GROUP BY src)
+    SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+           floor(CAST(c.n AS DOUBLE) / CAST(r.row_n AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS p
+    FROM c JOIN r ON c.src = r.src
+    ORDER BY c.src, c.dst
+    """,
+)
+def stream_markov(spark, sf_dir):
+    """STREAMING Markov transition maintenance — the incremental twin of
+    the q143 batch window: a custom stateful operator
+    (`streaming/events.transition_stream`, applyInPandasWithState) keeps
+    each user's LAST event as state, emits per-batch transition-count
+    deltas (batch-split-invariant by construction: sums of deltas are
+    the totals under any micro-batch boundary, and the boundary pair
+    comes from state exactly once), and the sink rollup normalizes rows.
+    The oracle is q143's batch SQL verbatim, so the driver certifies
+    incremental stateful extraction == the batch lead() window —
+    the q_stream_cms contract applied to sequence state."""
+    import re as _re
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        transition_stream,
+    )
+
+    sink = "q_stream_markov_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+    q = run_to_memory(
+        transition_stream(read_events_stream(spark, sf_dir)),
+        sink,
+        "update",
+        available_now=True,
+    )
+    q.stop()
+    c = (
+        spark.table(sink)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("n"))
+    )
+    # alias the marginal's key: both sides descend from the same memory
+    # table, so an unaliased self-join would carry conflicting attributes
+    r = c.groupBy(F.col("src").alias("src_r")).agg(
+        F.sum("n").alias("row_n")
+    )
+    return (
+        c.join(F.broadcast(r), c["src"] == F.col("src_r"))
+        .drop("src_r")
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            (
+                F.floor(
+                    F.col("n").cast("double")
+                    / F.col("row_n").cast("double")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("p"),
+        )
+        .transform(presentation_sort, "src", "dst")
+    )

@@ -425,3 +425,68 @@ def screen_stream_per_batch(
         sink(matches, batch_id)
 
     return docs_stream.writeStream.foreachBatch(run_batch).start()
+
+
+_TRANS_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+_TRANS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _update_user_transitions(key, pdfs, state: GroupState):
+    """Per-user first-order transition extraction with cross-batch state:
+    the state carries the user's LAST event (ts-micros, event_id, type),
+    so the pair spanning a micro-batch boundary is emitted exactly once.
+    Emits per-batch transition-count DELTAS — downstream sums of deltas
+    are correct under any batch split, and the memory-sink rollup never
+    needs to disambiguate cumulative snapshots."""
+    rows = [p for p in pdfs if len(p)]
+    if not rows:
+        return
+    pdf = pd.concat(rows, ignore_index=True)
+    us = pdf["ts"].astype("int64") // 1000  # ns -> us, exact ints
+    pdf = pdf.assign(_us=us).sort_values(["_us", "event_id"])
+    seq = list(pdf["event_type"])
+    if state.exists:
+        _, _, last_type = state.get
+        seq = [last_type] + seq
+    counts: dict[tuple[str, str], int] = {}
+    for a, b in zip(seq, seq[1:]):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    last = pdf.iloc[-1]
+    state.update((int(last["_us"]), int(last["event_id"]), last["event_type"]))
+    if counts:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(counts),
+                "src": [k[0] for k in counts],
+                "dst": [k[1] for k in counts],
+                "n": list(counts.values()),
+            }
+        )
+
+
+def transition_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: incremental per-user event-transition
+    extraction (the streaming twin of the q143 batch lead() window) via
+    applyInPandasWithState. Ordering inside a batch is (ts, event_id) —
+    the same deterministic contract as the batch window — and the
+    boundary pair between batches comes from the stored last event."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_transitions,
+        outputStructType=_TRANS_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -385,3 +385,71 @@ def test_value_quantile_stream_brackets_exact(spark, sf_dir, stream):
         assert lo <= g.p50 <= hi, (g, b.vals)
         lo, hi = bracket(b.vals, 0.95)
         assert lo <= g.p95 <= hi, (g, b.vals)
+
+
+def test_transition_stream_counts_boundary_pair_once(spark, tmp_path):
+    """The cross-batch state contract of transition_stream: with the
+    user's events split across TWO micro-batches, the pair spanning the
+    boundary is emitted exactly once (from state), and summed deltas
+    equal the batch lead() window's transition counts."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        transition_stream,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    batch1 = [(1, "2024-01-01 10:00:00", 1, "view", 1.0, ""),
+              (2, "2024-01-01 10:01:00", 1, "click", 1.0, "")]
+    batch2 = [(3, "2024-01-01 10:02:00", 1, "purchase", 1.0, ""),
+              (4, "2024-01-01 10:03:00", 1, "view", 1.0, "")]
+    src_dir = f"{tmp_path}/stream_src"
+    os.makedirs(src_dir)
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(rows, "event_id long, ts string, user_id long,"
+                              " event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        transition_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_markov_boundary")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in spark.sql(
+            "SELECT src, dst, sum(n) AS n FROM t_markov_boundary"
+            " GROUP BY src, dst"
+        ).collect()
+    }
+    # view->click (batch 1), click->purchase (BOUNDARY), purchase->view
+    # (batch 2): each exactly once
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,
+        ("purchase", "view"): 1,
+    }
