@@ -2263,3 +2263,120 @@ def stream_markov(spark, sf_dir):
         )
         .transform(presentation_sort, "src", "dst")
     )
+
+
+@query(
+    "q154_column_profile",
+    oracle="""
+    WITH stacked AS (
+      SELECT 'event_id' AS col,
+             lpad(CAST(event_id AS STRING), 12, '0') AS val FROM events
+      UNION ALL
+      SELECT 'ts', strftime(ts, '%Y-%m-%d %H:%M:%S') FROM events
+      UNION ALL
+      SELECT 'user_id', lpad(CAST(user_id AS STRING), 12, '0') FROM events
+      UNION ALL
+      SELECT 'event_type', event_type FROM events
+      UNION ALL
+      SELECT 'value',
+             lpad(CAST(CAST(value AS DECIMAL(18,2)) AS STRING), 12, '0')
+      FROM events
+      UNION ALL
+      SELECT 'props', props FROM events
+    ),
+    g AS (SELECT col, val, count(*) AS n FROM stacked GROUP BY col, val),
+    roll AS (
+      SELECT col,
+             CAST(coalesce(sum(CASE WHEN val IS NULL THEN n END), 0)
+                  AS BIGINT) AS n_nulls,
+             CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_distinct,
+             min(val) AS min_s, max(val) AS max_s
+      FROM g GROUP BY col
+    ),
+    top AS (
+      SELECT col, val AS top_value, CAST(n AS BIGINT) AS top_n FROM (
+        SELECT col, val, n,
+               row_number() OVER (PARTITION BY col
+                                  ORDER BY n DESC, val) AS rk
+        FROM g WHERE val IS NOT NULL) t WHERE rk = 1
+    )
+    SELECT roll.col, n_nulls, n_distinct, min_s, max_s, top_value, top_n
+    FROM roll JOIN top ON roll.col = top.col
+    ORDER BY roll.col
+    """,
+)
+def q154(spark, sf_dir):
+    """Single-scan COLUMN PROFILER — the ANALYZE TABLE / data-profiling
+    surface (null counts, exact distinct counts, min/max, top value with
+    frequency) for every column of the events table, as one query.
+
+    Scale shape: the table is stacked into (column, rendered_value) rows
+    in the SAME scan (explode of a 6-struct array — no per-column
+    re-scan, the point of single-pass profilers), reduced by ONE
+    (col, val)-keyed map-side-combined aggregate, and every statistic
+    derives from that value-grain table: profiling cost is one scan +
+    one exchange regardless of column count. Values are rendered to
+    strings with engine-portable SORTABLE encodings (zero-padded
+    fixed-width for numerics, decimal cast for doubles, fixed timestamp
+    pattern), so the lexicographic min/max ARE the numeric bounds and
+    every comparison hashes identically in both engines; top tiebreak is
+    (count desc, value asc)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    pairs = [
+        ("event_id", F.lpad(F.col("event_id").cast("string"), 12, "0")),
+        ("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")),
+        ("user_id", F.lpad(F.col("user_id").cast("string"), 12, "0")),
+        ("event_type", F.col("event_type")),
+        (
+            "value",
+            F.lpad(
+                F.col("value").cast("decimal(18,2)").cast("string"), 12, "0"
+            ),
+        ),
+        ("props", F.col("props")),
+    ]
+    stacked = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col"), expr.alias("val")
+                    )
+                    for name, expr in pairs
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.val")
+    # the (col, val, n) grain feeds BOTH the rollup and the top-value
+    # window: pin it (plans.pin lifetime) so the scan + explode +
+    # aggregate run once per measurement, not twice
+    g = pin(stacked.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n")))
+    roll = g.groupBy("col").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_distinct"),
+        F.min("val").alias("min_s"),
+        F.max("val").alias("max_s"),
+    )
+    w = Window.partitionBy("col").orderBy(F.desc("n"), F.asc("val"))
+    top = (
+        g.where(F.col("val").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("col").alias("col_t"),
+            F.col("val").alias("top_value"),
+            F.col("n").cast("long").alias("top_n"),
+        )
+    )
+    return (
+        roll.join(F.broadcast(top), roll["col"] == F.col("col_t"))
+        .drop("col_t")
+        .transform(presentation_sort, "col")
+    )

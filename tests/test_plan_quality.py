@@ -795,6 +795,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
     pin_users = [
         "q86_join_skew_profile",
         "q144_winnowing",
+        "q154_column_profile",
         "q122_pmi_collocations",
         "q128_kmv_set_ops",
         "q133_basket_pairs",

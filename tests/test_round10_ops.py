@@ -343,3 +343,36 @@ def test_decayed_leaderboard_exact_weights(spark, tmp_path):
     assert got[1]["decayed_value"] == 150.0  # 100*1 + 100*0.5
     assert got[2]["decayed_value"] == 10.0   # 80 * 2^-3
     assert got[1]["n_purchases"] == 2 and got[2]["n_purchases"] == 1
+
+
+def test_column_profile_exact_on_planted_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eurostat_energy_etl_pipeline_spark.plans.events import q154
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view", 1.5, "a"),
+        (2, "2024-01-02 10:00:00", 7, "view", 2.5, None),
+        (3, "2024-01-03 10:00:00", 900, "click", None, "a"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {r["col"]: r for r in q154(spark, str(tmp_path)).collect()}
+    assert set(got) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    et = got["event_type"]
+    assert (et["n_nulls"], et["n_distinct"], et["top_value"], et["top_n"]) == (
+        0, 2, "view", 2,
+    )
+    v = got["value"]
+    assert v["n_nulls"] == 1 and v["n_distinct"] == 2
+    # zero-padded sortable rendering: numeric bounds, not lexicographic
+    assert v["min_s"].endswith("1.50") and v["max_s"].endswith("2.50")
+    u = got["user_id"]
+    assert u["min_s"].endswith("007") and u["max_s"].endswith("900")
+    p = got["props"]
+    assert p["n_nulls"] == 1 and p["top_value"] == "a" and p["top_n"] == 2

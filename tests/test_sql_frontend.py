@@ -44,6 +44,7 @@ DUCKDB_ONLY = {
     "q149_new_vs_returning", # duckdb strftime day keys
     "q150_classifier_eval",  # duckdb string_split_regex lang scorer
     "q153_decayed_leaderboard",  # duckdb date-minus-date int + << operator
+    "q154_column_profile",   # duckdb strftime timestamp rendering
     "q50_doc_chunks",        # duckdb list slicing + lateral generate_series
     "q51_pii_scan",          # duckdb regexp_extract_all/len + 'g' flag
     "q52_decontaminate",     # duckdb string_split_regex/list_transform
