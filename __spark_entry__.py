@@ -52,6 +52,7 @@ _DRIVER_CHECK_PRIORITY = [
     "q152_ivm_merge",
     "q153_decayed_leaderboard",
     "q154_column_profile",
+    "q155_rfm_segments",
     "q_stream_markov",
     # last driver-checked in round 4
     "q89_bpe_pair_stats",

@@ -1563,3 +1563,96 @@ def q152(spark, sf_dir):
         .orderBy(F.desc("total"), "o_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q155_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS ref FROM orders),
+    c AS (
+      SELECT o_custkey,
+             CAST(ref - CAST(max(o_orderdate) AS DATE) AS BIGINT) AS recency,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders CROSS JOIN mx GROUP BY o_custkey, ref
+    ),
+    s AS (
+      SELECT frequency, monetary,
+             6 - ntile(5) OVER (ORDER BY recency, o_custkey) AS r_score,
+             6 - ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+               AS f_score,
+             6 - ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+               AS m_score
+      FROM c
+    )
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(frequency) AS BIGINT) AS n_orders,
+           round(CAST(sum(monetary) AS DOUBLE), 4) AS total_monetary
+    FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q155(spark, sf_dir):
+    """RFM SEGMENTATION — the classic customer-value grid (recency /
+    frequency / monetary quintiles, score 5 = best): per-customer
+    recency-from-latest-order, order count, and exact decimal spend,
+    each scored by exact NTILE(5) with a customer-key tie-break, rolled
+    up to the <=125-cell (r, f, m) grid with customer counts and spend.
+    The segmentation every CRM/lifecycle pipeline derives first.
+
+    Scale shape: one custkey-keyed map-side-combined aggregate reduces
+    orders to customer grain; the three quintile assignments run through
+    the distributed ranking kernel (`operators/ranking.global_ntile`:
+    deterministic boundaries + per-bucket offsets, row-identical to SQL
+    NTILE — never a SinglePartition window), CHAINED on one lineage so
+    no self-joins reassemble the scores; the final rollup is
+    domain-bounded. Descending dimensions rank on negated columns, so
+    the kernel's ascending order matches the oracle's DESC exactly
+    (integer/decimal keys — no float ties)."""
+    from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+        global_ntile,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"]
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("ref", "last_d").cast("long").alias("recency"),
+            "frequency",
+            "monetary",
+            (-F.col("frequency")).alias("neg_f"),
+            (-F.col("monetary")).alias("neg_m"),
+        )
+    )
+    g = global_ntile(cust, ["recency", "o_custkey"], 5, "rt")
+    g = global_ntile(g, ["neg_f", "o_custkey"], 5, "ft")
+    g = global_ntile(g, ["neg_m", "o_custkey"], 5, "mt")
+    return (
+        g.select(
+            (F.lit(6) - F.col("rt")).cast("int").alias("r_score"),
+            (F.lit(6) - F.col("ft")).cast("int").alias("f_score"),
+            (F.lit(6) - F.col("mt")).cast("int").alias("m_score"),
+            "frequency",
+            "monetary",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("frequency").cast("long").alias("n_orders"),
+            F.round(F.sum("monetary").cast("double"), 4).alias(
+                "total_monetary"
+            ),
+        )
+        .transform(presentation_sort, "r_score", "f_score", "m_score")
+    )

@@ -376,3 +376,39 @@ def test_column_profile_exact_on_planted_table(spark, tmp_path):
     assert u["min_s"].endswith("007") and u["max_s"].endswith("900")
     p = got["props"]
     assert p["n_nulls"] == 1 and p["top_value"] == "a" and p["top_n"] == 2
+
+
+def test_rfm_orientation_and_accounting(spark, tmp_path):
+    """Score orientation: the most-recent / most-frequent / biggest-spend
+    customer must land in the (5,5,5) cell and the worst in (1,1,1);
+    cells partition the customer base and order counts reconcile."""
+    from pyspark.sql import functions as F
+
+    from eurostat_energy_etl_pipeline_spark.plans.relational import q155
+
+    rows = []
+    # five customers with strictly increasing recency/frequency/spend
+    # (customer k: k orders of value 100*k on day 10-k)
+    oid = 0
+    for k in range(1, 6):
+        for _ in range(k):
+            oid += 1
+            rows.append((oid, k, "F", 100.0 * k, f"2024-01-{10 - k:02d}"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = q155(spark, str(tmp_path)).collect()
+    cells = {(r["r_score"], r["f_score"], r["m_score"]): r for r in out}
+    assert sum(r["n_customers"] for r in out) == 5
+    assert sum(r["n_orders"] for r in out) == 15
+    # customer 1: 1 order, cheapest, OLDEST (day 9? no: day 10-1=09) —
+    # wait: customer k orders on day 10-k, so customer 1 orders latest
+    # (Jan 09) ... customer 5 orders earliest (Jan 05). Most recent =
+    # customer 1 (r=5) but least frequent/spend (f=1, m=1).
+    assert (5, 1, 1) in cells and cells[(5, 1, 1)]["n_customers"] == 1
+    # customer 5: oldest (r=1) but most orders and spend (f=5, m=5)
+    assert (1, 5, 5) in cells and cells[(1, 5, 5)]["n_orders"] == 5
+    assert cells[(1, 5, 5)]["total_monetary"] == 2500.0
