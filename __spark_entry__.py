@@ -38,59 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tiebreak — regenerated each round by scripts in this repo's workflow.
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
-    # never driver-checked (new this round)
-    "q141_substring_dedup",
-    "q142_locf_gap_fill",
-    "q143_markov_transitions",
-    "q144_winnowing",
-    "q145_repetition_filters",
-    "q146_mutual_information",
-    "q148_rank_fusion",
-    "q149_new_vs_returning",
-    "q150_classifier_eval",
-    "q151_ab_test",
-    "q152_ivm_merge",
-    "q153_decayed_leaderboard",
-    "q154_column_profile",
-    "q155_rfm_segments",
-    "q_stream_markov",
-    # last driver-checked in round 4
-    "q89_bpe_pair_stats",
-    "q90_trailing_burst",
-    "q91_kmeans_update",
-    "q92_dup_span_coverage",
-    "q93_bpe_train",
-    "q94_char_entropy",
-    "q95_cube_grouping",
-    "q96_vocab_coverage",
-    "q_events_asof_join",
-    "q_events_sessionize",
-    "q_events_sliding",
-    "q_events_tumbling",
-    "q_events_type_stats",
     # last driver-checked in round 7
-    "q01_filter_project",
-    "q02_in_list",
-    "q03_distinct_notnull",
-    "q04_union_all",
-    "q05_year_extract",
-    "q06_topk_avg",
-    "q07_topk_sum",
-    "q08_latest_period",
-    "q09_between",
-    "q100_weighted_sample",
-    "q101_state_history",
-    "q102_heldout_lm",
-    "q103_drift_psi",
-    "q104_ri_audit",
-    "q10_pivot_conditional",
-    "q11_lag",
-    "q12_rolling_mean",
-    "q13_row_number",
-    "q14_join_agg",
-    "q15_left_join_coalesce",
-    "q16_left_semi",
-    "q17_insights_trend",
     "q17b_insights_full",
     "q18_fastest_rising",
     "q19_dedup_exact",
@@ -221,6 +169,57 @@ _DRIVER_CHECK_PRIORITY = [
     "q_stream_cms",
     "q_stream_enrich",
     "q_stream_sliding",
+    # last driver-checked in round 10
+    "q01_filter_project",
+    "q02_in_list",
+    "q03_distinct_notnull",
+    "q04_union_all",
+    "q05_year_extract",
+    "q06_topk_avg",
+    "q07_topk_sum",
+    "q08_latest_period",
+    "q09_between",
+    "q100_weighted_sample",
+    "q101_state_history",
+    "q102_heldout_lm",
+    "q103_drift_psi",
+    "q104_ri_audit",
+    "q10_pivot_conditional",
+    "q11_lag",
+    "q12_rolling_mean",
+    "q13_row_number",
+    "q141_substring_dedup",
+    "q142_locf_gap_fill",
+    "q143_markov_transitions",
+    "q144_winnowing",
+    "q145_repetition_filters",
+    "q146_mutual_information",
+    "q148_rank_fusion",
+    "q149_new_vs_returning",
+    "q14_join_agg",
+    "q150_classifier_eval",
+    "q151_ab_test",
+    "q152_ivm_merge",
+    "q153_decayed_leaderboard",
+    "q154_column_profile",
+    "q155_rfm_segments",
+    "q15_left_join_coalesce",
+    "q16_left_semi",
+    "q17_insights_trend",
+    "q89_bpe_pair_stats",
+    "q90_trailing_burst",
+    "q91_kmeans_update",
+    "q92_dup_span_coverage",
+    "q93_bpe_train",
+    "q94_char_entropy",
+    "q95_cube_grouping",
+    "q96_vocab_coverage",
+    "q_events_asof_join",
+    "q_events_sessionize",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_events_type_stats",
+    "q_stream_markov",
 ]
 
 

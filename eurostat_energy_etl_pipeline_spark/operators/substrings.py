@@ -200,7 +200,12 @@ def winnowing_fingerprints(
                 15,
             ),
             F.lit(":"),
-            F.lpad(F.col("pos").cast("string"), 6, "0"),
+            # 10-digit pad: positions are gram indices, bounded by
+            # per-document token count; 10 digits covers documents up to
+            # ~10^10 tokens (far past any single doc at 100 TB corpus
+            # scale), where the previous 6 digits silently truncated the
+            # tiebreak past 999,999 grams.
+            F.lpad(F.col("pos").cast("string"), 10, "0"),
         ).alias("key"),
     )
     fwd = (
@@ -217,7 +222,7 @@ def winnowing_fingerprints(
         .select(
             "doc_id",
             F.substring("sel_key", 1, 15).alias("gh"),
-            F.substring("sel_key", 17, 6).cast("int").alias("pos"),
+            F.substring("sel_key", 17, 10).cast("long").alias("pos"),
         )
         .distinct()
     )
@@ -380,4 +385,147 @@ def repetition_profile(
             | (F.col("top3_frac") > 0.18)
             | (F.col("dup5_frac") > 0.30)
         ).cast("int"),
+    )
+
+
+def cut_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY stage of substring-level dedup (Lee et al. 2022 §4,
+    "ExactSubstr" removal; completes q141's measure-only profile): emit
+    the REWRITTEN corpus with every non-first occurrence of a repeated
+    k-token span cut out, keep-first-occurrence policy.
+
+    Semantics (deterministic, engine-replayable):
+    - a gram occurrence (doc, pos) is a CUT occurrence iff its k-token
+      gram occurs >= min_count times corpus-wide AND it is not the
+      corpus-FIRST occurrence of that gram under the total order
+      (doc_id, pos) — so one copy of every repeated span survives;
+    - a token is removed iff it lies under the interval
+      [pos, pos + k - 1] of at least one cut occurrence (cut intervals
+      are union-merged per document, gaps-and-islands);
+    - untouched documents pass through with their ORIGINAL text;
+      rewritten documents re-join the surviving lowercased whitespace
+      tokens with single spaces (the tokenizer's normal form — the same
+      contract every text operator in this library uses).
+
+    Boundary caveat (Lee et al. have the same one): when two distinct
+    repeated spans overlap inside the first-occurrence document, the
+    overlap tokens can be cut there too, so a heavily-duplicated region
+    may lose its "kept" copy; the guarantee is no repeated span of
+    length >= 2k - 1 survives twice, not that every span survives once.
+
+    Returns (doc_id, <passthrough cols>, tokens_before, tokens_after,
+    spans_cut, text) at document grain — `text` is the rewritten corpus
+    column a training pipeline consumes downstream.
+
+    Scale shape: the gram stream is hashed scan-side (15-byte 60-bit md5
+    prefixes — text never crosses the content-keyed exchange); corpus
+    frequency AND first-occurrence rank come from TWO window functions
+    over the SAME gh-hashed exchange (count + row_number, one shuffle);
+    cut positions then reduce per document (doc-keyed exchange) into
+    O(#spans) merged intervals, and the rewrite is ONE doc_id equi-join
+    of the interval lists against the token arrays with a scan-side
+    higher-order filter (no UDF, no second pass over text). Bucketing
+    the corpus by doc_id makes the rewrite join co-located."""
+    passthrough = [c for c in docs.columns if c not in (id_col, text_col)]
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *passthrough,
+        F.col(text_col).alias("_orig"),
+        F.filter(whitespace_tokens(F.col(text_col)), lambda x: x != "").alias(
+            "tk"
+        ),
+    )
+    g = (
+        tok.where(F.size("tk") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(k - 1))
+            ).alias("pos"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(
+                F.md5(
+                    F.array_join(F.slice(F.col("tk"), F.col("pos"), k), " ")
+                ),
+                1,
+                15,
+            ).alias("gh"),
+        )
+    )
+    w_cnt = Window.partitionBy("gh")
+    w_first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    cutpos = (
+        g.withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rk", F.row_number().over(w_first))
+        .where((F.col("cnt") >= min_count) & (F.col("rk") >= 2))
+        .select("doc_id", "pos")
+        # distinct is unnecessary (one row per (doc,pos) by construction)
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(w_prev)
+    isl = cutpos.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .over(w_run)
+        .alias("island"),
+    )
+    ivs = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k - 1)).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("s", "e")).alias("ivs"),
+            F.count(F.lit(1)).cast("long").alias("spans_cut"),
+        )
+    )
+    out = tok.join(ivs, "doc_id", "left")
+    # token index from F.filter's lambda is 0-based; intervals are
+    # 1-based token positions. Merged islands are disjoint, so "covered
+    # by some interval" is a plain exists().
+    kept = F.filter(
+        F.col("tk"),
+        lambda x, i: ~F.exists(
+            F.col("ivs"),
+            lambda iv: (i + 1 >= iv["s"]) & (i + 1 <= iv["e"]),
+        ),
+    )
+    return out.select(
+        "doc_id",
+        *passthrough,
+        F.size("tk").cast("long").alias("tokens_before"),
+        F.when(F.col("ivs").isNull(), F.size("tk"))
+        .otherwise(F.size(kept))
+        .cast("long")
+        .alias("tokens_after"),
+        F.coalesce(F.col("spans_cut"), F.lit(0)).alias("spans_cut"),
+        F.when(F.col("ivs").isNull(), F.col("_orig"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text"),
     )

@@ -9,6 +9,7 @@ sf0.001.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,7 +42,21 @@ def clear_plan_cache() -> None:
 # pinned RDDs across a 163-query run. graph.py's iterative pins manage
 # their own lifetime internally and don't use this.
 _PINNED: dict[str, list[DataFrame]] = {}
-_BUILDING: list[str] = []
+_PINNED_LOCK = threading.Lock()
+
+
+class _Building(threading.local):
+    """Per-thread query-name stack: bench.py's threaded throughput pass
+    builds plans concurrently (e.g. after clear_plan_cache), and a shared
+    stack would let one thread's pin register under another thread's
+    query name. thread-local keeps attribution exact with no locking on
+    the hot path."""
+
+    def __init__(self) -> None:
+        self.stack: list[str] = []
+
+
+_BUILDING = _Building()
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -50,23 +65,26 @@ def pin(df: DataFrame) -> DataFrame:
     plan; the pin stays alive while the query is measured and is released
     by the harness afterwards (re-executing the memoized plan after a
     release is still correct — just recomputes the subtree)."""
-    name = _BUILDING[-1] if _BUILDING else "__anon__"
-    _PINNED.setdefault(name, []).append(df.persist())
+    stack = _BUILDING.stack
+    name = stack[-1] if stack else "__anon__"
+    with _PINNED_LOCK:
+        _PINNED.setdefault(name, []).append(df.persist())
     return df
 
 
 def release_pins(name: str | None = None) -> int:
     """Unpersist every handle pinned by `name` (or by all queries when
     None). Returns the number of handles released."""
-    names = [name] if name is not None else list(_PINNED)
+    with _PINNED_LOCK:
+        names = [name] if name is not None else list(_PINNED)
+        handles = [df for q in names for df in _PINNED.pop(q, [])]
     n = 0
-    for q in names:
-        for df in _PINNED.pop(q, []):
-            try:
-                df.unpersist()
-                n += 1
-            except Exception:
-                pass
+    for df in handles:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
     return n
 
 
@@ -80,11 +98,11 @@ def query(name: str, oracle: str | None = None):
             key = (spark.sparkContext.applicationId, sf_dir, name)
             df = _PLAN_CACHE.get(key)
             if df is None:
-                _BUILDING.append(name)
+                _BUILDING.stack.append(name)
                 try:
                     df = fn(spark, sf_dir)
                 finally:
-                    _BUILDING.pop()
+                    _BUILDING.stack.pop()
                 _PLAN_CACHE[key] = df
             return df
 

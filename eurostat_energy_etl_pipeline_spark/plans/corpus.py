@@ -3265,7 +3265,7 @@ def q141(spark, sf_dir):
     g AS (
       SELECT doc_id, len(tk) - 3 AS n_grams, pos,
              substr(md5(array_to_string(tk[pos:pos+3], ' ')), 1, 15)
-               || ':' || lpad(CAST(pos AS STRING), 6, '0') AS key
+               || ':' || lpad(CAST(pos AS STRING), 10, '0') AS key
       FROM (SELECT doc_id, tk,
                    unnest(generate_series(1, len(tk) - 3)) AS pos
             FROM tok WHERE len(tk) >= 7)
@@ -3279,7 +3279,7 @@ def q141(spark, sf_dir):
     ),
     sel AS (
       SELECT DISTINCT doc_id, substr(sel_key, 1, 15) AS gh,
-             CAST(substr(sel_key, 17, 6) AS INT) AS pos
+             CAST(substr(sel_key, 17, 10) AS BIGINT) AS pos
       FROM m WHERE pos <= n_grams - 3
     ),
     per_doc AS (

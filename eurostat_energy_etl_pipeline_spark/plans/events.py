@@ -2270,16 +2270,16 @@ def stream_markov(spark, sf_dir):
     oracle="""
     WITH stacked AS (
       SELECT 'event_id' AS col,
-             lpad(CAST(event_id AS STRING), 12, '0') AS val FROM events
+             lpad(CAST(event_id AS STRING), 20, '0') AS val FROM events
       UNION ALL
       SELECT 'ts', strftime(ts, '%Y-%m-%d %H:%M:%S') FROM events
       UNION ALL
-      SELECT 'user_id', lpad(CAST(user_id AS STRING), 12, '0') FROM events
+      SELECT 'user_id', lpad(CAST(user_id AS STRING), 20, '0') FROM events
       UNION ALL
       SELECT 'event_type', event_type FROM events
       UNION ALL
       SELECT 'value',
-             lpad(CAST(CAST(value AS DECIMAL(18,2)) AS STRING), 12, '0')
+             lpad(CAST(CAST(value AS DECIMAL(18,2)) AS STRING), 20, '0')
       FROM events
       UNION ALL
       SELECT 'props', props FROM events
@@ -2321,17 +2321,24 @@ def q154(spark, sf_dir):
     fixed-width for numerics, decimal cast for doubles, fixed timestamp
     pattern), so the lexicographic min/max ARE the numeric bounds and
     every comparison hashes identically in both engines; top tiebreak is
-    (count desc, value asc)."""
+    (count desc, value asc).
+
+    Rendering domain: the 20-char pad covers the full int64 range for
+    event_id/user_id (19 digits) and DECIMAL(18,2) renderings (19 chars)
+    without truncation. The sortable-encoding claim additionally assumes
+    NON-NEGATIVE values (a '-' prefix sorts before digits and reverses
+    magnitude order); the events schema guarantees this (value is a
+    non-negative measure), so min_s/max_s are the numeric bounds."""
     ev = load_tables(spark, sf_dir)["events"]
     pairs = [
-        ("event_id", F.lpad(F.col("event_id").cast("string"), 12, "0")),
+        ("event_id", F.lpad(F.col("event_id").cast("string"), 20, "0")),
         ("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")),
-        ("user_id", F.lpad(F.col("user_id").cast("string"), 12, "0")),
+        ("user_id", F.lpad(F.col("user_id").cast("string"), 20, "0")),
         ("event_type", F.col("event_type")),
         (
             "value",
             F.lpad(
-                F.col("value").cast("decimal(18,2)").cast("string"), 12, "0"
+                F.col("value").cast("decimal(18,2)").cast("string"), 20, "0"
             ),
         ),
         ("props", F.col("props")),

@@ -457,15 +457,30 @@ def _update_user_transitions(key, pdfs, state: GroupState):
     pdf = pd.concat(rows, ignore_index=True)
     us = pdf["ts"].astype("int64") // 1000  # ns -> us, exact ints
     pdf = pdf.assign(_us=us).sort_values(["_us", "event_id"])
-    seq = list(pdf["event_type"])
+    ev = list(zip(pdf["_us"], pdf["event_id"], pdf["event_type"]))
     if state.exists:
-        _, _, last_type = state.get
-        seq = [last_type] + seq
+        # Merge the stored last event into the batch by the SAME
+        # (ts-micros, event_id) order the batch window uses, instead of
+        # unconditionally prepending it: if out-of-order file discovery
+        # ever delivers events EARLIER than the stored state, they are
+        # counted in timestamp order (late -> stored, never the reversed
+        # stored -> late pair). With O(1) state the late event's true
+        # predecessor from an earlier batch is unrecoverable — that one
+        # boundary pair is the documented loss — but no transition is
+        # ever emitted in the wrong direction, and in-order streams
+        # (the q143 oracle contract) are bit-identical to prepending.
+        last_us0, last_eid0, last_type0 = state.get
+        stored = (int(last_us0), int(last_eid0), last_type0)
+        merged = sorted(ev + [stored], key=lambda t: (t[0], t[1]))
+        seq = [t[2] for t in merged]
+        new_last = max(ev[-1], stored, key=lambda t: (t[0], t[1]))
+    else:
+        seq = [t[2] for t in ev]
+        new_last = ev[-1]
     counts: dict[tuple[str, str], int] = {}
     for a, b in zip(seq, seq[1:]):
         counts[(a, b)] = counts.get((a, b), 0) + 1
-    last = pdf.iloc[-1]
-    state.update((int(last["_us"]), int(last["event_id"]), last["event_type"]))
+    state.update((int(new_last[0]), int(new_last[1]), new_last[2]))
     if counts:
         yield pd.DataFrame(
             {

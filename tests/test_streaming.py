@@ -453,3 +453,64 @@ def test_transition_stream_counts_boundary_pair_once(spark, tmp_path):
         ("click", "purchase"): 1,
         ("purchase", "view"): 1,
     }
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState: .exists/.get/.update."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _run_transitions(batch_rows, state):
+    import pandas as pd
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        _update_user_transitions,
+    )
+
+    pdf = pd.DataFrame(
+        batch_rows, columns=["event_id", "ts", "event_type"]
+    ).assign(ts=lambda d: pd.to_datetime(d["ts"]))
+    out = list(_update_user_transitions((1,), [pdf], state))
+    counts = {}
+    for o in out:
+        for r in o.itertuples():
+            counts[(r.src, r.dst)] = counts.get((r.src, r.dst), 0) + r.n
+    return counts
+
+
+def test_transition_stream_merges_out_of_order_state():
+    """ADVICE r10: if a micro-batch delivers events EARLIER than the
+    stored last event (out-of-order file discovery), the stored event is
+    merge-sorted into the batch by (ts, event_id) — the late pair is
+    counted in timestamp order (late -> stored), never the reversed
+    stored -> late direction — and the state keeps the MAX event, not
+    the batch tail."""
+    st = _FakeGroupState()
+    # batch 1 (in order): view@10:00 eid1, purchase@10:03 eid4
+    c1 = _run_transitions(
+        [(1, "2024-01-01 10:00:00", "view"),
+         (4, "2024-01-01 10:03:00", "purchase")], st)
+    assert c1 == {("view", "purchase"): 1}
+    assert st.get[2] == "purchase"
+    # batch 2 (LATE): click@10:01 eid2 — earlier than stored purchase
+    c2 = _run_transitions([(2, "2024-01-01 10:01:00", "click")], st)
+    assert c2 == {("click", "purchase"): 1}, c2
+    # state still holds the max event (purchase@10:03), not the late one
+    assert st.get[2] == "purchase" and st.get[1] == 4
+    # batch 3 (in order again): view@10:05 eid5 pairs off the kept max
+    c3 = _run_transitions([(5, "2024-01-01 10:05:00", "view")], st)
+    assert c3 == {("purchase", "view"): 1}
+    assert st.get[1] == 5
