@@ -38,6 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # tiebreak — regenerated each round by scripts in this repo's workflow.
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
+    # never driver-checked (new this round)
+    "q156_substring_cut",
+    "q157_substring_cut_audit",
     # last driver-checked in round 7
     "q17b_insights_full",
     "q18_fastest_rising",

@@ -340,13 +340,16 @@ _ABBREV = {
 
 
 def _short(name: str) -> str:
-    """Compact per-query key for the one-line summary ('q17b', 'd_hm');
-    bench_full.json carries the reverse map."""
+    """Compact per-query key for the one-line summary ('17b', 'd_hm');
+    bench_full.json carries the reverse map. The 'q' prefix was dropped
+    at 180 registry entries: the one-line budget is the driver's ~2 KB
+    tail window, and the prefix cost ~170 chars of it for zero
+    information (every numeric key is a query)."""
     if name in _ABBREV:
         return _ABBREV[name]
     m = re.match(r"^q(\d+[a-z]?)_", name)
     if m:
-        return "q" + m.group(1)
+        return m.group(1)
     return name
 
 

@@ -3662,3 +3662,183 @@ def q148(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+
+
+_CUT_CTES = r"""
+    WITH tok AS (
+      SELECT doc_id, source, text, list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             substr(md5(array_to_string(tk[pos:pos+7], ' ')), 1, 15) AS gh
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - 7)) AS pos
+            FROM tok WHERE len(tk) >= 8)
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gh) AS cnt,
+             row_number() OVER (PARTITION BY gh
+                                ORDER BY doc_id, pos) AS rk
+      FROM g
+    ),
+    cut AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rk >= 2),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS brk
+      FROM cut
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM brk
+    ),
+    ivs AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+            FROM isl GROUP BY doc_id, island),
+    nsp AS (SELECT doc_id, count(*) AS spans_cut,
+                   sum(e - s + 1) AS cut_toks
+            FROM ivs GROUP BY doc_id)
+"""
+
+
+@query(
+    "q156_substring_cut",
+    oracle=_CUT_CTES
+    + r""",
+    toks AS (
+      SELECT doc_id, i, tk[i] AS tok
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+            FROM tok WHERE len(tk) >= 1)
+    ),
+    keptt AS (
+      SELECT x.doc_id, x.i, x.tok
+      FROM toks x LEFT JOIN ivs v
+        ON x.doc_id = v.doc_id AND x.i BETWEEN v.s AND v.e
+      WHERE v.doc_id IS NULL
+    ),
+    rew AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS rtext
+      FROM keptt GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.source,
+           CAST(len(t.tk) AS BIGINT) AS tokens_before,
+           CAST(len(t.tk) - coalesce(n.cut_toks, 0) AS BIGINT)
+             AS tokens_after,
+           CAST(coalesce(n.spans_cut, 0) AS BIGINT) AS spans_cut,
+           md5(CASE WHEN n.doc_id IS NULL THEN t.text
+                    ELSE coalesce(r.rtext, '') END) AS text_md5
+    FROM tok t
+    LEFT JOIN nsp n ON t.doc_id = n.doc_id
+    LEFT JOIN rew r ON t.doc_id = r.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q156(spark, sf_dir):
+    """Substring-dedup APPLY stage (Lee et al. 2022 "ExactSubstr"
+    removal; `operators/substrings.cut_duplicated_spans`) — the step
+    q141's profile only measures: every non-first occurrence of a
+    repeated k-token span is CUT from the corpus (keep-first-occurrence
+    under the total (doc_id, pos) order) and the REWRITTEN text ships
+    downstream. Per document: before/after token counts, merged spans
+    cut, and the md5 of the rewritten text — the oracle recomputes the
+    rewrite string-exactly in DuckDB (the q50 chunk-hash discipline), so
+    the certified artifact is the corpus a training run would consume,
+    not a statistic about it. k=8 whitespace tokens on these fixtures
+    (Lee et al. use 50 BPE tokens; the operator takes k).
+
+    Scale shape: corpus frequency AND first-occurrence rank are two
+    window functions over ONE gh-hashed exchange of 15-byte gram hashes
+    (text never crosses a content-keyed shuffle); cut positions reduce
+    per document into O(#spans) merged intervals; the rewrite is one
+    doc_id equi-join + a scan-side higher-order token filter (no UDF).
+    Hashing the rewritten text keeps the certified result narrow — the
+    full text column is the operator's output, not the audit's."""
+    from eurostat_energy_etl_pipeline_spark.operators.substrings import (
+        cut_duplicated_spans,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = cut_duplicated_spans(widen_if_narrow(docs), k=8, min_count=2)
+    return out.select(
+        "doc_id",
+        "source",
+        "tokens_before",
+        "tokens_after",
+        "spans_cut",
+        F.md5("text").alias("text_md5"),
+    ).transform(presentation_sort, "doc_id")
+
+
+@query(
+    "q157_substring_cut_audit",
+    oracle=_CUT_CTES
+    + r"""
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN n.doc_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS docs_touched,
+           CAST(sum(len(t.tk)) AS BIGINT) AS tokens_before,
+           CAST(sum(len(t.tk) - coalesce(n.cut_toks, 0)) AS BIGINT)
+             AS tokens_after,
+           CAST(sum(coalesce(n.spans_cut, 0)) AS BIGINT) AS spans_cut,
+           CASE WHEN sum(len(t.tk)) = 0 THEN 0.0
+                ELSE floor((1.0 - CAST(sum(len(t.tk)
+                                - coalesce(n.cut_toks, 0)) AS DOUBLE)
+                           / CAST(sum(len(t.tk)) AS DOUBLE)) * 1e6 + 0.5)
+                     / 1e6 END AS pct_tokens_removed
+    FROM tok t LEFT JOIN nsp n ON t.doc_id = n.doc_id
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def q157(spark, sf_dir):
+    """Substring-cut AUDIT — the q110 before/after accounting at SPAN
+    grain: per source, documents touched, token counts before/after the
+    q156 span-cut pass, spans removed, and the fraction of tokens the
+    pass deleted (Lee et al. report exactly this corpus fraction). The
+    oracle certifies the audit against a closed form (disjoint merged
+    intervals ⇒ tokens_after = tokens_before − Σ(interval lengths)),
+    independently cross-checking q156's filter-based counts.
+
+    Scale shape: identical to q156 up to doc grain, then one
+    source-keyed aggregate — the audit never touches text at all (the
+    interval arithmetic is exact without materializing the rewrite)."""
+    from eurostat_energy_etl_pipeline_spark.operators.substrings import (
+        cut_duplicated_spans,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    cut = cut_duplicated_spans(widen_if_narrow(docs), k=8, min_count=2)
+    kept_tokens = F.sum("tokens_after")
+    return (
+        cut.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum((F.col("spans_cut") > 0).cast("long")).alias(
+                "docs_touched"
+            ),
+            F.sum("tokens_before").alias("tokens_before"),
+            kept_tokens.alias("tokens_after"),
+            F.sum("spans_cut").alias("spans_cut"),
+            F.when(F.sum("tokens_before") == 0, F.lit(0.0))
+            .otherwise(
+                portable_round(
+                    1.0
+                    - kept_tokens.cast("double")
+                    / F.sum("tokens_before").cast("double"),
+                    6,
+                )
+            )
+            .alias("pct_tokens_removed"),
+        )
+        .transform(presentation_sort, "source")
+    )

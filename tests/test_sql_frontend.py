@@ -37,6 +37,8 @@ DUCKDB_ONLY = {
     "q80_ivf_sq8_ann",       # same + quantize/dequantize list arithmetic
     "q88_knn_join_lsh",      # duckdb list_* bucket replay + popcount join
     "q141_substring_dedup",  # duckdb list slicing + generate_series windows
+    "q156_substring_cut",    # duckdb list slicing + generate_series windows
+    "q157_substring_cut_audit",  # same CTE ladder as q156
     "q142_locf_gap_fill",    # duckdb generate_series date spine + IGNORE NULLS
     "q144_winnowing",        # duckdb list slicing + generate_series windows
     "q145_repetition_filters",  # duckdb list slicing + generate_series

@@ -108,3 +108,98 @@ def test_gram_exchange_carries_hashes_not_text(docs):
         assert "text#" not in b and "tk#" not in b, (
             f"row content crosses an exchange:\n{b}"
         )
+
+
+def test_cut_duplicated_spans_keep_first_policy(spark):
+    """q156 semantics: the corpus-FIRST occurrence (by doc_id, pos) of a
+    repeated k-gram survives, every later occurrence's tokens are cut;
+    untouched documents pass through with ORIGINAL text (case intact);
+    a within-document repeat loses its second copy; blank docs are
+    no-ops."""
+    from eurostat_energy_etl_pipeline_spark.operators.substrings import (
+        cut_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A b c d e f g h x y"),          # first occurrence: kept
+            (2, "z a b c d e f g h w"),          # second: span cut
+            (3, "totally different words here"),  # clean: untouched
+            (4, "a b c d e f g h a b c d e f g h"),  # within-doc repeat
+            (5, ""),                              # blank
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in cut_duplicated_spans(docs, k=8, min_count=2).collect()
+    }
+    # doc 1 holds the canonical copy — original text, original case
+    assert got[1]["text"] == "A b c d e f g h x y"
+    assert (got[1]["tokens_before"], got[1]["tokens_after"]) == (10, 10)
+    assert got[1]["spans_cut"] == 0
+    # doc 2's copy is cut: surviving tokens re-joined normalized
+    assert got[2]["text"] == "z w"
+    assert (got[2]["tokens_before"], got[2]["tokens_after"]) == (10, 2)
+    assert got[2]["spans_cut"] == 1
+    # doc 3 untouched
+    assert got[3]["text"] == "totally different words here"
+    # doc 4: both its occurrences are non-first (doc 1 owns the gram) and
+    # the two cut intervals [1,8] [9,16] merge into one maximal span
+    assert got[4]["text"] == ""
+    assert (got[4]["tokens_after"], got[4]["spans_cut"]) == (0, 1)
+    assert got[5]["text"] == "" and got[5]["tokens_before"] == 0
+
+
+def test_cut_duplicated_spans_disjoint_spans_counted(spark):
+    """Two separated repeated regions in one doc stay two merged spans,
+    and the in-between tokens survive in order."""
+    from eurostat_energy_etl_pipeline_spark.operators.substrings import (
+        cut_duplicated_spans,
+    )
+
+    span_a = "p q r s t"
+    span_b = "u v w x y"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span_a} one {span_b}"),
+            (2, f"{span_a} KEEP me please {span_b}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in cut_duplicated_spans(docs, k=5, min_count=2).collect()
+    }
+    assert got[1]["spans_cut"] == 0  # doc 1 is first for both grams
+    assert got[2]["spans_cut"] == 2
+    assert got[2]["text"] == "keep me please"
+    assert got[2]["tokens_after"] == 3
+
+
+def test_cut_gram_exchange_ships_hashes_not_text(docs):
+    """100 TB gate for the apply stage: the content-keyed (gh) exchange
+    carries 15-byte hashes — text/token arrays never cross it. (The
+    doc_id rewrite join may exchange text once; that one is doc-keyed
+    and bucketing-eliminable.)"""
+    from eurostat_energy_etl_pipeline_spark.operators.substrings import (
+        cut_duplicated_spans,
+    )
+
+    df = cut_duplicated_spans(docs, k=5, min_count=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    gh_exchanges = [
+        b
+        for b in plan.split("\n\n")
+        if b.lstrip().startswith("(")
+        and ") Exchange" in b.splitlines()[0]
+        and "gh#" in b
+    ]
+    assert len(gh_exchanges) == 1, plan
+    for b in gh_exchanges:
+        assert "text#" not in b and "tk#" not in b, (
+            f"row content crosses the content-keyed exchange:\n{b}"
+        )
