@@ -41,6 +41,8 @@ _DRIVER_CHECK_PRIORITY = [
     # never driver-checked (new this round)
     "q156_substring_cut",
     "q157_substring_cut_audit",
+    "q158_media_signatures",
+    "q159_media_dedup",
     # last driver-checked in round 7
     "q17b_insights_full",
     "q18_fastest_rising",

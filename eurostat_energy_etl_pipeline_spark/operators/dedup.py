@@ -794,30 +794,38 @@ def _simhash_table(
     return sigs
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    band_bits: int = 16,
-    portable: bool = False,
+def hamming_band_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    sig_bits: int,
+    band_bits: int,
+    max_hamming: int | None = None,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """SimHash near-dup candidates: split the signature into
-    `sig_bits/band_bits` bands; any pair within hamming distance
-    `n_bands-1` shares at least one exact band (pigeonhole). Bucket-join
-    per band, then verify the true hamming distance with bit_count(xor).
-    `portable=True` switches to the 60-bit md5-derived signature (4x15-bit
-    bands) that DuckDB can recompute — the declared query's oracle mode."""
-    sig_bits = PORTABLE_SIMHASH_BITS if portable else 64
+    """Generic banded-hamming candidate pairing over an integer signature
+    column (shared by SimHash text dedup and the multimodal perceptual-
+    hash dedup): split the signature into `sig_bits/band_bits` bands; any
+    pair within hamming distance `n_bands-1` shares at least one exact
+    band (pigeonhole). Bucket-join per band, verify the true hamming
+    distance with bit_count(xor), optionally filter to `max_hamming`.
+    `key_cols` restrict pairing to rows sharing those columns (e.g.
+    media_type — images only pair with images).
+
+    Returns (*key_cols, id_a, id_b, hamming), deduplicated. Scale shape:
+    the self-join is keyed on (band_idx, band_key[, key_cols]) — never
+    all-pairs; candidate volume is bounded by per-bucket collision
+    counts, the standard LSH contract."""
     n_bands = sig_bits // band_bits
-    sigs = _simhash_table(df, text_col, id_col, portable=portable)
+    keys = list(key_cols)
     banded = sigs.select(
+        *keys,
         id_col,
-        "sig",
+        F.col(sig_col).alias("sig"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sig"), i * band_bits).bitwiseAND(
+                    F.shiftright(F.col(sig_col), i * band_bits).bitwiseAND(
                         F.lit((1 << band_bits) - 1).cast("long")
                     )
                     for i in range(n_bands)
@@ -826,23 +834,53 @@ def simhash_near_dup_pairs(
         ).alias("band_idx", "band_key"),
     )
     a = banded.select(
-        "band_idx", "band_key", F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+        *keys, "band_idx", "band_key",
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
     )
     b = banded.select(
-        "band_idx", "band_key", F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+        *keys, "band_idx", "band_key",
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
     )
-    return (
-        a.join(b, ["band_idx", "band_key"])
+    out = (
+        a.join(b, keys + ["band_idx", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
+            *keys,
             "id_a",
             "id_b",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias(
+                "hamming"
+            ),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .where(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
+        .dropDuplicates(keys + ["id_a", "id_b"])
     )
+    if max_hamming is not None:
+        out = out.where(F.col("hamming") <= max_hamming)
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash near-dup candidates: banded pigeonhole pairing
+    (:func:`hamming_band_pairs`) over the per-document signature.
+    `portable=True` switches to the 60-bit md5-derived signature (4x15-bit
+    bands) that DuckDB can recompute — the declared query's oracle mode."""
+    sig_bits = PORTABLE_SIMHASH_BITS if portable else 64
+    sigs = _simhash_table(df, text_col, id_col, portable=portable)
+    return hamming_band_pairs(
+        sigs,
+        id_col=id_col,
+        sig_col="sig",
+        sig_bits=sig_bits,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+    ).orderBy("id_a", "id_b")
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -209,3 +209,83 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("frame_idx", "byte_offset"),
     )
+
+
+#: Signature width for the perceptual hashes — 60 bits (not 64) so the
+#: integer signature stays positive in an int64 and a SQL engine can
+#: rebuild it with plain `1 << j` arithmetic (the q26 portable-SimHash
+#: contract); 4 x 15-bit bands give pigeonhole-complete candidate
+#: recall at hamming <= 3.
+PERCEPTUAL_HASH_BITS = 60
+
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("ahash", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def ahash_dhash_kernel(payload: np.ndarray, d: int = PERCEPTUAL_HASH_BITS):
+    """Batch perceptual hashes over the deterministic stub decode: the
+    payload is split into `d` equal byte chunks (the fake_decode_features
+    edge grid), then
+
+    - aHash bit j = 1 iff chunk j's mean byte value exceeds the payload
+      mean (cross-multiplied: chunk_sum*L > total_sum*chunk_len — pure
+      int64, no division, so any engine replays it bit-for-bit);
+    - dHash bit j = 1 iff chunk j's mean exceeds chunk j+1's mean
+      (gradient sign, d-1 bits) — the classic dHash shape over the 1-D
+      stub "image".
+
+    Fully vectorized (one cumsum over the batch's concatenated bytes +
+    a 2-D gather at per-row edges — the fake_decode_features recipe with
+    integer accumulators). Empty payloads hash to 0. int64-safe for
+    payloads up to ~1.5e9 bytes (255*L^2 < 2^63); a real image corpus
+    swaps this kernel for a PIL decode + 8x8 downsample with the same
+    signature contract."""
+    n = len(payload)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    lens = np.fromiter((len(b) for b in payload), np.int64, count=n)
+    buf = np.frombuffer(b"".join(payload), dtype=np.uint8)
+    csum = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    k = np.arange(d + 1, dtype=np.int64)
+    edges = starts[:, None] + (k[None, :] * lens[:, None]) // d
+    cl = np.diff(edges, axis=1)
+    cs = np.diff(csum[edges], axis=1)
+    ts = cs.sum(axis=1, keepdims=True)
+    abits = (cs * lens[:, None]) > (ts * cl)
+    dbits = (cs[:, :-1] * cl[:, 1:]) > (cs[:, 1:] * cl[:, :-1])
+    w = np.int64(1) << np.arange(d, dtype=np.int64)
+    return (abits * w).sum(axis=1), (dbits * w[:-1]).sum(axis=1)
+
+
+def media_signatures(media: DataFrame) -> DataFrame:
+    """Per-media perceptual signatures (aHash + dHash as int64) via the
+    same Arrow-batched mapInPandas shape as :func:`extract_features`:
+    a narrow map — binary payloads never cross a shuffle; only the
+    (media_id, 2 x int64) signatures flow downstream to the dedup band
+    join."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ah, dh = ahash_dhash_kernel(pdf["payload"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "ahash": ah,
+                    "dhash": dh,
+                }
+            )
+
+    return widen_if_narrow(media).mapInPandas(run, SIGNATURE_SCHEMA)

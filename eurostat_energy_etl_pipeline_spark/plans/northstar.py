@@ -2249,3 +2249,209 @@ def q150(spark, sf_dir):
             F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
         ).alias("f1"),
     ).transform(presentation_sort, "cls")
+
+
+# Shared oracle CTE ladder replaying the perceptual-hash stub decode
+# (operators/multimodal.ahash_dhash_kernel) byte-for-byte in DuckDB:
+# bytes from the hex rendering of the payload, chunk j of (1-based)
+# byte i = (i*60 - 1) // L (the fake_decode edge grid inverted), aHash
+# bits by cross-multiplied mean comparison, dHash bits by adjacent-chunk
+# gradient over a dense 0..59 spine (empty chunks sum/len 0).
+_MEDIA_SIG_CTES = r"""
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS L,
+             hex(encode(text)) AS h,
+             -- duckdb sha256 is VARCHAR-only; hashing the string hashes
+             -- its UTF-8 bytes, which ARE the payload (encode(text))
+             sha256(text) AS bh
+      FROM documents
+    ),
+    bytes AS (
+      SELECT media_id, L, i,
+             (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+           + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS v,
+             (i*60 - 1) // L AS j
+      FROM (SELECT media_id, L, h, unnest(generate_series(1, L)) AS i
+            FROM b WHERE L >= 1)
+    ),
+    chunks AS (SELECT media_id, L, j, sum(v) AS cs, count(*) AS cl
+               FROM bytes GROUP BY media_id, L, j),
+    tots AS (SELECT media_id, sum(cs) AS ts FROM chunks GROUP BY media_id),
+    spine AS (SELECT media_id, L, unnest(generate_series(0, 59)) AS j
+              FROM b),
+    dense AS (SELECT s.media_id, s.L, s.j,
+                     coalesce(c.cs, 0) AS cs, coalesce(c.cl, 0) AS cl
+              FROM spine s LEFT JOIN chunks c
+                ON s.media_id = c.media_id AND s.j = c.j),
+    abit AS (SELECT d.media_id, d.j,
+                    CASE WHEN d.cs * d.L > t.ts * d.cl THEN 1 ELSE 0 END
+                      AS bit
+             FROM dense d JOIN tots t ON d.media_id = t.media_id),
+    dbit AS (SELECT media_id, j,
+                    CASE WHEN cs * lead(cl) OVER w > lead(cs) OVER w * cl
+                         THEN 1 ELSE 0 END AS bit
+             FROM dense WINDOW w AS (PARTITION BY media_id ORDER BY j)),
+    asig AS (SELECT media_id,
+                    sum(CASE WHEN bit = 1
+                             THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                             ELSE 0 END) AS ahash
+             FROM abit GROUP BY media_id),
+    dsig AS (SELECT media_id,
+                    sum(CASE WHEN bit = 1
+                             THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                             ELSE 0 END) AS dhash
+             FROM dbit WHERE j <= 58 GROUP BY media_id),
+    sig AS (SELECT b.media_id, b.media_type, b.L, b.bh,
+                   coalesce(a.ahash, 0) AS ahash,
+                   coalesce(d.dhash, 0) AS dhash
+            FROM b LEFT JOIN asig a ON b.media_id = a.media_id
+                   LEFT JOIN dsig d ON b.media_id = d.media_id)
+"""
+
+
+@query(
+    "q158_media_signatures",
+    oracle=_MEDIA_SIG_CTES
+    + r"""
+    SELECT media_id, media_type, CAST(L AS BIGINT) AS n_bytes,
+           CAST(ahash AS BIGINT) AS ahash, CAST(dhash AS BIGINT) AS dhash
+    FROM sig ORDER BY media_id
+    """,
+)
+def q158(spark, sf_dir):
+    """PERCEPTUAL signatures for the multimodal binary column
+    (`operators/multimodal.media_signatures`): 60-bit aHash (chunk mean
+    vs payload mean) + 59-bit dHash (adjacent-chunk gradient) over the
+    deterministic stub decode, per media item. Pure integer arithmetic
+    (cross-multiplied comparisons, no division), so the DuckDB oracle
+    rebuilds every signature bit-for-bit from the payload's hex
+    rendering — certifying the whole Arrow-batched kernel, not just its
+    plumbing. A real image corpus swaps the stub for a PIL decode + 8x8
+    downsample behind the same signature contract (the q33 env-gate).
+
+    Scale shape: one narrow mapInPandas over the payload column — binary
+    bytes never cross a shuffle; only (media_id, 2 x int64) leaves the
+    scan. Corpus-grain output ships unsorted (q33 contract)."""
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        media_signatures,
+        media_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return media_signatures(media_table(t["documents"]))
+
+
+@query(
+    "q159_media_dedup",
+    oracle=_MEDIA_SIG_CTES
+    + r""",
+    bands AS (
+      SELECT media_id, media_type, ahash, k, (ahash >> (k*15)) & 32767
+               AS key
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    ),
+    pairs AS (
+      SELECT DISTINCT x.media_type, x.media_id AS id_a, y.media_id AS id_b,
+             bit_count(xor(x.ahash, y.ahash)) AS hamming
+      FROM bands x JOIN bands y
+        ON x.k = y.k AND x.key = y.key
+       AND x.media_type = y.media_type AND x.media_id < y.media_id
+    ),
+    pstat AS (
+      SELECT media_type, count(*) AS cand_pairs,
+             sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS near_pairs
+      FROM pairs GROUP BY media_type
+    ),
+    exg AS (
+      SELECT media_type, count(*) AS exact_groups,
+             sum(n - 1) AS exact_extra
+      FROM (SELECT media_type, bh, count(*) AS n
+            FROM sig GROUP BY media_type, bh) g
+      WHERE n >= 2 GROUP BY media_type
+    ),
+    basec AS (SELECT media_type, count(*) AS n_media FROM sig
+              GROUP BY media_type)
+    SELECT basec.media_type,
+           CAST(n_media AS BIGINT) AS n_media,
+           CAST(coalesce(exact_groups, 0) AS BIGINT) AS exact_groups,
+           CAST(coalesce(exact_extra, 0) AS BIGINT) AS exact_extra,
+           CAST(coalesce(cand_pairs, 0) AS BIGINT) AS cand_pairs,
+           CAST(coalesce(near_pairs, 0) AS BIGINT) AS near_pairs
+    FROM basec LEFT JOIN exg ON basec.media_type = exg.media_type
+               LEFT JOIN pstat ON basec.media_type = pstat.media_type
+    ORDER BY basec.media_type
+    """,
+)
+def q159(spark, sf_dir):
+    """BINARY-CONTENT dedup for the multimodal columns — the tier the
+    text-dedup family cannot see (it reads `text`; this reads payload
+    bytes). Two tiers, audited per media_type:
+
+    - EXACT: sha2-256 over the raw payload, groups with >= 2 members
+      (byte-identical files — the first pass of every media dedup);
+    - NEAR: banded-hamming pairing (`dedup.hamming_band_pairs`, the
+      q26 pigeonhole machinery reused) over the 60-bit aHash from q158,
+      candidates restricted WITHIN media_type (images pair with images),
+      confirmed at hamming <= 3.
+
+    Output: per media_type — n_media, exact groups/extra copies,
+    candidate pairs (band collisions), near pairs (hamming <= 3). On
+    this synthetic fixture the near tier finds 0 confirmed pairs at
+    sf0.01 (all texts distinct, byte stats well separated) — the
+    candidate counts prove the band join runs; the planted-duplicate
+    unit tests pin recall.
+
+    Scale shape: signatures from one narrow kernel pass; the self-join
+    is keyed on (media_type, band_idx, band_key) — never all-pairs; the
+    exact tier is one sha-keyed aggregate. Payload bytes never shuffle:
+    the sha and the signature are both computed scan-side."""
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        PERCEPTUAL_HASH_BITS,
+        media_signatures,
+        media_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    media = media_table(t["documents"])
+    sigs = media_signatures(media)
+    base = media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media")
+    )
+    ex_stats = (
+        media.groupBy("media_type", F.sha2("payload", 256).alias("bh"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("exact_groups"),
+            F.sum(F.col("n") - 1).alias("exact_extra"),
+        )
+    )
+    pairs = D.hamming_band_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="ahash",
+        sig_bits=PERCEPTUAL_HASH_BITS,
+        band_bits=15,
+        key_cols=("media_type",),
+    )
+    pair_stats = pairs.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("cand_pairs"),
+        F.sum((F.col("hamming") <= 3).cast("long")).alias("near_pairs"),
+    )
+    return (
+        base.join(F.broadcast(ex_stats), "media_type", "left")
+        .join(F.broadcast(pair_stats), "media_type", "left")
+        .select(
+            "media_type",
+            "n_media",
+            F.coalesce("exact_groups", F.lit(0)).alias("exact_groups"),
+            F.coalesce("exact_extra", F.lit(0)).alias("exact_extra"),
+            F.coalesce("cand_pairs", F.lit(0)).alias("cand_pairs"),
+            F.coalesce("near_pairs", F.lit(0)).alias("near_pairs"),
+        )
+        .transform(presentation_sort, "media_type")
+    )

@@ -106,3 +106,80 @@ def test_frame_sample_offsets(media):
     g = frames.groupby("media_id")["frame_idx"].apply(list)
     for idxs in g:
         assert idxs == list(range(len(idxs)))
+
+
+def test_ahash_dhash_kernel_properties():
+    """Kernel edges: empty payload -> 0/0; identical payloads -> equal
+    signatures; a uniform payload has no above-mean chunk (ahash 0) and
+    no gradient (dhash 0); signatures are non-negative int64 (< 2^60)."""
+    import numpy as np
+
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        ahash_dhash_kernel,
+    )
+
+    payload = np.array(
+        [b"", b"\x05" * 100, b"hello world " * 20, b"hello world " * 20],
+        dtype=object,
+    )
+    ah, dh = ahash_dhash_kernel(payload)
+    assert ah[0] == 0 and dh[0] == 0
+    assert ah[1] == 0 and dh[1] == 0  # uniform bytes: no bit set
+    assert (ah[2], dh[2]) == (ah[3], dh[3])  # identical bytes, equal sigs
+    assert all(0 <= int(x) < (1 << 60) for x in ah)
+    assert all(0 <= int(x) < (1 << 59) for x in dh)
+
+
+def test_media_dedup_planted_duplicates(spark):
+    """Recall pin for the binary dedup tiers: byte-identical payloads are
+    found by BOTH tiers (sha group + hamming-0 pair); a payload with one
+    byte flipped lands within hamming<=3 of its source (near tier);
+    unrelated payloads produce no near pair."""
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        PERCEPTUAL_HASH_BITS,
+        media_signatures,
+    )
+
+    base = b"The quick brown fox jumps over the lazy dog. " * 10
+    near = bytearray(base)
+    near[7] = ord("X")  # one byte: at most a few chunk means move
+    rows = [
+        (1, bytes(base), "image", "raw", len(base)),
+        (2, bytes(base), "image", "raw", len(base)),   # exact dup of 1
+        (3, bytes(near), "image", "raw", len(near)),   # near dup of 1
+        (4, bytes(reversed(base)), "image", "raw", len(base)),
+        (5, b"completely unrelated bytes %s" % bytes(range(200)),
+         "image", "raw", 228),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, media_type string, format string,"
+        " n_bytes long",
+    )
+    sigs = media_signatures(media)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_band_pairs(
+            sigs,
+            id_col="media_id",
+            sig_col="ahash",
+            sig_bits=PERCEPTUAL_HASH_BITS,
+            band_bits=15,
+            max_hamming=3,
+            key_cols=("media_type",),
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0, pairs  # exact dup: hamming 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3, pairs  # near dup found
+    assert (1, 5) not in pairs and (2, 5) not in pairs
+    # exact tier: one sha group with 2 members
+    ex = (
+        media.groupBy(F.sha2("payload", 256).alias("bh"))
+        .count()
+        .where(F.col("count") >= 2)
+        .collect()
+    )
+    assert len(ex) == 1 and ex[0]["count"] == 2

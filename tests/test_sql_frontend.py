@@ -63,6 +63,8 @@ DUCKDB_ONLY = {
     "q25_minhash_lsh_pairs", # duckdb list_* (same shingle CTE as q24)
     "q26_simhash_pairs",     # duckdb hex-cast/xor + string_split_regex
     "q33_multimodal_features",  # duckdb encode()
+    "q158_media_signatures",  # duckdb hex/encode + generate_series bytes
+    "q159_media_dedup",       # same sig ladder + xor/bit_count/<< pairing
     "q36_tfidf_search",      # duckdb list_filter/string_split_regex
     "q63_incremental_dedup", # duckdb list_* (same shingle CTE as q24)
     "q75_bm25_search",       # duckdb list_filter/string_split_regex
