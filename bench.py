@@ -112,8 +112,8 @@ def main() -> None:
     # while a query is being served), but nothing below re-reads them and
     # a 163-query session must not accumulate cached blocks it no longer
     # needs. The throughput pass below therefore re-executes unpinned —
-    # slightly conservative for the 9 pin-using queries
-    # (q86/q122/q128/q133/q136/q138/q140/q144/q154).
+    # slightly conservative for the 10 pin-using queries
+    # (q86/q102/q122/q128/q133/q136/q138/q140/q144/q154).
     from eurostat_energy_etl_pipeline_spark import plans as plans_mod
 
     plans_mod.release_pins()

@@ -1022,10 +1022,11 @@ def q82(spark, sf_dir):
     both counts come from the whole corpus; per language: mean score and
     the count of improbable documents (avg < -3 nats ~ perplexity > 20
     per bigram). Plan: tokenize once, explode bigrams once, pre-aggregate
-    instances to (doc, bigram, multiplicity), then derive BOTH count
-    tables by map-side-combined groupBys (the prefix table folds out of
-    the bigram table, never touching instances) and join them back at the
-    (doc, bigram) grain. Round 3 used count windows partitioned by the raw
+    instances to (doc, bigram, multiplicity), reduce to the bigram-TYPE
+    count table, attach prefix totals to it with ONE sum-over-window at
+    type grain (r11 — replaces the r7 prefix aggregate + join-back), and
+    join the enriched types back at the (doc, bigram) grain. Round 3
+    used count windows partitioned by the raw
     prefix, which serializes every instance of the hottest token ("the")
     into one task — a guaranteed straggler/OOM key at corpus scale. Here
     no stage ever groups raw instances by a skewed key: the hot prefix is
@@ -1062,13 +1063,15 @@ def q82(spark, sf_dir):
         F.count(F.lit(1)).alias("m")
     )
     bgc = db.groupBy("bigram").agg(F.sum("m").alias("c_bg"))
-    pfc = bgc.groupBy(
-        F.split(F.col("bigram"), " ")[0].alias("pfx")
-    ).agg(F.sum("c_bg").alias("c_pfx"))
-    bgc2 = (
-        bgc.withColumn("pfx", F.split(F.col("bigram"), " ")[0])
-        .join(pfc, "pfx")
-        .select("bigram", "c_bg", "c_pfx")
+    # Prefix totals as a sum-over-window on the TYPE-grain table (r11):
+    # one pfx exchange of (bigram, c_bg) rows replaces the r7 aggregate +
+    # join-back (two exchanges + a join build). The window partition is
+    # bigram TYPES per prefix — bounded by |V|, never the raw instance
+    # stream (the round-3 skew trap the plan gate still forbids);
+    # measured 1.6 -> 1.05 s warm at sf0.1, identical results.
+    pfx_w = Window.partitionBy(F.split(F.col("bigram"), " ")[0])
+    bgc2 = bgc.withColumn("c_pfx", F.sum("c_bg").over(pfx_w)).select(
+        "bigram", "c_bg", "c_pfx"
     )
     scored = db.join(bgc2, "bigram").select(
         "doc_id",
@@ -1528,17 +1531,31 @@ def q102(spark, sf_dir):
     bigram-instance ratio (the distribution-shift signal). Same grain
     discipline as q82: instances reduce to (doc, bigram, m) before any
     corpus-wide key is touched; the smoothing scalar |V| broadcasts as
-    a 1-row cross join. At 100 TB this is the nightly
-    score-new-data-against-curated-counts job."""
+    a 1-row cross join reading the PINNED tokenized split table (r11 —
+    the vocab pass previously re-scanned and re-tokenized the corpus).
+    At 100 TB this is the nightly score-new-data-against-curated-counts
+    job. Residual wall is job count (14 AQE stage-materialization jobs:
+    pin + vocab broadcast + 2 count tiers + 2 scale-safe SMJ scoring
+    joins + 2 rollup grains + presentation), not data volume — the two
+    scoring joins stay separate because an unseen val bigram still needs
+    its prefix's train total, and both stay SMJ because the count tables
+    are corpus-wide at 100 TB (broadcast would be a small-scale-only
+    cheat)."""
     from eurostat_energy_etl_pipeline_spark.operators.sampling import (
         sample_predicate,
     )
 
     t = load_tables(spark, sf_dir)
     toks = F.filter(T.whitespace_tokens(F.col("text")), lambda x: x != "")
-    docs = (
-        widen_if_narrow(t["documents"])
-        .select(
+    # The tokenized split table feeds TWO consumers with different
+    # downstream grains (the bigram pipeline and the |V| vocab scalar's
+    # broadcast subtree) — without a pin the vocab pass re-scans and
+    # re-tokenizes the corpus (measured 2.0 -> 1.45 s warm at sf0.1).
+    # plans.pin lifetime: released by the harness after measurement. At
+    # cluster scale the persist spills MEMORY_AND_DISK and degrades
+    # gracefully to the recompute it replaces if cache is short.
+    docs = pin(
+        widen_if_narrow(t["documents"]).select(
             "doc_id",
             "lang",
             toks.alias("tk"),

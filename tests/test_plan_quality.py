@@ -280,9 +280,19 @@ def test_q82_bigram_lm_no_skewed_instance_window(spark, queries):
     # equal at runtime (ReusedExchange in the FINAL plan; the static plan
     # still shows the duplicated lineage, which is why this asserts after
     # execution).
+    # r11 exception: ONE window is allowed — the prefix-total sum over
+    # the aggregated (bigram, c_bg) TYPE-grain table (bounded by |V| per
+    # prefix). The forbidden shape remains a window over the raw
+    # instance stream, so the single Window block must consume c_bg.
     df = queries["q82_bigram_lm_score"](spark, SF_DIR)
     static_plan = plan_of(df)
-    assert ") Window" not in static_plan
+    win_blocks = [
+        b
+        for b in static_plan.split("\n\n")
+        if b.lstrip().startswith("(") and ") Window" in b.splitlines()[0]
+    ]
+    assert len(win_blocks) == 1, static_plan
+    assert "c_bg#" in win_blocks[0], win_blocks[0]
     df.collect()
     final_plan = plan_of(df)
     assert "ReusedExchange" in final_plan  # (doc,lang,bigram) grain shared
@@ -794,6 +804,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
 
     pin_users = [
         "q86_join_skew_profile",
+        "q102_heldout_lm",
         "q144_winnowing",
         "q154_column_profile",
         "q122_pmi_collocations",
