@@ -43,6 +43,7 @@ _DRIVER_CHECK_PRIORITY = [
     "q157_substring_cut_audit",
     "q158_media_signatures",
     "q159_media_dedup",
+    "q160_ivf_merge_probe",
     # last driver-checked in round 7
     "q17b_insights_full",
     "q18_fastest_rising",

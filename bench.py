@@ -163,6 +163,9 @@ def main() -> None:
         "q37_ivf_ann",
         "q80_ivf_sq8_ann",
         "q88_knn_join_lsh",
+        # r11: same unrolled-trainer CTE ladder as q37, plus the oracle
+        # re-derives the post-merge corpus with a full cross-join probe
+        "q160_ivf_merge_probe",
     }
 
     def _ratios() -> dict:

@@ -573,9 +573,9 @@ def merge_into_minhash_index(
     rows = meta["num_hashes"] // meta["bands"]
 
     if tombstone_ids is None:
-        tomb = spark.createDataFrame(
-            __import__("pandas").DataFrame({"id": []}).astype({"id": "int64"})
-        )
+        # explicit schema: pandas empty-frame inference raises
+        # CANNOT_INFER_EMPTY_SCHEMA on this pyspark
+        tomb = spark.createDataFrame([], "id long")
     elif isinstance(tombstone_ids, DataFrame):
         tomb = tombstone_ids.select(F.col(tombstone_ids.columns[0]).alias("id"))
     else:

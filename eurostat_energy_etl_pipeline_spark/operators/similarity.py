@@ -526,6 +526,7 @@ def write_ivf_index(
     nlist: int = 16,
     quantize: bool = False,
     centroids: np.ndarray | None = None,
+    num_id_buckets: int = 16,
 ) -> np.ndarray:
     """Materialize the IVF index at rest: corpus rows written
     `partitionBy(cell)` (probes become partition-pruned scans, exactly
@@ -593,6 +594,43 @@ def write_ivf_index(
     spark.createDataFrame(rows, "cell int, centroid array<long>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}_centroids")
+    # id -> cell sidecar, partitioned by an id-hash bucket (the FAISS
+    # IDMap role): maintenance (`merge_into_ivf_index`) prunes it by
+    # pmod(id) to find which CELLS contain the ids of a merge batch —
+    # without it a delete/update would need a corpus-wide scan to locate
+    # its victim's partition. Same bucketing contract as the q63 MinHash
+    # index.
+    # derived by reading the written index back (a column-pruned scan of
+    # id + the cell partition value — no recompute of the assignment)
+    (
+        spark.read.parquet(path)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.pmod(F.col(id_col), F.lit(num_id_buckets))
+            .cast("int")
+            .alias("idb"),
+        )
+        .repartition("idb")
+        .write.mode("overwrite")
+        .partitionBy("idb")
+        .parquet(f"{path}_ids")
+    )
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        _write_index_meta,
+    )
+
+    _write_index_meta(
+        path,
+        {
+            "nlist": int(nlist),
+            "num_id_buckets": int(num_id_buckets),
+            "quantize": bool(quantize),
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        spark=spark,
+    )
     return cents
 
 
@@ -635,6 +673,243 @@ def ivf_index_topk(
         .orderBy(F.desc("cos"), id_col)
         .limit(k)
     )
+
+
+def merge_into_ivf_index(
+    spark,
+    path: str,
+    upserts: DataFrame | None = None,
+    tombstone_ids=None,
+    recenter_threshold: int | None = None,
+) -> dict:
+    """Incrementally maintain an at-rest IVF index written by
+    :func:`write_ivf_index` — the vector-side twin of
+    `dedup.merge_into_minhash_index` (VERDICT r10 item 5). MERGE
+    semantics on id: upserts replace any existing entry, tombstoned ids
+    are removed, tombstones win over upserts inside one batch. The coarse
+    quantizer is NOT retrained (the FAISS maintenance reality: new
+    vectors are assigned to the EXISTING cells), so a maintained index is
+    bit-identical to a scratch rebuild of the effective corpus with the
+    same centroids — the differential the tests pin.
+
+    Scale shape:
+      1. the batch's ids prune the `{path}_ids` sidecar by pmod(id) to
+         find which CELLS currently hold them (O(affected id-buckets)
+         read, never a corpus scan);
+      2. touched cells = those old cells ∪ the new assignments' cells;
+         only those partitions of the index are read, anti-joined against
+         the batch ids, unioned with the freshly-assigned upserts, and
+         written back with dynamic partition overwrite (emptied cell
+         dirs deleted explicitly, the object-store contract);
+      3. the sidecar's affected id-buckets are rewritten the same way.
+
+    `recenter_threshold` (optional, int — squared L2 distance on the 1e-6
+    integer grid): after the rewrite, each touched cell's post-merge mean
+    is recomputed with the trainer's exact half-up Lloyd update
+    floor((2s+n)/2n); a centroid whose mean drifted past the threshold is
+    moved there and `{path}_centroids` rewritten (nlist rows — metadata
+    scale). Re-centering moves PROBE targets only; existing assignments
+    keep their cells (the standard IVF maintenance tradeoff — drift is
+    corrected where queries see it, without an O(corpus) reassignment).
+
+    Float layout only: an SQ8 index's per-vector scale makes an upsert's
+    encoding depend on data this function must not re-derive — rebuild
+    quantized indexes from the maintained float one."""
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        _hadoop_fs,
+        read_index_meta,
+    )
+
+    meta = read_index_meta(path, spark)
+    if meta.get("quantize"):
+        raise ValueError(
+            "merge_into_ivf_index maintains the float layout; rebuild the "
+            "SQ8 index from the maintained float index instead"
+        )
+    id_col = meta["id_col"]
+    vec_col = meta["vec_col"]
+    nb = meta["num_id_buckets"]
+    cent_rows = (
+        spark.read.parquet(f"{path}_centroids").orderBy("cell").collect()
+    )
+    cents = np.array([r.centroid for r in cent_rows], dtype=np.int64)
+
+    if tombstone_ids is None:
+        tomb = spark.createDataFrame([], "id long")
+    elif isinstance(tombstone_ids, DataFrame):
+        tomb = tombstone_ids.select(
+            F.col(tombstone_ids.columns[0]).alias("id")
+        )
+    else:
+        tomb = spark.createDataFrame(
+            pd.DataFrame({"id": list(tombstone_ids)}).astype({"id": "int64"})
+        )
+    ups_ids = (
+        upserts.select(F.col(id_col).alias("id"))
+        if upserts is not None
+        else tomb.limit(0)
+    )
+    affected = ups_ids.unionByName(tomb).distinct().persist()
+    idbs = sorted(
+        r["b"]
+        for r in affected.select(
+            F.pmod(F.col("id"), F.lit(nb)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    # cells currently holding affected ids: partition-pruned sidecar read
+    old_cells = {
+        r["cell"]
+        for r in spark.read.parquet(f"{path}_ids")
+        .where(F.col("idb").isin(idbs))
+        .join(F.broadcast(affected), "id", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+
+    eff_ups = None
+    if upserts is not None:
+        eff_ups = (
+            upserts.join(
+                F.broadcast(tomb), upserts[id_col] == tomb["id"], "left_anti"
+            )
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                ivf_cell_of(F.col(vec_col), cents).alias("cell"),
+            )
+            .persist()
+        )
+        new_cells = {
+            r["cell"]
+            for r in eff_ups.select("cell").distinct().collect()
+        }
+    else:
+        new_cells = set()
+    touched = sorted(old_cells | new_cells)
+    audit = {
+        "n_tombstones": tomb.count(),
+        "n_upserts": eff_ups.count() if eff_ups is not None else 0,
+        "cells_touched": len(touched),
+        "recentered": [],
+    }
+
+    # rewrite the touched index partitions
+    old = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(touched))
+        .select(id_col, vec_col, "cell")
+        .join(
+            F.broadcast(affected),
+            F.col(id_col) == F.col("id"),
+            "left_anti",
+        )
+    )
+    out = old if eff_ups is None else old.unionByName(eff_ups)
+    out = out.localCheckpoint(eager=True)
+
+    if recenter_threshold is not None and touched:
+        # post-merge per-cell mean on the integer grid — the trainer's
+        # exact floor((2s+n)/2n) Lloyd update, computed from O(nlist*dim)
+        # aggregated rows, never per-vector driver data
+        stats = (
+            out.select(
+                "cell",
+                F.posexplode(grid_int_col(F.col(vec_col))).alias(
+                    "pos", "g"
+                ),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("g").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        dim = cents.shape[1]
+        sums = {}
+        for r in stats:
+            sums.setdefault(r["cell"], np.zeros((dim, 2), dtype=np.int64))[
+                r["pos"]
+            ] = (r["s"], r["n"])
+        moved = False
+        for cell, sn in sums.items():
+            n = int(sn[0, 1])
+            if n == 0:
+                continue
+            mean = np.floor_divide(2 * sn[:, 0] + n, 2 * n)
+            drift = int(((mean - cents[cell]) ** 2).sum())
+            if drift > recenter_threshold:
+                cents[cell] = mean
+                audit["recentered"].append(int(cell))
+                moved = True
+        if moved:
+            rows = pd.DataFrame(
+                {
+                    "cell": range(len(cents)),
+                    "centroid": [[int(x) for x in c] for c in cents],
+                }
+            )
+            spark.createDataFrame(
+                rows, "cell int, centroid array<long>"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{path}_centroids"
+            )
+
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("cell").parquet(path)
+        present = {
+            r["cell"] for r in out.select("cell").distinct().collect()
+        }
+        fs, _ = _hadoop_fs(spark, path)
+        for c in touched:
+            if c not in present:
+                cpath = spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/cell={c}"
+                )
+                if fs.exists(cpath):
+                    fs.delete(cpath, True)
+        # sidecar: rewrite the affected id-buckets from the post-merge
+        # membership of the touched cells
+        side_old = (
+            spark.read.parquet(f"{path}_ids")
+            .where(F.col("idb").isin(idbs))
+            .join(F.broadcast(affected), "id", "left_anti")
+        )
+        side_new = out.select(
+            F.col(id_col).alias("id"),
+            F.col("cell").cast("int").alias("cell"),
+        ).join(F.broadcast(affected), "id", "left_semi")
+        side = (
+            side_old.select("id", "cell")
+            .unionByName(side_new)
+            .withColumn(
+                "idb", F.pmod(F.col("id"), F.lit(nb)).cast("int")
+            )
+            .localCheckpoint(eager=True)
+        )
+        side.write.mode("overwrite").partitionBy("idb").parquet(
+            f"{path}_ids"
+        )
+        side_present = {
+            r["idb"] for r in side.select("idb").distinct().collect()
+        }
+        for b in idbs:
+            if b not in side_present:
+                bpath = spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{path}_ids/idb={b}"
+                )
+                if fs.exists(bpath):
+                    fs.delete(bpath, True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if eff_ups is not None:
+        eff_ups.unpersist()
+    affected.unpersist()
+    return audit
 
 
 # ---------------------------------------------------------------------------

@@ -522,6 +522,9 @@ def _ivf_oracle_sql(
     sample_size: int = 4096,
     salt: str = "ivf",
     sq8: bool = False,
+    g_cte: str | None = None,
+    train_cte: str | None = None,
+    train_src: str = "g",
 ) -> str:
     """Exact DuckDB replay of the WHOLE IVF pipeline — trainer included
     (the q127 unrolled-CTE recipe applied to k-means, VERDICT r9 item 1).
@@ -538,17 +541,22 @@ def _ivf_oracle_sql(
     gt_oracles."""
     score = "list_dot_product(c.c, c.c) - 2 * list_dot_product({v}, c.c)"
     ctes = [
-        """g AS (
+        g_cte
+        or """g AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> floor(x * 1e6 + 0.5)) AS vi
       FROM embeddings)""",
+    ]
+    if train_cte is not None:
+        ctes.append(train_cte)
+    ctes += [
         f"""ordd AS (
       SELECT vec_id, vi,
              row_number() OVER (
                ORDER BY md5('{salt}:' || CAST(vec_id AS STRING)), vec_id)
                AS rn
-      FROM g)""",
+      FROM {train_src})""",
         f"samp AS (SELECT vec_id, vi FROM ordd WHERE rn <= {sample_size})",
         f"""c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, vi AS c
                FROM ordd WHERE rn <= {nlist})""",
@@ -2455,3 +2463,81 @@ def q159(spark, sf_dir):
         )
         .transform(presentation_sort, "media_type")
     )
+
+
+# Maintained IVF index memo per (session, sf_dir): base index trained and
+# written on ~2/3 of the embeddings, then ONE merge_into_ivf_index batch
+# (adds + deterministically-transformed updates + tombstones) — q160
+# probes the POST-maintenance index, so its oracle certifies the
+# maintenance end-to-end (the q111 pattern on the vector side).
+_MAINT_IVF: dict = {}
+
+
+def _maintained_ivf_path(spark, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    path = _MAINT_IVF.get(key)
+    if path is None:
+        tag = hashlib.md5(f"{app}:{sf_dir}:maint".encode()).hexdigest()[:12]
+        path = f"{tempfile.gettempdir()}/spark_graft_ivf_maint_{tag}"
+        e = load_tables(spark, sf_dir)["embeddings"]
+        base = e.where(F.col("vec_id") % 3 != 2)
+        S.write_ivf_index(base, path, nlist=16)
+        adds = e.where(F.col("vec_id") % 3 == 2).select("vec_id", "embedding")
+        upd = e.where(
+            (F.col("vec_id") % 3 != 2) & (F.col("vec_id") % 23 == 5)
+        ).select("vec_id", F.reverse("embedding").alias("embedding"))
+        tomb = e.where(F.col("vec_id") % 17 == 3).select("vec_id")
+        S.merge_into_ivf_index(
+            spark, path, upserts=adds.unionByName(upd), tombstone_ids=tomb
+        )
+        _MAINT_IVF[key] = path
+    return path
+
+
+# Oracle corpus CTEs for q160: the trainer saw the BASE subset's original
+# vectors (training happened before the merge); probes run against the
+# POST-merge effective corpus (tombstones removed, update ids carrying
+# the reversed vectors, adds present).
+_IVF_MERGE_G = """g AS (
+      SELECT vec_id, v, list_transform(v, x -> floor(x * 1e6 + 0.5)) AS vi
+      FROM (SELECT vec_id,
+                   CASE WHEN vec_id % 3 <> 2 AND vec_id % 23 = 5
+                        THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                        ELSE CAST(embedding AS DOUBLE[]) END AS v
+            FROM embeddings WHERE vec_id % 17 <> 3))"""
+_IVF_MERGE_GT = """gt AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * 1e6 + 0.5)) AS vi
+      FROM embeddings WHERE vec_id % 3 <> 2)"""
+
+
+@query(
+    "q160_ivf_merge_probe",
+    oracle=_ivf_oracle_sql(
+        g_cte=_IVF_MERGE_G, train_cte=_IVF_MERGE_GT, train_src="gt"
+    ),
+)
+def q160(spark, sf_dir):
+    """Incremental IVF index MAINTENANCE, certified by probing (VERDICT
+    r10 item 5; `similarity.merge_into_ivf_index` — the vector twin of
+    q111's MinHash MERGE): the at-rest index is built on 2/3 of the
+    corpus, then one merge batch applies adds (vec_id%3==2), updates
+    (vec_id%23==5 re-embedded as the reversed vector) and tombstones
+    (vec_id%17==3, winning over upserts), touching ONLY the cell
+    partitions holding affected ids (located via the pmod-bucketed
+    {path}_ids sidecar — never a corpus scan) plus the new assignments'
+    cells. The query probes the maintained index; the oracle re-derives
+    the trainer on the base subset (the q37 unrolled CTE ladder) and the
+    effective post-merge corpus independently, so a hash match certifies
+    merge == scratch-rebuild bit-for-bit. The quantizer is NOT retrained
+    (the FAISS maintenance reality); the optional drift re-center is
+    unit-tested in tests/test_similarity.py."""
+    path = _maintained_ivf_path(spark, sf_dir)
+    e = load_tables(spark, sf_dir)["embeddings"]
+    qvec = _query_vec(e)
+    return S.ivf_index_topk(spark, path, qvec, k=5, nprobe=4)

@@ -344,3 +344,24 @@ def test_edit_distance_join_rejects_max_dist_above_one(spark):
     df = spark.createDataFrame([(0, "abcdefghij")], ["id", "name"])
     with pytest.raises(ValueError, match="max_dist=1"):
         D.edit_distance_join(df, max_dist=2)
+
+
+def test_merge_into_minhash_index_upserts_only_no_tombstones(spark, tmp_path):
+    """Regression (r11): tombstone_ids=None exercised the pandas
+    empty-frame schema inference, which raises CANNOT_INFER_EMPTY_SCHEMA
+    on this pyspark — an adds-only maintenance batch must work."""
+    docs = spark.createDataFrame(
+        [(i, f"{BASE} variant token_{i}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "addsonly")
+    D.write_minhash_index(docs.where(F.col("doc_id") < 8), idx, num_buckets=4)
+    audit = D.merge_into_minhash_index(
+        spark, idx, upserts=docs.where(F.col("doc_id") >= 8)
+    )
+    assert audit["n_upserts"] == 4 and audit["n_tombstones"] == 0
+    got = {
+        r["id"]
+        for r in spark.read.parquet(f"{idx}/bands").select("id").distinct().collect()
+    }
+    assert got == set(range(12))

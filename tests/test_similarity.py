@@ -360,3 +360,118 @@ def test_knn_join_lsh_recall_floor_and_no_dupes(vectors):
     from collections import Counter
 
     assert max(Counter(q for q, _ in pairs).values()) <= 3
+
+
+def test_ivf_merge_differential_vs_scratch(vectors, tmp_path, spark):
+    """merge_into_ivf_index == scratch rebuild of the effective corpus
+    with the same centroids, bit-for-bit: rows, cell partitions, sidecar
+    mapping, and probe results all identical (the q111 differential on
+    the vector side)."""
+    df, base = vectors
+    base_df = df.where(F.col("vec_id") % 3 != 0)
+    adds = df.where(F.col("vec_id") % 3 == 0)
+    upd = base_df.where(F.col("vec_id") % 7 == 1).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    tomb = [int(r.vec_id) for r in
+            df.where(F.col("vec_id") % 11 == 2).select("vec_id").collect()]
+    p_inc = str(tmp_path / "inc")
+    p_scr = str(tmp_path / "scr")
+    cents = S.write_ivf_index(base_df, p_inc, nlist=4)
+    audit = S.merge_into_ivf_index(
+        spark, p_inc,
+        upserts=adds.select("vec_id", "embedding").unionByName(upd),
+        tombstone_ids=tomb,
+    )
+    assert audit["n_tombstones"] == len(tomb)
+    eff = df.where(~F.col("vec_id").isin(tomb)).select(
+        "vec_id",
+        F.when(
+            (F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 7 == 1),
+            F.reverse("embedding"),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    S.write_ivf_index(eff, p_scr, nlist=4, centroids=cents)
+    key = lambda p: {
+        (r["vec_id"], r["cell"], tuple(r["embedding"]))
+        for r in spark.read.parquet(p).collect()
+    }
+    assert key(p_inc) == key(p_scr)
+    side = lambda p: {
+        (r["id"], r["cell"])
+        for r in spark.read.parquet(f"{p}_ids").collect()
+    }
+    assert side(p_inc) == side(p_scr)
+    q = [float(x) for x in base[0]]
+    probe = lambda p: [
+        (r["vec_id"], r["cos"])
+        for r in S.ivf_index_topk(spark, p, q, k=5, nprobe=2).collect()
+    ]
+    assert probe(p_inc) == probe(p_scr)
+
+
+def test_ivf_merge_tombstone_wins_within_batch(vectors, tmp_path, spark):
+    df, _ = vectors
+    path = str(tmp_path / "twin")
+    S.write_ivf_index(df, path, nlist=4)
+    # id 3 is upserted AND tombstoned in the same batch: the delete wins
+    ups = df.where(F.col("vec_id") == 3).select("vec_id", "embedding")
+    S.merge_into_ivf_index(spark, path, upserts=ups, tombstone_ids=[3])
+    assert spark.read.parquet(path).where("vec_id = 3").count() == 0
+    assert spark.read.parquet(f"{path}_ids").where("id = 3").count() == 0
+
+
+def test_ivf_merge_recenter_is_exact_lloyd_update(spark, tmp_path):
+    """Drift trigger: with a tight threshold, a touched cell's centroid
+    moves to EXACTLY floor((2s+n)/2n) of its post-merge members (the
+    trainer's half-up Lloyd update); with a huge threshold it stays."""
+    dim = 4
+    # two well-separated cells
+    near0 = [[0.0] * dim, [0.1] * dim, [0.2] * dim]
+    near9 = [[9.0] * dim, [9.1] * dim, [9.2] * dim]
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(near0 + near9)]
+    df = spark.createDataFrame(rows)
+    for thresh, expect_move in ((0, True), (10**18, False)):
+        path = str(tmp_path / f"drift{thresh}")
+        S.write_ivf_index(df, path, nlist=2)
+        before = {
+            r["cell"]: np.array(r["centroid"])
+            for r in spark.read.parquet(f"{path}_centroids").collect()
+        }
+        # adds land near the 9-cluster and drag its mean up
+        adds = spark.createDataFrame(
+            [Row(vec_id=100, embedding=[11.0] * dim),
+             Row(vec_id=101, embedding=[11.5] * dim)]
+        )
+        audit = S.merge_into_ivf_index(
+            spark, path, upserts=adds, recenter_threshold=thresh
+        )
+        after = {
+            r["cell"]: np.array(r["centroid"])
+            for r in spark.read.parquet(f"{path}_centroids").collect()
+        }
+        if not expect_move:
+            assert audit["recentered"] == []
+            assert all((before[c] == after[c]).all() for c in before)
+            continue
+        assert audit["recentered"], audit
+        for c in audit["recentered"]:
+            members = spark.read.parquet(path).where(
+                F.col("cell") == c
+            ).collect()
+            g = np.array(
+                [np.floor(np.array(m["embedding"]) * 1e6 + 0.5)
+                 for m in members],
+                dtype=np.int64,
+            )
+            n = len(g)
+            expected = np.floor_divide(2 * g.sum(axis=0) + n, 2 * n)
+            assert (after[c] == expected).all(), (after[c], expected)
+
+
+def test_ivf_merge_rejects_quantized_layout(vectors, tmp_path, spark):
+    df, _ = vectors
+    path = str(tmp_path / "sq8")
+    S.write_ivf_index(df, path, nlist=4, quantize=True)
+    with pytest.raises(ValueError, match="float layout"):
+        S.merge_into_ivf_index(spark, path, tombstone_ids=[1])

@@ -34,6 +34,7 @@ DUCKDB_ONLY = {
     "q31_embedding_neardup", # duckdb list_* vector arithmetic
     "q32_lsh_ann",           # duckdb list_dot_product/bit_count LSH replay
     "q37_ivf_ann",           # duckdb unrolled-CTE IVF trainer replay
+    "q160_ivf_merge_probe",  # same CTE ladder over the post-merge corpus
     "q80_ivf_sq8_ann",       # same + quantize/dequantize list arithmetic
     "q88_knn_join_lsh",      # duckdb list_* bucket replay + popcount join
     "q141_substring_dedup",  # duckdb list slicing + generate_series windows
