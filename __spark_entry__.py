@@ -44,6 +44,9 @@ _DRIVER_CHECK_PRIORITY = [
     "q158_media_signatures",
     "q159_media_dedup",
     "q160_ivf_merge_probe",
+    "q161_media_quality",
+    "q162_tfidf_keywords",
+    "q163_media_dedup_apply",
     # last driver-checked in round 7
     "q17b_insights_full",
     "q18_fastest_rising",

@@ -289,3 +289,72 @@ def media_signatures(media: DataFrame) -> DataFrame:
             )
 
     return widen_if_narrow(media).mapInPandas(run, SIGNATURE_SCHEMA)
+
+
+QUALITY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_entropy", DoubleType()),
+        StructField("distinct_bytes", IntegerType()),
+        StructField("printable_ratio", DoubleType()),
+    ]
+)
+
+
+def byte_quality_kernel(payload: np.ndarray):
+    """Vectorized per-payload byte statistics for one Arrow batch (the
+    q94 entropy-kernel recipe on raw bytes): Shannon entropy in bits over
+    the byte histogram, distinct byte count, and printable-ASCII (32-126)
+    ratio. One concat + ONE np.unique over packed (row_index << 8 | byte)
+    keys — valid because bytes < 2^8 — no per-row histogram loop. Empty
+    payloads report 0/0/0.0. Entropy <= 8 bits always; a payload that is
+    compressed/encrypted media sits near 8, text near 4-5 — the
+    binary-vs-text triage every multimodal ingest runs before routing
+    payloads to decoders."""
+    n = len(payload)
+    lens = np.fromiter((len(b) for b in payload), np.int64, count=n)
+    ent = np.zeros(n, dtype=np.float64)
+    dis = np.zeros(n, dtype=np.int32)
+    pr = np.zeros(n, dtype=np.float64)
+    if n == 0 or lens.sum() == 0:
+        return lens, ent, dis, pr
+    buf = np.frombuffer(b"".join(payload), dtype=np.uint8)
+    doc = np.repeat(np.arange(n, dtype=np.uint64), lens)
+    key = (doc << np.uint64(8)) | buf.astype(np.uint64)
+    uniq, cnt = np.unique(key, return_counts=True)
+    udoc = (uniq >> np.uint64(8)).astype(np.int64)
+    ub = (uniq & np.uint64(0xFF)).astype(np.int64)
+    p = cnt / lens[udoc]
+    np.add.at(ent, udoc, -p * np.log2(p))
+    np.add.at(dis, udoc, 1)
+    printable = (ub >= 32) & (ub <= 126)
+    np.add.at(pr, udoc[printable], cnt[printable])
+    with np.errstate(invalid="ignore"):
+        pr = np.where(lens > 0, pr / np.maximum(lens, 1), 0.0)
+    return lens, ent, dis, pr
+
+
+def media_byte_quality(media: DataFrame) -> DataFrame:
+    """Per-media byte-quality table via the same narrow Arrow-batched
+    mapInPandas shape as :func:`media_signatures` — payloads never cross
+    a shuffle; only per-item scalars leave the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            _, ent, dis, pr = byte_quality_kernel(pdf["payload"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "byte_entropy": ent,
+                    "distinct_bytes": dis,
+                    "printable_ratio": pr,
+                }
+            )
+
+    return widen_if_narrow(media).mapInPandas(run, QUALITY_SCHEMA)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
 from eurostat_energy_etl_pipeline_spark.functions import (
     portable_round,
+    portable_round_sql,
     presentation_sort,
     widen_if_narrow,
 )
@@ -2541,3 +2542,284 @@ def q160(spark, sf_dir):
     e = load_tables(spark, sf_dir)["embeddings"]
     qvec = _query_vec(e)
     return S.ivf_index_topk(spark, path, qvec, k=5, nprobe=4)
+
+
+@query(
+    "q161_media_quality",
+    oracle=rf"""
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS L,
+             hex(encode(text)) AS h
+      FROM documents
+    ),
+    bytes AS (
+      SELECT media_id, L,
+             (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+           + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS v
+      FROM (SELECT media_id, L, h, unnest(generate_series(1, L)) AS i
+            FROM b WHERE L >= 1)
+    ),
+    e AS (
+      SELECT media_id, entropy(v) AS ent, count(DISTINCT v) AS db,
+             sum(CASE WHEN v BETWEEN 32 AND 126 THEN 1 ELSE 0 END) AS pr
+      FROM bytes GROUP BY media_id
+    )
+    SELECT b.media_id, b.media_type, CAST(b.L AS BIGINT) AS n_bytes,
+           {{e4}} AS byte_entropy,
+           CAST(coalesce(e.db, 0) AS INT) AS distinct_bytes,
+           CASE WHEN b.L = 0 THEN 0.0
+                ELSE floor(CAST(e.pr AS DOUBLE) / b.L * 1e6 + 0.5) / 1e6
+           END AS printable_ratio,
+           CASE WHEN {{e4}} > 6.0
+                  OR (b.L > 0 AND CASE WHEN b.L = 0 THEN 0.0
+                        ELSE floor(CAST(e.pr AS DOUBLE) / b.L * 1e6 + 0.5)
+                             / 1e6 END < 0.6)
+                THEN 1 ELSE 0 END AS binary_like
+    FROM b LEFT JOIN e ON b.media_id = e.media_id
+    ORDER BY b.media_id
+    """.format(e4=portable_round_sql("coalesce(e.ent, 0)", 4)),
+)
+def q161(spark, sf_dir):
+    """BYTE-QUALITY triage for the multimodal binary column
+    (`operators/multimodal.media_byte_quality`, the q94 entropy-kernel
+    recipe on raw bytes): per media item — Shannon byte entropy (bits),
+    distinct byte count, printable-ASCII ratio, and the binary-vs-text
+    flag (entropy > 6 bits or printables < 60%) every ingest runs before
+    routing payloads to decoders: compressed/encrypted media sits near 8
+    bits, text near 4-5, repeated-byte padding near 0. Flag cuts on the
+    GRID-ROUNDED values on both engines so the boundary can never flip.
+
+    Scale shape: one narrow Arrow-batched mapInPandas; the whole batch
+    reduces through ONE np.unique over packed (row << 8 | byte) keys;
+    payload bytes never cross a shuffle. Corpus-grain output ships
+    unsorted (q33 contract)."""
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        media_byte_quality,
+        media_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    q = media_byte_quality(media_table(t["documents"]))
+    ent_r = portable_round("byte_entropy", 4)
+    pr_r = portable_round("printable_ratio", 6)
+    return q.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        ent_r.alias("byte_entropy"),
+        "distinct_bytes",
+        pr_r.alias("printable_ratio"),
+        F.when(
+            (ent_r > 6.0) | ((F.col("n_bytes") > 0) & (pr_r < 0.6)),
+            1,
+        )
+        .otherwise(0)
+        .alias("binary_like"),
+    )
+
+
+_KW_STOP_SQL = (
+    "[" + ", ".join(f"'{s}'" for s in sorted(T.ENGLISH_STOPWORDS)) + "]"
+)
+
+
+@query(
+    "q162_tfidf_keywords",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> x <> '' AND NOT list_contains({_KW_STOP_SQL}, x)) AS tk
+      FROM documents
+    ),
+    terms AS (
+      SELECT doc_id, unnest(tk || CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+             ELSE list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1]) END) AS term
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM terms GROUP BY doc_id, term),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    wv AS (
+      SELECT doc_id, term,
+             tf * (ln((1 + n_docs)
+                / (1 + CAST(count(*) OVER (PARTITION BY term) AS DOUBLE))) + 1)
+               AS w
+      FROM tf CROSS JOIN nd
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM wv GROUP BY doc_id),
+    ranked AS (
+      SELECT wv.doc_id, wv.term, wv.w / n.norm AS uw,
+             row_number() OVER (PARTITION BY wv.doc_id
+                                ORDER BY wv.w DESC, wv.term) AS rk
+      FROM wv JOIN norms n USING (doc_id)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS INT) AS rk, term,
+           round(uw, 6) AS weight
+    FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+)
+def q162(spark, sf_dir):
+    """Per-document TF-IDF KEYWORD extraction — the topic-tagging /
+    labeling pass every corpus catalog runs (the T2 weighting turned
+    inward: instead of ranking documents for a query, rank each
+    document's own terms). Top-3 terms per document by sklearn-parity
+    weight (tf * smoothed-idf), unit-normalized by the document's L2
+    norm, tie-broken by term. Reuses the CACHED posting-list index (the
+    T4 build-once contract shared with q36) — the extraction itself is
+    one per-doc window over existing postings, no new corpus scan when
+    the index is warm.
+
+    Scale shape: postings are (doc, term) grain; the ranking window
+    partitions by doc_id (bounded by per-doc vocabulary, never a
+    corpus-global key). Weight doubles are identical expressions in both
+    engines (same tf/df integers through the same ln), so ordering and
+    the 6dp-rounded outputs hash-match."""
+    from pyspark.sql.window import Window as W
+
+    from eurostat_energy_etl_pipeline_spark.rag.tfidf import documents_index
+
+    index = documents_index(spark, sf_dir)
+    w = W.partitionBy("id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        index.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            F.round(F.col("w") / F.col("norm"), 6).alias("weight"),
+        )
+        .transform(presentation_sort, "doc_id", "rk")
+    )
+
+
+@query(
+    "q163_media_dedup_apply",
+    oracle=_MEDIA_SIG_CTES
+    + r""",
+    ex AS (
+      SELECT s.media_id FROM sig s
+      WHERE EXISTS (SELECT 1 FROM sig s2
+                    WHERE s2.bh = s.bh AND s2.media_id < s.media_id)
+    ),
+    surv AS (SELECT * FROM sig
+             WHERE media_id NOT IN (SELECT media_id FROM ex)),
+    bands AS (
+      SELECT media_id, media_type, ahash, k, (ahash >> (k*15)) & 32767
+               AS key
+      FROM surv CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    ),
+    nd AS (
+      SELECT DISTINCT y.media_id
+      FROM bands x JOIN bands y
+        ON x.k = y.k AND x.key = y.key
+       AND x.media_type = y.media_type AND x.media_id < y.media_id
+      WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
+    ),
+    cls AS (
+      SELECT s.media_id, s.media_type, s.L,
+             CASE WHEN e.media_id IS NOT NULL THEN 'exact'
+                  WHEN n.media_id IS NOT NULL THEN 'near'
+                  ELSE 'kept' END AS fate
+      FROM sig s LEFT JOIN ex e ON s.media_id = e.media_id
+                 LEFT JOIN nd n ON s.media_id = n.media_id
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept,
+           CAST(sum(CASE WHEN fate = 'exact' THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_exact,
+           CAST(sum(CASE WHEN fate = 'near' THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_near,
+           CAST(sum(L) AS BIGINT) AS bytes_before,
+           CAST(sum(CASE WHEN fate = 'kept' THEN L ELSE 0 END) AS BIGINT)
+             AS bytes_after
+    FROM cls GROUP BY media_type ORDER BY media_type
+    """,
+)
+def q163(spark, sf_dir):
+    """Media-dedup APPLY — the act stage over q159's measurements (the
+    q110/q156 discipline at binary grain): per media item, a
+    deterministic keep-first fate —
+
+    - 'exact': a byte-identical (sha2-256) item with a smaller id exists;
+    - 'near': among exact survivors, a confirmed aHash neighbor
+      (within-type banded pairing, hamming <= 3) with a smaller id
+      exists — pair-grain keep-first, the SemDeDup-style policy (a chain
+      a~b~c keeps only a; over-deletes vs connected components by design,
+      stated contract);
+    - 'kept': survives both tiers.
+
+    Output: per media_type survivor accounting with byte before/after —
+    what a multimodal ingest actually reports after a dedup pass.
+
+    Scale shape: sha tier is one bh-keyed window (min-id per group); the
+    near tier reuses `hamming_band_pairs` on the survivor signatures —
+    never all-pairs; payload bytes never shuffle (sha and signatures are
+    scan-side)."""
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        PERCEPTUAL_HASH_BITS,
+        media_signatures,
+        media_table,
+    )
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    media = media_table(t["documents"])
+    sigs = media_signatures(media).join(
+        media.select(
+            "media_id", F.sha2("payload", 256).alias("bh")
+        ),
+        "media_id",
+    )
+    w_bh = W.partitionBy("bh")
+    sigs = sigs.withColumn(
+        "exact_drop", F.min("media_id").over(w_bh) < F.col("media_id")
+    )
+    surv = sigs.where(~F.col("exact_drop"))
+    nd = (
+        D.hamming_band_pairs(
+            surv,
+            id_col="media_id",
+            sig_col="ahash",
+            sig_bits=PERCEPTUAL_HASH_BITS,
+            band_bits=15,
+            max_hamming=3,
+            key_cols=("media_type",),
+        )
+        .select(F.col("id_b").alias("media_id"), F.lit(True).alias("_near"))
+        .distinct()
+    )
+    cls = sigs.join(F.broadcast(nd), "media_id", "left").select(
+        "media_type",
+        "n_bytes",
+        F.when(F.col("exact_drop"), F.lit("exact"))
+        .when(F.col("_near"), F.lit("near"))
+        .otherwise(F.lit("kept"))
+        .alias("fate"),
+    )
+    return (
+        cls.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum((F.col("fate") == "kept").cast("long")).alias("kept"),
+            F.sum((F.col("fate") == "exact").cast("long")).alias(
+                "dropped_exact"
+            ),
+            F.sum((F.col("fate") == "near").cast("long")).alias(
+                "dropped_near"
+            ),
+            F.sum("n_bytes").alias("bytes_before"),
+            F.sum(
+                F.when(F.col("fate") == "kept", F.col("n_bytes")).otherwise(
+                    0
+                )
+            ).alias("bytes_after"),
+        )
+        .transform(presentation_sort, "media_type")
+    )

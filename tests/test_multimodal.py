@@ -183,3 +183,26 @@ def test_media_dedup_planted_duplicates(spark):
         .collect()
     )
     assert len(ex) == 1 and ex[0]["count"] == 2
+
+
+def test_byte_quality_kernel_properties():
+    """Byte-quality edges: empty -> 0/0/0; uniform bytes -> entropy 0,
+    one distinct byte; a 256-value ramp -> exactly 8 bits; printable
+    ratio counts ASCII 32-126 only."""
+    import numpy as np
+
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        byte_quality_kernel,
+    )
+
+    payload = np.array(
+        [b"", b"\x05" * 64, bytes(range(256)), b"AB\x00\x01"],
+        dtype=object,
+    )
+    lens, ent, dis, pr = byte_quality_kernel(payload)
+    assert list(lens) == [0, 64, 256, 4]
+    assert ent[0] == 0 and dis[0] == 0 and pr[0] == 0.0
+    assert ent[1] == 0.0 and dis[1] == 1 and pr[1] == 0.0  # 0x05 < 32
+    assert abs(ent[2] - 8.0) < 1e-12 and dis[2] == 256
+    assert abs(pr[2] - 95 / 256) < 1e-12  # bytes 32..126 inclusive
+    assert dis[3] == 4 and abs(pr[3] - 0.5) < 1e-12

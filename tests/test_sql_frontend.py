@@ -66,7 +66,10 @@ DUCKDB_ONLY = {
     "q33_multimodal_features",  # duckdb encode()
     "q158_media_signatures",  # duckdb hex/encode + generate_series bytes
     "q159_media_dedup",       # same sig ladder + xor/bit_count/<< pairing
+    "q161_media_quality",     # duckdb hex bytes + entropy() aggregate
+    "q163_media_dedup_apply",  # sig ladder + EXISTS keep-first fates
     "q36_tfidf_search",      # duckdb list_filter/string_split_regex
+    "q162_tfidf_keywords",   # same tf-idf CTE ladder, per-doc ranking
     "q63_incremental_dedup", # duckdb list_* (same shingle CTE as q24)
     "q75_bm25_search",       # duckdb list_filter/string_split_regex
     "q78_vocab_topk",        # duckdb list_filter/string_split_regex
