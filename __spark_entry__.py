@@ -47,6 +47,7 @@ _DRIVER_CHECK_PRIORITY = [
     "q161_media_quality",
     "q162_tfidf_keywords",
     "q163_media_dedup_apply",
+    "q164_postings_merge_probe",
     # last driver-checked in round 7
     "q17b_insights_full",
     "q18_fastest_rising",

@@ -2823,3 +2823,86 @@ def q163(spark, sf_dir):
         )
         .transform(presentation_sort, "media_type")
     )
+
+
+# Maintained at-rest BM25 posting index memo per (session, sf_dir): base
+# index on ~2/3 of the documents, then ONE merge batch (adds + text
+# updates + tombstones) — q164 searches the POST-maintenance index, so
+# its oracle certifies the generational-delete maintenance end-to-end
+# (the q111/q160 pattern on the retrieval side; all three at-rest index
+# families now carry a MERGE path).
+_MAINT_POSTINGS: dict = {}
+_POSTINGS_UPDATE_SUFFIX = " merged update token"
+
+
+def _maintained_postings_path(spark, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    from eurostat_energy_etl_pipeline_spark.rag import bm25 as BM
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    path = _MAINT_POSTINGS.get(key)
+    if path is None:
+        tag = hashlib.md5(f"{app}:{sf_dir}:post".encode()).hexdigest()[:12]
+        path = f"{tempfile.gettempdir()}/spark_graft_postings_{tag}"
+        docs = load_tables(spark, sf_dir)["documents"]
+        base = docs.where(F.col("doc_id") % 3 != 2)
+        BM.write_postings_index(base, path)
+        adds = docs.where(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+        upd = base.where(F.col("doc_id") % 23 == 5).select(
+            "doc_id",
+            F.concat(
+                "text", F.lit(_POSTINGS_UPDATE_SUFFIX)
+            ).alias("text"),
+        )
+        tomb = docs.where(F.col("doc_id") % 17 == 3).select("doc_id")
+        BM.merge_into_postings_index(
+            spark, path, upserts=adds.unionByName(upd), tombstone_ids=tomb
+        )
+        _MAINT_POSTINGS[key] = path
+    return path
+
+
+def _q164_oracle() -> str:
+    from eurostat_energy_etl_pipeline_spark.rag.bm25 import bm25_oracle_sql
+
+    return bm25_oracle_sql(
+        text_expr=(
+            "CASE WHEN doc_id % 3 <> 2 AND doc_id % 23 = 5 "
+            f"THEN text || '{_POSTINGS_UPDATE_SUFFIX}' ELSE text END"
+        ),
+        where_sql=" WHERE doc_id % 17 <> 3",
+    )
+
+
+@query("q164_postings_merge_probe", oracle=_q164_oracle())
+def q164(spark, sf_dir):
+    """Incremental POSTING-INDEX maintenance, certified by searching
+    (`rag/bm25.merge_into_postings_index` — the retrieval twin of q111's
+    MinHash MERGE and q160's IVF MERGE; with it, every at-rest index in
+    this engine has an incremental maintenance path): the BM25 index is
+    built on 2/3 of the corpus, then one merge batch applies adds
+    (doc_id%3==2), text updates (doc_id%23==5) and tombstones
+    (doc_id%17==3, winning over upserts) as ONE appended generation plus
+    tombstone rows — the Lucene segment model: the base postings are
+    never read (an upsert's old terms are unknowable without its old
+    text), queries apply the delete mask, and compaction folds it in.
+    The query searches the maintained index with query-time statistics
+    (N/avgdl from the live docs sidecar, df from the pruned live
+    postings); the oracle recomputes BM25 over the effective post-merge
+    corpus independently, so a hash match certifies maintenance ==
+    scratch-rebuild. Scratch/compaction differentials are pinned in
+    tests/test_bm25.py.
+
+    Scale shape: MERGE is O(batch) appends — no index-size term at all;
+    a search prunes postings to the query terms' hash buckets
+    (planning-time partition filter) and the mask join broadcasts
+    O(deleted ids)."""
+    from eurostat_energy_etl_pipeline_spark.rag import bm25 as BM
+
+    path = _maintained_postings_path(spark, sf_dir)
+    return BM.bm25_index_search(spark, path, BM.SEARCH_QUERY, k=5).select(
+        "id", F.round("score", 4).alias("score")
+    )

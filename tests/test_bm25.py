@@ -92,3 +92,85 @@ def test_stopword_and_empty_query(spark, index):
 
 def test_unknown_terms_drop_out(spark, index):
     assert bm25_search(index, "fusion tokamak", k=3).count() == 0
+
+
+def _scores(df):
+    return [(r["id"], round(r["score"], 4)) for r in df.collect()]
+
+
+def test_postings_index_merge_differential(spark, tmp_path):
+    """Maintained at-rest index == scratch rebuild over the effective
+    corpus: adds, text updates, tombstones (winning over upserts), then
+    compaction preserving results while dropping dead generations."""
+    from pyspark.sql import functions as F
+
+    from eurostat_energy_etl_pipeline_spark.rag.bm25 import (
+        bm25_index_search,
+        compact_postings_index,
+        merge_into_postings_index,
+        write_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in CORPUS]
+        + [Row(doc_id=9, text="solar wind hydro mixed")],
+        "doc_id long, text string",
+    )
+    base = docs.where(F.col("doc_id") <= 2)
+    path = str(tmp_path / "pidx")
+    write_postings_index(base, path, num_term_buckets=4, num_id_buckets=4)
+    # batch: add 3 and 9; update 1; tombstone 2 and also 9 (tombstone
+    # wins over its own add)
+    ups = docs.where(F.col("doc_id").isin(3, 9)).unionByName(
+        docs.where(F.col("doc_id") == 1).select(
+            "doc_id", F.concat("text", F.lit(" solar")).alias("text")
+        )
+    )
+    audit = merge_into_postings_index(
+        spark, path, upserts=ups, tombstone_ids=[2, 9]
+    )
+    assert audit == {"gen": 1, "n_upserts": 2, "n_tombstones": 2}
+    eff = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=CORPUS[0][1]),
+            Row(doc_id=1, text=CORPUS[1][1] + " solar"),
+            Row(doc_id=3, text=CORPUS[3][1]),
+        ],
+        "doc_id long, text string",
+    )
+    want = _scores(bm25_search(build_bm25_index(eff), "solar stable", k=5))
+    got = _scores(bm25_index_search(spark, path, "solar stable", k=5))
+    assert got == want, (got, want)
+    # dead generations exist pre-compaction, none after; results stable
+    n_before = spark.read.parquet(f"{path}/postings").count()
+    caudit = compact_postings_index(spark, path)
+    assert caudit["postings_before"] == n_before
+    assert caudit["postings_after"] < n_before
+    assert caudit["docs_after"] == 3
+    got2 = _scores(bm25_index_search(spark, path, "solar stable", k=5))
+    assert got2 == want
+
+
+def test_postings_index_search_prunes_term_buckets(spark, tmp_path):
+    """The query's terms prune the postings scan to their hash-bucket
+    partitions: the physical plan carries a tb IN-list partition filter."""
+    import contextlib
+    import io
+
+    from eurostat_energy_etl_pipeline_spark.rag.bm25 import (
+        bm25_index_search,
+        write_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in CORPUS], "doc_id long, text string"
+    )
+    path = str(tmp_path / "prune")
+    write_postings_index(docs, path, num_term_buckets=8)
+    df = bm25_index_search(spark, path, "solar", k=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    assert "tb#" in plan and "IN (" in plan or "tb IN" in plan, plan
+    assert len(_scores(df)) > 0

@@ -72,6 +72,7 @@ DUCKDB_ONLY = {
     "q162_tfidf_keywords",   # same tf-idf CTE ladder, per-doc ranking
     "q63_incremental_dedup", # duckdb list_* (same shingle CTE as q24)
     "q75_bm25_search",       # duckdb list_filter/string_split_regex
+    "q164_postings_merge_probe",  # same BM25 ladder, effective corpus
     "q78_vocab_topk",        # duckdb list_filter/string_split_regex
     "q79_quantize_audit",    # duckdb list_transform/list_aggregate
     "q81_rolling_dau",       # duckdb strftime (Spark: date_format)
