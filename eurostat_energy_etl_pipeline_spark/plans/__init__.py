@@ -72,16 +72,19 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_pins(name: str | None = None) -> int:
+def release_pins(name: str | None = None, blocking: bool = False) -> int:
     """Unpersist every handle pinned by `name` (or by all queries when
-    None). Returns the number of handles released."""
+    None). Returns the number of handles released. ``blocking=False``
+    (the default) is the harness hot path; the count-based lifetime test
+    passes ``blocking=True`` because an async unpersist can land AFTER a
+    later baseline snapshot and deflate it mid-measurement."""
     with _PINNED_LOCK:
         names = [name] if name is not None else list(_PINNED)
         handles = [df for q in names for df in _PINNED.pop(q, [])]
     n = 0
     for df in handles:
         try:
-            df.unpersist()
+            df.unpersist(blocking)
             n += 1
         except Exception:
             pass

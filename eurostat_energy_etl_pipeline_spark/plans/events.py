@@ -2387,3 +2387,357 @@ def q154(spark, sf_dir):
         .drop("col_t")
         .transform(presentation_sort, "col")
     )
+
+
+@query(
+    "q165_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_total
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(sum(CAST(daily_total AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS mean_total
+      FROM daily
+    ),
+    dev AS (
+      SELECT d, daily_total,
+             CAST(floor((daily_total - mean_total) * 1e6 + 0.5) / 1e6
+                  AS DECIMAL(28,6)) AS dev_g
+      FROM daily CROSS JOIN m
+    ),
+    cs AS (
+      SELECT d, daily_total,
+             floor(CAST(sum(dev_g) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS cusum
+      FROM dev
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           floor(daily_total * 1e4 + 0.5) / 1e4 AS daily_total,
+           cusum,
+           CASE WHEN abs(cusum) = max(abs(cusum)) OVER () THEN 1 ELSE 0 END
+             AS is_changepoint
+    FROM cs ORDER BY day
+    """,
+)
+def q165(spark, sf_dir):
+    """CUSUM CHANGEPOINT detection over the daily revenue series — the
+    classic level-shift detector (Page 1954): cumulative sum of
+    deviations from the global mean, with the changepoint flagged where
+    |CUSUM| peaks. The monitoring primitive behind data-drift pages and
+    KPI step-change alerts, here in its offline (retrospective) form;
+    q77's z-score flags POINT outliers, this finds the LEVEL SHIFT.
+
+    Exactness: daily totals are exact DECIMAL(18,2) sums; the mean is one
+    double division of an exact sum; each deviation is a single IEEE
+    subtraction then gridded at 1e-6 and CUMULATED IN DECIMAL, so the
+    running sum is order-independent and bit-identical in both engines
+    (the q153 decimal-term recipe applied to a window). Scale shape: one
+    map-side-combined day-grain aggregate reduces the stream, then every
+    window runs on the domain-bounded day table (q121 contract)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        exact_sum("value").alias("daily_total")
+    )
+    m = daily.agg(
+        (
+            F.sum(F.col("daily_total").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_total")
+    )
+    g6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        "daily_total",
+        g6(F.col("daily_total") - F.col("mean_total"))
+        .cast("decimal(28,6)")
+        .alias("dev_g"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cs = dev.select(
+        "d",
+        "daily_total",
+        g6(F.sum("dev_g").over(wcum).cast("double")).alias("cusum"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cs.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.floor(F.col("daily_total") * 1e4 + 0.5) / 1e4).alias(
+            "daily_total"
+        ),
+        "cusum",
+        F.when(
+            F.abs(F.col("cusum")) == F.max(F.abs(F.col("cusum"))).over(wall),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_changepoint"),
+    ).transform(presentation_sort, "day")
+
+
+@query(
+    "q166_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_total
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, daily_total,
+             CASE WHEN count(*) OVER w7 = 7 THEN
+               CAST(sum(CAST(daily_total AS DECIMAL(18,2))) OVER w7
+                    AS DOUBLE) / 7
+             END AS trend
+      FROM daily
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT d, daily_total, trend, CAST(isodow(d) AS INT) AS dow,
+             CAST(floor((daily_total - trend) * 1e9 + 0.5) / 1e9
+                  AS DECIMAL(28,9)) AS det_g
+      FROM tr
+    ),
+    sea AS (
+      SELECT d, daily_total, trend, dow,
+             CASE WHEN count(det_g) OVER wd > 0 THEN
+               CAST(sum(det_g) OVER wd AS DOUBLE) / count(det_g) OVER wd
+             END AS seasonal
+      FROM det
+      WINDOW wd AS (PARTITION BY dow)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, dow,
+           floor(daily_total * 1e4 + 0.5) / 1e4 AS daily_total,
+           floor(trend * 1e6 + 0.5) / 1e6 AS trend,
+           floor(seasonal * 1e6 + 0.5) / 1e6 AS seasonal,
+           floor(((daily_total - trend) - seasonal) * 1e6 + 0.5) / 1e6
+             AS residual
+    FROM sea ORDER BY day
+    """,
+)
+def q166(spark, sf_dir):
+    """Additive SEASONAL DECOMPOSITION of the daily revenue series —
+    STL-shaped trend/seasonal/residual split: trend = centered 7-day
+    moving average (full-window gate, so edges are NULL like pandas
+    ``rolling(center=True, min_periods=7)``), seasonal = per-ISO-weekday
+    mean of the detrended series, residual = the rest. The classical
+    decomposition every seasonality-aware forecast/anomaly pipeline runs
+    before modeling (the reference's forecasting module fits raw series;
+    this is the missing decomposition stage).
+
+    Exactness: the centered MA is an exact DECIMAL window sum divided
+    once; detrended values are single IEEE subtractions gridded at 1e-9
+    and averaged IN DECIMAL per weekday (order-independent); the residual
+    re-subtracts with fixed parenthesization. Scale shape: one day-grain
+    aggregate, then windows over the domain-bounded day table; the
+    weekday partition is 7-bounded."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        exact_sum("value").alias("daily_total")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "daily_total",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum(F.col("daily_total").cast("decimal(18,2)"))
+            .over(w7)
+            .cast("double")
+            / 7,
+        ).alias("trend"),
+    )
+    g9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9
+    det = tr.select(
+        "d",
+        "daily_total",
+        "trend",
+        (F.expr("weekday(d)") + 1).cast("int").alias("dow"),
+        g9(F.col("daily_total") - F.col("trend"))
+        .cast("decimal(28,9)")
+        .alias("det_g"),
+    )
+    wd = Window.partitionBy("dow")
+    sea = det.select(
+        "d",
+        "daily_total",
+        "trend",
+        "dow",
+        F.when(
+            F.count("det_g").over(wd) > 0,
+            F.sum("det_g").over(wd).cast("double")
+            / F.count("det_g").over(wd),
+        ).alias("seasonal"),
+    )
+    g6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6
+    return sea.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dow",
+        (F.floor(F.col("daily_total") * 1e4 + 0.5) / 1e4).alias(
+            "daily_total"
+        ),
+        g6(F.col("trend")).alias("trend"),
+        g6(F.col("seasonal")).alias("seasonal"),
+        g6(
+            (F.col("daily_total") - F.col("trend")) - F.col("seasonal")
+        ).alias("residual"),
+    ).transform(presentation_sort, "day")
+
+
+@query(
+    "q167_survival_km",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_d,
+             max(CAST(ts AS DATE)) AS last_d
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+    lif AS (
+      SELECT CAST(last_d - first_d AS BIGINT) AS dur,
+             CASE WHEN ref - last_d > 14 THEN 1 ELSE 0 END AS churned
+      FROM u CROSS JOIN mx
+    ),
+    g AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n_end,
+             CAST(sum(churned) AS BIGINT) AS deaths
+      FROM lif GROUP BY dur
+    ),
+    r AS (
+      SELECT dur, n_end, deaths,
+             CAST(sum(n_end) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM g
+    ),
+    t AS (
+      SELECT dur, n_end, deaths, n_risk,
+             CASE WHEN deaths >= n_risk THEN NULL
+                  WHEN deaths = 0 THEN 0.0
+                  ELSE floor(ln(1.0 - CAST(deaths AS DOUBLE) / n_risk)
+                             * 1e12 + 0.5) / 1e12
+             END AS term,
+             max(CASE WHEN deaths >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+                     CURRENT ROW) AS absorbed
+      FROM r
+    ),
+    s AS (
+      SELECT dur, n_risk, deaths, n_end - deaths AS censored, absorbed,
+             floor(CAST(sum(CAST(term AS DECIMAL(38,12)))
+                   OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         CURRENT ROW) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS ls
+      FROM t
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days, n_risk, deaths,
+           CAST(censored AS BIGINT) AS censored,
+           CASE WHEN absorbed = 1 THEN NULL ELSE ls END AS log_survival,
+           CASE WHEN absorbed = 1 THEN 0.0
+                ELSE floor(exp(ls) * 1e6 + 0.5) / 1e6 END AS survival
+    FROM s WHERE deaths > 0 ORDER BY duration_days
+    """,
+)
+def q167(spark, sf_dir):
+    """KAPLAN-MEIER churn survival curve — the right-censored estimator
+    behind every retention/LTV readout: per-user lifetime = first-to-last
+    active day, a user counts as CHURNED (event) only if inactive for
+    >14 days before the corpus's last day, otherwise CENSORED (q65's
+    retention triangle counts returns; this estimates S(t) = P(lifetime
+    > t) without the still-active bias). At each death time t:
+    n_risk = users with lifetime >= t, S(t) = prod(1 - d_i/n_i).
+
+    Exactness: the product is carried in LOG space — each factor's ln is
+    gridded at 1e-12 (the q94/q122 transcendental-grid recipe) and
+    cumulated in DECIMAL(38,12), so the running product is
+    order-independent; survival re-exponentiates the GRIDDED log-sum and
+    grids at 1e-6. The absorbing S=0 case (all remaining users die) is
+    NULL-logged explicitly. Scale shape: one user-keyed aggregate reduces
+    the stream to user grain, one duration-grain aggregate bounds every
+    window to the |distinct durations| table (q121 contract)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = F.col("ts").cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.min(d).alias("first_d"), F.max(d).alias("last_d")
+    )
+    mx = ev.agg(F.max(d).alias("ref"))
+    lif = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff("last_d", "first_d").cast("long").alias("dur"),
+        F.when(F.datediff("ref", "last_d") > 14, 1).otherwise(0).alias(
+            "churned"
+        ),
+    )
+    g = lif.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_end"),
+        F.sum("churned").cast("long").alias("deaths"),
+    )
+    wrisk = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.withColumn(
+        "n_risk", F.sum("n_end").over(wrisk).cast("long")
+    )
+    term = (
+        F.when(F.col("deaths") >= F.col("n_risk"), F.lit(None))
+        .when(F.col("deaths") == 0, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("deaths").cast("double") / F.col("n_risk")
+                )
+                * 1e12
+                + 0.5
+            )
+            / 1e12
+        )
+    )
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    t = r.select(
+        "dur",
+        "n_end",
+        "deaths",
+        "n_risk",
+        term.alias("term"),
+        F.max(
+            F.when(F.col("deaths") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(wcum)
+        .alias("absorbed"),
+    )
+    s = t.select(
+        "dur",
+        "n_risk",
+        "deaths",
+        (F.col("n_end") - F.col("deaths")).alias("censored"),
+        "absorbed",
+        (
+            F.floor(
+                F.sum(F.col("term").cast("decimal(38,12)"))
+                .over(wcum)
+                .cast("double")
+                * 1e9
+                + 0.5
+            )
+            / 1e9
+        ).alias("ls"),
+    )
+    return (
+        s.where(F.col("deaths") > 0)
+        .select(
+            F.col("dur").alias("duration_days"),
+            "n_risk",
+            "deaths",
+            F.col("censored").cast("long").alias("censored"),
+            F.when(F.col("absorbed") == 1, F.lit(None))
+            .otherwise(F.col("ls"))
+            .alias("log_survival"),
+            F.when(F.col("absorbed") == 1, F.lit(0.0))
+            .otherwise(F.floor(F.exp(F.col("ls")) * 1e6 + 0.5) / 1e6)
+            .alias("survival"),
+        )
+        .transform(presentation_sort, "duration_days")
+    )

@@ -816,15 +816,25 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
     ]
     sc = spark.sparkContext
     for name in pin_users:
-        P.release_pins(name)  # in case an earlier test built this plan
+        # Warm pass: build + execute once so any lazily-built cached views
+        # (catalog._VIEW_CACHE) the query needs exist BEFORE the baseline
+        # snapshot, then drain ALL pins synchronously — a non-blocking
+        # unpersist from a previous iteration landing after the snapshot
+        # would deflate the count mid-measurement (observed flake:
+        # "assert 30 > 32").
         P.clear_plan_cache()
+        queries[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        P.release_pins(blocking=True)
         base = len(sc._jsc.getPersistentRDDs())
+        P.clear_plan_cache()
         df = queries[name](spark, SF_DIR)  # build registers the pins
         df.write.format("noop").mode("overwrite").save()
         assert len(sc._jsc.getPersistentRDDs()) > base, (
             f"{name}: expected pin() to register persisted blocks"
         )
-        released = P.release_pins(name)
+        released = P.release_pins(name, blocking=True)
         assert released >= 1, name
         assert len(sc._jsc.getPersistentRDDs()) == base, (
             f"{name}: persistent RDDs did not return to baseline"
