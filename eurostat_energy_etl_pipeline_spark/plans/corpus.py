@@ -3859,3 +3859,111 @@ def q157(spark, sf_dir):
         )
         .transform(presentation_sort, "source")
     )
+
+
+@query(
+    "q170_phrase_search",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM tok
+    ),
+    m AS (
+      SELECT a.doc_id, count(*) AS n_occurrences
+      FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = 'hash' AND b.term = 'join'
+      GROUP BY a.doc_id
+    )
+    SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM m ORDER BY n_occurrences DESC, doc_id LIMIT 20
+    """,
+)
+def q170(spark, sf_dir):
+    """POSITIONAL PHRASE SEARCH — exact phrase matching ("hash join")
+    via positional postings, the operator BM25 (q75/T2) cannot express:
+    bag-of-words ranks docs containing both terms anywhere; a phrase
+    query needs (term, doc, position) postings intersected with a
+    +1 position offset (Lucene's PhraseQuery / the sloppy-phrase
+    primitive at slop=0). Tokenization is the library-standard
+    whitespace split on trim(lower(text)) (q21/q96 contract).
+
+    Scale shape: the posexplode is scan-side (generate + filter inside
+    whole-stage codegen — each side keeps ONLY its query term, ~1/|vocab|
+    of postings, before anything shuffles); the intersection is one
+    equi-join on (doc_id, pos+1) between two slim (doc, pos) streams,
+    then a doc-grain count and TakeOrderedAndProject for the top 20. At
+    rest this is served by the q164 posting index extended with a
+    positions column; the query-time shape is identical."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    )
+    p = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a = p.where(F.col("term") == "hash").select("doc_id", "pos")
+    b = p.where(F.col("term") == "join").select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    m = (
+        a.join(
+            b,
+            (a["doc_id"] == b["doc_b"]) & (b["pos_b"] == a["pos"] + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    return m.orderBy(F.desc("n_occurrences"), "doc_id").limit(20)
+
+
+@query(
+    "q171_text_normalize",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, source, text,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS ntext
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(len(text) AS BIGINT) AS chars_before,
+           CAST(len(ntext) AS BIGINT) AS chars_after,
+           CASE WHEN ntext = text THEN 0 ELSE 1 END AS changed,
+           md5(ntext) AS text_md5
+    FROM n ORDER BY doc_id
+    """,
+)
+def q171(spark, sf_dir):
+    """TEXT NORMALIZATION apply stage — the first rewrite every training
+    corpus goes through before dedup/tokenization: collapse runs of
+    whitespace to single spaces and trim the ends, with per-doc
+    before/after character accounting and a changed flag. The rewritten
+    text itself is certified STRING-EXACTLY cross-engine via md5 (the
+    q156 span-cut recipe), not just by its length — so the oracle proves
+    the normalized corpus, byte for byte.
+
+    Regex portability contract: '\\s+' must mean the same character
+    class in Java regex (Spark) and RE2 (DuckDB) — both include
+    [ \\t\\n\\x0b\\f\\r], which covers this corpus; the operator
+    deliberately avoids classes the engines define differently
+    (POSIX [[:space:]], unicode properties). Scale shape: pure
+    scan-side string expressions, zero shuffle, whole-stage codegen;
+    the md5 certificate is 16 bytes/doc regardless of text size."""
+    d = load_tables(spark, sf_dir)["documents"]
+    ntext = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    n = d.select("doc_id", "source", "text", ntext.alias("ntext"))
+    return n.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("chars_before"),
+        F.length("ntext").cast("long").alias("chars_after"),
+        F.when(F.col("ntext") == F.col("text"), 0).otherwise(1).alias(
+            "changed"
+        ),
+        F.md5(F.col("ntext")).alias("text_md5"),
+    )

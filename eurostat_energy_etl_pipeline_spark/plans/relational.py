@@ -1656,3 +1656,155 @@ def q155(spark, sf_dir):
         )
         .transform(presentation_sort, "r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "q168_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS spend_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    dp AS (SELECT spend_cents AS x, n_orders AS y FROM p GROUP BY 1, 2),
+    f AS (
+      SELECT x, y,
+             max(y) OVER (ORDER BY x DESC, y DESC ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING) AS my
+      FROM dp
+    )
+    SELECT custkey, spend_cents, n_orders
+    FROM p JOIN f ON p.spend_cents = f.x AND p.n_orders = f.y
+    WHERE my IS NULL OR my < y
+    ORDER BY spend_cents DESC, custkey
+    """,
+)
+def q168(spark, sf_dir):
+    """2-D SKYLINE (Pareto frontier) of customers on (total spend, order
+    count) — the multi-criteria "best customers" operator (Borzsony et
+    al., ICDE 2001): a customer is on the frontier iff no other customer
+    is >= on both axes and > on one. The segmentation primitive behind
+    best-of tradeoff views (price/quality, cost/latency) that top-k per
+    single axis cannot express.
+
+    Algorithm: dominance is decided on DISTINCT (x, y) points sorted
+    (x DESC, y DESC) with a running max(y) over STRICTLY EARLIER rows —
+    every earlier row has x' > x, or x' = x with y' > y (points are
+    distinct), so running_max_y >= y IS the dominance test, O(n log n)
+    instead of the oracle-shaped O(n^2) NOT EXISTS. Scale shape: a
+    customer-grain aggregate, then a PER-BUCKET window pass prunes
+    locally-dominated points (local dominance implies global — skyline of
+    a union is the skyline of the local skylines), so the final global
+    window runs only over the union of 32 bucket frontiers, not the full
+    customer table (the q148 no-SinglePartition-on-raw-grain discipline).
+    Exactness: spend is an exact DECIMAL(18,2) sum carried as integer
+    cents; every comparison is integer."""
+    o = load_tables(spark, sf_dir)["orders"]
+    p = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("spend_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    dp = p.select(
+        F.col("spend_cents").alias("x"), F.col("n_orders").alias("y")
+    ).distinct()
+    frame = lambda w: F.max("y").over(
+        w.orderBy(F.desc("x"), F.desc("y")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    # phase 1: prune inside 32 hash buckets (survivors >= global skyline)
+    local = (
+        dp.withColumn("b", F.pmod(F.xxhash64("x", "y"), F.lit(32)))
+        .withColumn("my", frame(Window.partitionBy("b")))
+        .where(F.col("my").isNull() | (F.col("my") < F.col("y")))
+        .drop("b", "my")
+    )
+    # phase 2: exact global pass over the pruned candidate set
+    fr = local.withColumn("my", frame(Window)).where(
+        F.col("my").isNull() | (F.col("my") < F.col("y"))
+    )
+    return (
+        p.join(
+            F.broadcast(fr.select("x", "y")),
+            (p["spend_cents"] == F.col("x")) & (p["n_orders"] == F.col("y")),
+        )
+        .select("custkey", "spend_cents", "n_orders")
+        .transform(presentation_sort, F.desc("spend_cents"), "custkey")
+    )
+
+
+# 8+8-bit Morton interleave of the two low key bytes, shared between the
+# engine plan and the DuckDB oracle so both compute the identical z-value:
+# z = sum_i (px_bit_i << 2i) + (sx_bit_i << 2i+1).
+_Z_INTERLEAVE_SQL = " + ".join(
+    f"((((l_partkey & 255) >> {i}) & 1) << {2 * i})"
+    f" + ((((l_suppkey & 255) >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+@query(
+    "q169_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+      SELECT ({_Z_INTERLEAVE_SQL}) AS zval,
+             (l_partkey & 255) AS px, (l_suppkey & 255) AS sx
+      FROM lineitem
+    )
+    SELECT CAST(zval >> 8 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(px) AS BIGINT) AS px_min,
+           CAST(max(px) AS BIGINT) AS px_max,
+           CAST(min(sx) AS BIGINT) AS sx_min,
+           CAST(max(sx) AS BIGINT) AS sx_max,
+           CAST((max(px) - min(px) + 1) * (max(sx) - min(sx) + 1) AS BIGINT)
+             AS bbox_area
+    FROM z GROUP BY 1 ORDER BY zbucket
+    """,
+)
+def q169(spark, sf_dir):
+    """Z-ORDER (Morton curve) LAYOUT AUDIT — the data-clustering
+    diagnostic behind multi-dimensional file skipping (Delta/Iceberg
+    OPTIMIZE ZORDER BY): interleave the low 8 bits of (l_partkey,
+    l_suppkey) into a 16-bit z-value, bucket rows by the top 8 z-bits
+    (the would-be file assignment), and report each bucket's bounding
+    box over BOTH keys. A tight bbox_area per bucket is exactly what
+    makes min/max zone maps prune 2-D predicates; a partkey-sorted
+    layout would show full-range sx spans in every bucket.
+
+    Scale shape: the interleave is a pure integer scan-side expression
+    (16 shift/mask terms, whole-stage codegen — the identical expression
+    text runs in DuckDB), followed by ONE map-side-combined aggregate to
+    the 256-bucket grain. At 100 TB this is the audit you run before
+    rewriting a table z-ordered; all arithmetic is exact integers."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    px = F.col("l_partkey").bitwiseAND(F.lit(255))
+    sx = F.col("l_suppkey").bitwiseAND(F.lit(255))
+    bits = [
+        F.shiftleft(F.shiftright(px, i).bitwiseAND(F.lit(1)), 2 * i)
+        + F.shiftleft(F.shiftright(sx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        for i in range(8)
+    ]
+    zval = bits[0]
+    for b in bits[1:]:
+        zval = zval + b
+    z = li.select(
+        zval.alias("zval"), px.alias("px"), sx.alias("sx")
+    )
+    span = lambda c: F.max(c) - F.min(c) + 1
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 8).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("px").cast("long").alias("px_min"),
+            F.max("px").cast("long").alias("px_max"),
+            F.min("sx").cast("long").alias("sx_min"),
+            F.max("sx").cast("long").alias("sx_max"),
+            (span("px") * span("sx")).cast("long").alias("bbox_area"),
+        )
+        .transform(presentation_sort, "zbucket")
+    )
