@@ -2741,3 +2741,180 @@ def q167(spark, sf_dir):
         )
         .transform(presentation_sort, "duration_days")
     )
+
+
+@query(
+    "q175_hll_rolling",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM p),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    ),
+    h AS (
+      SELECT d, ('0x' || substr(md5(CAST(user_id AS STRING)), 1, 15))::BIGINT
+               AS hv
+      FROM p
+    ),
+    r AS (
+      SELECT d, CAST(hv // 18014398509481984 AS INT) AS reg,
+             CASE WHEN hv % 18014398509481984 = 0 THEN 55
+                  ELSE CAST(instr(lpad(bin(hv % 18014398509481984), 54, '0'),
+                                  '1') AS INT) END AS rho
+      FROM h
+    ),
+    dm AS (SELECT d, reg, max(rho) AS mr FROM r GROUP BY d, reg),
+    regspine AS (
+      SELECT spine.d, g.reg
+      FROM spine CROSS JOIN
+           (SELECT unnest(generate_series(0, 63)) AS reg) g
+    ),
+    dregs AS (
+      SELECT rs.d, rs.reg, coalesce(dm.mr, 0) AS mr
+      FROM regspine rs LEFT JOIN dm ON rs.d = dm.d AND rs.reg = dm.reg
+    ),
+    rolled AS (
+      SELECT d, reg,
+             max(mr) OVER (PARTITION BY reg ORDER BY d
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mr
+      FROM dregs
+    ),
+    agg AS (
+      SELECT d,
+             CAST(sum(CAST(floor(pow(2.0, -mr) * 1e12 + 0.5) / 1e12
+                           AS DECIMAL(30,12))) AS DOUBLE) AS z,
+             CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS v
+      FROM rolled GROUP BY d
+    ),
+    est AS (
+      SELECT d, CASE
+               WHEN (0.7213 / (1.0 + 1.079 / 64.0))
+                    * 64.0 * 64.0 / z <= 2.5 * 64.0 AND v > 0
+               THEN 64.0 * ln(64.0 / v)
+               ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / z
+             END AS e
+      FROM agg
+    ),
+    exact AS (
+      SELECT s.d, CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_exact
+      FROM spine s JOIN p
+        ON p.d BETWEEN s.d - INTERVAL 6 DAY AND s.d
+      GROUP BY s.d
+    )
+    SELECT strftime(est.d, '%Y-%m-%d') AS day,
+           coalesce(exact.n_exact, 0) AS n_exact,
+           floor(est.e * 1e4 + 0.5) / 1e4 AS hll_est,
+           CASE WHEN coalesce(exact.n_exact, 0) = 0 THEN NULL
+                ELSE floor((est.e / exact.n_exact - 1.0) * 1e6 + 0.5) / 1e6
+           END AS rel_err
+    FROM est LEFT JOIN exact ON est.d = exact.d
+    ORDER BY day
+    """,
+)
+def q175(spark, sf_dir):
+    """ROLLING-WINDOW SKETCH ALGEBRA — 7-day distinct users per day via
+    HyperLogLog register MERGE (q136's certified 64-register recipe,
+    lifted from one global sketch to a sketch TABLE): per-day registers
+    are built once from the (day, user) stream, and every day's trailing
+    7-day cardinality comes from a register-wise max over the calendar
+    window — no rescan of raw data, the exact reason warehouses keep
+    daily sketch tables instead of raw IDs. COUNT(DISTINCT) cannot be
+    windowed (it is not subtractable); mergeable sketches are the 100 TB
+    answer, and the plan audits the estimate against the exact rolling
+    distinct in the same result.
+
+    Scale shape: after one (day, user)-distinct pass the sketch side
+    lives entirely at (day, 64-register) grain — the calendar spine
+    bounds every window (q121 contract). The exact side is the audit
+    and stays day-grain-joined. Determinism: identical integer bit
+    arithmetic + gridded decimal harmonic sums as q136, per day."""
+    m = 64
+    ev = load_tables(spark, sf_dir)["events"]
+    p = pin(
+        ev.select(
+            F.col("ts").cast("date").alias("d"), "user_id"
+        ).distinct()
+    )
+    bounds = p.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("d")
+    )
+    h = p.select(
+        "d",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    rem = F.col("hv") % F.lit(18014398509481984)  # 2^54
+    r = h.select(
+        "d",
+        F.expr("hv div 18014398509481984").cast("int").alias("reg"),
+        F.when(rem == 0, F.lit(55))
+        .otherwise(F.instr(F.lpad(F.bin(rem), 54, "0"), "1").cast("int"))
+        .alias("rho"),
+    )
+    dm = r.groupBy("d", "reg").agg(F.max("rho").alias("mr"))
+    regspine = spine.crossJoin(
+        spark.range(m).select(F.col("id").cast("int").alias("reg"))
+    )
+    dregs = regspine.join(dm, ["d", "reg"], "left").select(
+        "d", "reg", F.coalesce("mr", F.lit(0)).alias("mr")
+    )
+    w7 = (
+        Window.partitionBy("reg").orderBy("d").rowsBetween(-6, 0)
+    )
+    rolled = dregs.select(
+        "d", "reg", F.max("mr").over(w7).alias("mr")
+    )
+    agg = rolled.groupBy("d").agg(
+        F.sum(
+            (
+                F.floor(F.pow(F.lit(2.0), -F.col("mr")) * 1e12 + 0.5) / 1e12
+            ).cast("decimal(30,12)")
+        )
+        .cast("double")
+        .alias("z"),
+        F.sum(F.when(F.col("mr") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("v"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / F.col("z")
+    e = F.when(
+        (raw <= 2.5 * float(m)) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(raw)
+    est = agg.select("d", e.alias("e"))
+    exact = (
+        spine.alias("s")
+        .join(
+            p.alias("pp"),
+            (F.col("pp.d") >= F.expr("s.d - interval 6 day"))
+            & (F.col("pp.d") <= F.col("s.d")),
+        )
+        .groupBy(F.col("s.d").alias("d"))
+        .agg(F.count_distinct("pp.user_id").cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            (F.floor(F.col("e") * 1e4 + 0.5) / 1e4).alias("hll_est"),
+            F.when(F.coalesce("n_exact", F.lit(0)) == 0, F.lit(None))
+            .otherwise(
+                F.floor(
+                    (F.col("e") / F.col("n_exact") - 1.0) * 1e6 + 0.5
+                )
+                / 1e6
+            )
+            .alias("rel_err"),
+        )
+        .transform(presentation_sort, "day")
+    )

@@ -2906,3 +2906,227 @@ def q164(spark, sf_dir):
     return BM.bm25_index_search(spark, path, BM.SEARCH_QUERY, k=5).select(
         "id", F.round("score", 4).alias("score")
     )
+
+
+# Fellegi-Sunter conditional match probabilities (m): fixed published-style
+# priors — u-probabilities are ESTIMATED FROM THE DATA (value-frequency
+# rationals), m's are the reviewer-supplied error model. Shared literals so
+# the engine and the oracle compute identical weights.
+_FS_M_SEG = 0.9
+_FS_M_BAL = 0.8
+
+
+@query(
+    "q173_fs_linkage",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal
+      FROM customer
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nrec FROM c),
+    useg AS (
+      SELECT CAST(sum(k * (k - 1)) AS DOUBLE)
+             / (CAST(max(nrec) AS DOUBLE) * (max(nrec) - 1)) AS u
+      FROM (SELECT count(*) AS k FROM c GROUP BY seg) CROSS JOIN n
+    ),
+    ubal AS (
+      SELECT CAST(sum(k * (k - 1)) AS DOUBLE)
+             / (CAST(max(nrec) AS DOUBLE) * (max(nrec) - 1)) AS u
+      FROM (SELECT count(*) AS k FROM c GROUP BY bal) CROSS JOIN n
+    ),
+    w AS (
+      SELECT floor(log2({_FS_M_SEG} / useg.u) * 1e12 + 0.5) / 1e12 AS wsa,
+             floor(log2((1.0 - {_FS_M_SEG}) / (1.0 - useg.u)) * 1e12 + 0.5)
+               / 1e12 AS wsd,
+             floor(log2({_FS_M_BAL} / ubal.u) * 1e12 + 0.5) / 1e12 AS wba,
+             floor(log2((1.0 - {_FS_M_BAL}) / (1.0 - ubal.u)) * 1e12 + 0.5)
+               / 1e12 AS wbd
+      FROM useg CROSS JOIN ubal
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS seg_agree,
+             CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS bal_agree
+      FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id
+    )
+    SELECT seg_agree, bal_agree,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(((CASE WHEN seg_agree = 1 THEN w.wsa ELSE w.wsd END)
+                  + (CASE WHEN bal_agree = 1 THEN w.wba ELSE w.wbd END))
+                 * 1e9 + 0.5) / 1e9 AS fs_score,
+           CASE WHEN ((CASE WHEN seg_agree = 1 THEN w.wsa ELSE w.wsd END)
+                      + (CASE WHEN bal_agree = 1 THEN w.wba ELSE w.wbd END))
+                     >= 2.0 THEN 'link'
+                WHEN ((CASE WHEN seg_agree = 1 THEN w.wsa ELSE w.wsd END)
+                      + (CASE WHEN bal_agree = 1 THEN w.wba ELSE w.wbd END))
+                     <= -2.0 THEN 'non_link'
+                ELSE 'review' END AS decision
+    FROM pairs CROSS JOIN w
+    GROUP BY seg_agree, bal_agree, fs_score, decision
+    ORDER BY seg_agree, bal_agree
+    """,
+)
+def q173(spark, sf_dir):
+    """FELLEGI-SUNTER probabilistic record-linkage scoring (JASA 1969) —
+    the decision-theoretic layer on top of the library's blocking
+    families (q132 sorted-neighborhood, q114 pigeonhole, q107 prefix):
+    candidate pairs (customers blocked on nation) are scored by
+    sum of per-field log2(m/u) agreement weights, with the U
+    PROBABILITIES ESTIMATED FROM THE DATA as exact value-frequency
+    rationals — u_f = sum_v k_v(k_v-1) / (N(N-1)), the chance-agreement
+    rate of a random pair — and fixed m priors; scores cut into
+    link / review / non-link at +-2 bits.
+
+    Scale shape: u estimation is two value-grain aggregates; the pair
+    stream stays at BLOCK grain (nation equi-join, never n^2) and
+    collapses immediately to the 4-cell agreement-pattern rollup — at
+    100 TB the pattern census is what an ER pipeline tunes thresholds
+    on before emitting pairs. Exactness: u is an integer-count rational
+    divided once; log2 weights grid at 1e-12 (the q94 transcendental
+    recipe); the 2-term score sums in fixed order and grids at 1e-9."""
+    c = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal"),
+    )
+    n = c.agg(F.count(F.lit(1)).cast("long").alias("nrec"))
+    g12 = lambda col: F.floor(col * 1e12 + 0.5) / 1e12
+
+    def u_of(field):
+        k = c.groupBy(field).agg(F.count(F.lit(1)).alias("k"))
+        return k.crossJoin(F.broadcast(n)).agg(
+            (
+                F.sum(F.col("k") * (F.col("k") - 1)).cast("double")
+                / (
+                    F.max("nrec").cast("double")
+                    * (F.max("nrec") - 1)
+                )
+            ).alias("u")
+        )
+
+    useg = u_of("seg").select(F.col("u").alias("u_seg"))
+    ubal = u_of("bal").select(F.col("u").alias("u_bal"))
+    w = (
+        useg.crossJoin(ubal)
+        .select(
+            g12(F.log2(F.lit(_FS_M_SEG) / F.col("u_seg"))).alias("wsa"),
+            g12(
+                F.log2(F.lit(1.0 - _FS_M_SEG) / (F.lit(1.0) - F.col("u_seg")))
+            ).alias("wsd"),
+            g12(F.log2(F.lit(_FS_M_BAL) / F.col("u_bal"))).alias("wba"),
+            g12(
+                F.log2(F.lit(1.0 - _FS_M_BAL) / (F.lit(1.0) - F.col("u_bal")))
+            ).alias("wbd"),
+        )
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nat") == F.col("b.nat")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.when(F.col("a.seg") == F.col("b.seg"), 1).otherwise(0).alias(
+            "seg_agree"
+        ),
+        F.when(F.col("a.bal") == F.col("b.bal"), 1).otherwise(0).alias(
+            "bal_agree"
+        ),
+    )
+    score = F.when(F.col("seg_agree") == 1, F.col("wsa")).otherwise(
+        F.col("wsd")
+    ) + F.when(F.col("bal_agree") == 1, F.col("wba")).otherwise(F.col("wbd"))
+    return (
+        pairs.groupBy("seg_agree", "bal_agree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(w))
+        .select(
+            "seg_agree",
+            "bal_agree",
+            "n_pairs",
+            (F.floor(score * 1e9 + 0.5) / 1e9).alias("fs_score"),
+            F.when(score >= 2.0, "link")
+            .when(score <= -2.0, "non_link")
+            .otherwise("review")
+            .alias("decision"),
+        )
+        .transform(presentation_sort, "seg_agree", "bal_agree")
+    )
+
+
+@query(
+    "q174_pii_redact",
+    oracle=r"""
+    WITH r AS (
+      SELECT event_id, event_type, props,
+             regexp_replace(regexp_replace(regexp_replace(props,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+                 'https?://[^\s]+', '[URL]', 'g'),
+                 '[0-9]{2,}', '[NUM]', 'g') AS rprops
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rprops <> props THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_redacted,
+           CAST(sum(len(props) - len(rprops)) AS BIGINT) AS chars_removed,
+           md5(string_agg(rprops, chr(31) ORDER BY event_id))
+             AS corpus_md5
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q174(spark, sf_dir):
+    """PII REDACTION apply stage — the ACT twin of q51's scan (q156/q163
+    pattern: every measure family gets its rewrite stage): event payloads
+    are scrubbed (emails -> [EMAIL], URLs -> [URL], digit runs -> [NUM],
+    in that order — `operators/text.redact_pii`), and the REWRITTEN
+    CORPUS itself is certified cross-engine: per event type, an
+    order-canonical md5 over all redacted payloads (event_id-sorted,
+    0x1f-joined) plus exact redaction accounting. The md5-of-sorted-
+    concat makes the certificate corpus-complete — any single divergent
+    byte in any redacted payload flips the hash — while the output stays
+    at type grain.
+
+    Scale shape: the redaction is scan-side codegen regex (the portable
+    Java-RE2 subset, q51's contract); the certificate is ONE type-keyed
+    aggregate. The string_agg-in-order is bounded per group by the
+    payload volume of one event type — at 100 TB you'd certify per
+    (type, day) partition instead; the per-partition md5 recipe is
+    unchanged."""
+    ev = widen_if_narrow(load_tables(spark, sf_dir)["events"])
+    r = ev.select(
+        "event_id",
+        "event_type",
+        "props",
+        T.redact_pii(F.col("props")).alias("rprops"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("rprops") != F.col("props"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_redacted"),
+            F.sum(F.length("props") - F.length("rprops"))
+            .cast("long")
+            .alias("chars_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("event_id"), F.col("rprops")
+                                )
+                            )
+                        ),
+                        lambda s: s["rprops"],
+                    ),
+                    "\x1f",
+                )
+            ).alias("corpus_md5"),
+        )
+        .transform(presentation_sort, "event_type")
+    )
