@@ -2918,3 +2918,330 @@ def q175(spark, sf_dir):
         )
         .transform(presentation_sort, "day")
     )
+
+
+@query(
+    "q176_peak_concurrency",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT)
+               AS session_id
+      FROM marked
+    ),
+    iv AS (
+      SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+      FROM sessions GROUP BY user_id, session_id
+    ),
+    pts AS (
+      SELECT sec, CAST(sum(delta) AS BIGINT) AS net,
+             CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS starts
+      FROM (
+        SELECT start_s AS sec, 1 AS delta FROM iv
+        UNION ALL SELECT end_s + 1, -1 FROM iv
+      ) GROUP BY sec
+    ),
+    curve AS (
+      SELECT sec // 86400 AS day_idx, starts,
+             CAST(sum(net) OVER (ORDER BY sec ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS conc
+      FROM pts
+    )
+    SELECT day_idx, max(conc) AS peak_concurrency,
+           CAST(sum(starts) AS BIGINT) AS sessions_started
+    FROM curve GROUP BY day_idx
+    HAVING sum(starts) > 0 ORDER BY day_idx
+    """,
+)
+def q176(spark, sf_dir):
+    """PEAK CONCURRENCY sweep line — max simultaneous active sessions
+    per UTC day, the capacity-planning number every "concurrent users"
+    dashboard reports. Sessions are the q_events_sessionize intervals
+    (30-min gap, inclusive [start, end] seconds); the sweep is the
+    classic +1/-1 delta walk with END-BEFORE-START tie handling made
+    ORDER-FREE by aggregating deltas to second grain first — at second
+    grain the running total AFTER all of a second's deltas equals the
+    ends-first peak at that second, so no within-timestamp ordering
+    exists to disagree on.
+
+    Scale shape: the only raw-grain pass is the sessionizer's user-keyed
+    window; deltas collapse to distinct-second grain immediately. The
+    cumulative walk here is one second-grain window (the fixture's
+    domain-bounded q121 contract); the 100 TB variant would two-phase it
+    exactly like the final plan's day rollup: per-day partitioned
+    cumsums plus a day-grain carry-in offset — the decomposition is
+    associative integer addition, noted here because the single window
+    is the only part that wouldn't ship unchanged. All arithmetic is
+    exact integers."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_S), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(wc).cast("int").alias("session_id"),
+    )
+    iv = sessions.groupBy("user_id", "session_id").agg(
+        F.floor(F.min(F.col("ts").cast("double"))).cast("long").alias(
+            "start_s"
+        ),
+        F.floor(F.max(F.col("ts").cast("double"))).cast("long").alias(
+            "end_s"
+        ),
+    )
+    pts = (
+        iv.select(F.col("start_s").alias("sec"), F.lit(1).alias("delta"))
+        .unionByName(
+            iv.select(
+                (F.col("end_s") + 1).alias("sec"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("sec")
+        .agg(
+            F.sum("delta").cast("long").alias("net"),
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("starts"),
+        )
+    )
+    wrun = Window.orderBy("sec").rowsBetween(Window.unboundedPreceding, 0)
+    curve = pts.select(
+        F.expr("sec div 86400").alias("day_idx"),
+        "starts",
+        F.sum("net").over(wrun).cast("long").alias("conc"),
+    )
+    return (
+        curve.groupBy("day_idx")
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            F.sum("starts").cast("long").alias("sessions_started"),
+        )
+        .where(F.col("sessions_started") > 0)
+        .transform(presentation_sort, "day_idx")
+    )
+
+
+@query(
+    "q177_activity_bitmaps",
+    oracle="""
+    WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS day0 FROM events),
+    ud AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - day0 AS BIGINT) AS idx
+      FROM events CROSS JOIN d0
+      WHERE CAST(ts AS DATE) - day0 < 64
+    ),
+    bm AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) << CAST(idx AS INT)) AS b
+      FROM ud GROUP BY user_id
+    ),
+    per AS (
+      SELECT user_id, bit_count(b) AS active_days,
+             bit_count(b & (b >> 1)) AS consec_pairs
+      FROM bm
+    )
+    SELECT CAST(active_days AS INT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(consec_pairs) AS BIGINT) AS consec_day_pairs,
+           CAST(sum(CASE WHEN consec_pairs > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS users_with_streak
+    FROM per GROUP BY active_days ORDER BY active_days
+    """,
+)
+def q177(spark, sf_dir):
+    """ACTIVITY BITMAP analytics — each user's presence over the first
+    64 days packed into ONE int64 (bit i = active on day0+i), then pure
+    bit arithmetic answers engagement questions no plain aggregate can
+    without re-scanning: active-day histogram via popcount, consecutive
+    -day streak pairs via popcount(b & b>>1). This is the roaring-bitmap
+    /bitmap-index pattern warehouses keep for segment math — user-set
+    intersections become AND, unions OR, 8 bytes per user per 64 days
+    regardless of event volume (the fixture spans 30 days; the window
+    contract is explicit and filtered).
+
+    Scale shape: one (user, day)-distinct pass, one user-keyed bit_or
+    aggregate (map-side combinable — bitmaps OR associatively, the whole
+    point), then a histogram-grain rollup. All integer-exact; DuckDB
+    replays the identical shift/and/popcount algebra."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("day0"))
+    ud = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("day0"))
+            .cast("long")
+            .alias("idx"),
+        )
+        .where(F.col("idx") < 64)
+        .distinct()
+    )
+    bm = ud.groupBy("user_id").agg(
+        # F.shiftleft takes a literal bit count; the per-row shift needs
+        # the SQL form
+        F.bit_or(F.expr("shiftleft(1L, cast(idx as int))")).alias("b")
+    )
+    per = bm.select(
+        "user_id",
+        F.bit_count("b").alias("active_days"),
+        F.bit_count(F.col("b").bitwiseAND(F.shiftright("b", 1))).alias(
+            "consec_pairs"
+        ),
+    )
+    return (
+        per.groupBy(F.col("active_days").cast("int").alias("active_days"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("consec_pairs").cast("long").alias("consec_day_pairs"),
+            F.sum(F.when(F.col("consec_pairs") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("users_with_streak"),
+        )
+        .transform(presentation_sort, "active_days")
+    )
+
+
+@query(
+    "q_stream_hll",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    h AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS STRING)), 1, 15))::BIGINT
+               AS hv
+      FROM u
+    ),
+    r AS (
+      SELECT CAST(hv // 18014398509481984 AS INT) AS reg,
+             CASE WHEN hv % 18014398509481984 = 0 THEN 55
+                  ELSE CAST(instr(lpad(bin(hv % 18014398509481984), 54, '0'),
+                                  '1') AS INT) END AS rho
+      FROM h
+    ),
+    m AS (SELECT reg, max(rho) AS mr FROM r GROUP BY reg),
+    spine AS (SELECT unnest(generate_series(0, 63)) AS reg),
+    regs AS (
+      SELECT spine.reg, coalesce(m.mr, 0) AS mr
+      FROM spine LEFT JOIN m ON spine.reg = m.reg
+    ),
+    agg AS (
+      SELECT CAST(sum(CAST(floor(pow(2.0, -mr) * 1e12 + 0.5) / 1e12
+                           AS DECIMAL(30,12))) AS DOUBLE) AS z,
+             CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS v
+      FROM regs
+    ),
+    est AS (
+      SELECT CASE
+               WHEN (0.7213 / (1.0 + 1.079 / 64.0))
+                    * 64.0 * 64.0 / z <= 2.5 * 64.0 AND v > 0
+               THEN 64.0 * ln(64.0 / v)
+               ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / z
+             END AS e
+      FROM agg
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_exact FROM u)
+    SELECT CAST(64 AS INT) AS m,
+           CAST(n.n_exact AS BIGINT) AS n_exact,
+           floor(est.e * 1e4 + 0.5) / 1e4 AS hll_est,
+           floor((est.e / n.n_exact - 1.0) * 1e6 + 0.5) / 1e6 AS rel_err
+    FROM est CROSS JOIN n
+    """,
+)
+def q_stream_hll(spark, sf_dir):
+    """STREAMING DISTINCT-COUNT SKETCH — q136's 64-register HyperLogLog
+    maintained incrementally by a stateful streaming operator
+    (`streaming/events.hll_register_stream`): register/rank derivation
+    is scan-side on the stream, applyInPandasWithState keeps ONE long
+    per register and emits monotone max updates, and the sink rollup
+    (max per register — idempotent, so batch splits and replays cannot
+    double-count) feeds the identical harmonic estimate. The oracle
+    replays the whole sketch from the batch table, certifying that
+    incremental register maintenance == the batch sketch — the
+    q_stream_markov contract applied to sketch state.
+
+    Scale shape: state is O(m)=64 longs TOTAL regardless of stream
+    volume — the defining property that makes distinct-count streamable;
+    the exact side (one distinct-user aggregate on the batch table) is
+    the audit."""
+    import re as _re
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        hll_register_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    m = 64
+    sink = "q_stream_hll_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+    q = run_to_memory(
+        hll_register_stream(read_events_stream(spark, sf_dir)),
+        sink,
+        "update",
+        available_now=True,
+    )
+    q.stop()
+    mx = (
+        spark.table(sink)
+        .groupBy(F.col("reg").cast("int").alias("reg"))
+        .agg(F.max("mr").cast("int").alias("mr"))
+    )
+    spine = spark.range(m).select(F.col("id").cast("int").alias("reg"))
+    regs = spine.join(F.broadcast(mx), "reg", "left").select(
+        F.coalesce("mr", F.lit(0)).alias("mr")
+    )
+    agg = regs.agg(
+        F.sum(
+            (
+                F.floor(F.pow(F.lit(2.0), -F.col("mr")) * 1e12 + 0.5) / 1e12
+            ).cast("decimal(30,12)")
+        )
+        .cast("double")
+        .alias("z"),
+        F.sum(F.when(F.col("mr") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("v"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / F.col("z")
+    e = F.when(
+        (raw <= 2.5 * float(m)) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(raw)
+    n = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n_exact"))
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        F.lit(m).cast("int").alias("m"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.floor(e * 1e4 + 0.5) / 1e4).alias("hll_est"),
+        (F.floor((e / F.col("n_exact") - 1.0) * 1e6 + 0.5) / 1e6).alias(
+            "rel_err"
+        ),
+    )

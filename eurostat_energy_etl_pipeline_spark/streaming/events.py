@@ -505,3 +505,60 @@ def transition_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HLL_STATE_SCHEMA = StructType([StructField("mr", LongType())])
+_HLL_OUT_SCHEMA = StructType(
+    [StructField("reg", LongType()), StructField("mr", LongType())]
+)
+
+
+def _update_hll_register(key, pdfs, state: GroupState):
+    """Per-register HLL maintenance: state is the running max leading-one
+    rank for this register; a batch emits the register's new max ONLY
+    when it grows (monotone updates — the sink rollup takes max per
+    register, so replays/batch splits can never double-count: max is
+    idempotent, the sketch property that makes HLL streamable at all)."""
+    mx = 0
+    for p in pdfs:
+        if len(p):
+            mx = max(mx, int(p["rho"].max()))
+    if mx == 0:
+        return
+    cur = int(state.get[0]) if state.exists else 0
+    if mx > cur:
+        state.update((mx,))
+        yield pd.DataFrame({"reg": [int(key[0])], "mr": [mx]})
+
+
+def hll_register_stream(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog: the q136 64-register sketch maintained
+    incrementally over the event firehose via applyInPandasWithState —
+    register/rank derivation (portable 60-bit md5 prefix, top-6 bits
+    register, leading-one rank of the low 54) is scan-side on the
+    stream; state is ONE long per register (64 longs total for any
+    event volume). The streaming twin of the q136 batch audit."""
+    hv = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    )
+    h = events.select(hv)
+    rem = F.col("hv") % F.lit(18014398509481984)  # 2^54
+    r = h.select(
+        F.expr("hv div 18014398509481984").cast("long").alias("reg"),
+        F.when(rem == 0, F.lit(55))
+        .otherwise(F.instr(F.lpad(F.bin(rem), 54, "0"), "1").cast("long"))
+        .alias("rho"),
+    )
+    return r.groupBy("reg").applyInPandasWithState(
+        _update_hll_register,
+        outputStructType=_HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
