@@ -514,3 +514,83 @@ def test_transition_stream_merges_out_of_order_state():
     c3 = _run_transitions([(5, "2024-01-01 10:05:00", "view")], st)
     assert c3 == {("purchase", "view"): 1}
     assert st.get[1] == 5
+
+
+def test_hll_register_stream_monotone_across_batches(spark, tmp_path):
+    """Cross-batch contract of hll_register_stream: the same users split
+    across TWO micro-batches produce register maxes identical to the
+    one-batch sketch (max is idempotent — replays/splits cannot move a
+    register), and re-seeing a user emits no spurious update."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        hll_register_stream,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    users = list(range(1, 41))
+    batch1 = [(i, "2024-01-01 10:00:00", u, "view", 1.0, "")
+              for i, u in enumerate(users[:20])]
+    # batch 2 repeats half of batch 1's users plus 20 new ones
+    batch2 = [(100 + i, "2024-01-01 11:00:00", u, "view", 1.0, "")
+              for i, u in enumerate(users[10:])]
+    src_dir = f"{tmp_path}/hll_src"
+    os.makedirs(src_dir)
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(rows, "event_id long, ts string, user_id long,"
+                              " event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        hll_register_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_hll_regs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = {
+        int(r["reg"]): int(r["mr"])
+        for r in spark.sql(
+            "SELECT reg, max(mr) AS mr FROM t_hll_regs GROUP BY reg"
+        ).collect()
+    }
+    # batch reference: the same derivation over all 40 distinct users
+    ref_df = spark.createDataFrame(
+        [(u,) for u in users], "user_id long"
+    ).select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long").alias("hv")
+    )
+    rem = F.col("hv") % F.lit(18014398509481984)
+    ref = {
+        int(r["reg"]): int(r["mr"])
+        for r in ref_df.select(
+            F.expr("hv div 18014398509481984").cast("long").alias("reg"),
+            F.when(rem == 0, F.lit(55))
+            .otherwise(F.instr(F.lpad(F.bin(rem), 54, "0"), "1")
+                       .cast("long")).alias("rho"),
+        ).groupBy("reg").agg(F.max("rho").alias("mr")).collect()
+    }
+    assert got == ref
