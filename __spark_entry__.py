@@ -48,6 +48,20 @@ _DRIVER_CHECK_PRIORITY = [
     "q162_tfidf_keywords",
     "q163_media_dedup_apply",
     "q164_postings_merge_probe",
+    "q165_cusum_changepoint",
+    "q166_seasonal_decompose",
+    "q167_survival_km",
+    "q168_skyline",
+    "q169_zorder_layout",
+    "q170_phrase_search",
+    "q171_text_normalize",
+    "q172_label_propagation",
+    "q173_fs_linkage",
+    "q174_pii_redact",
+    "q175_hll_rolling",
+    "q176_peak_concurrency",
+    "q177_activity_bitmaps",
+    "q_stream_hll",
     # last driver-checked in round 7
     "q17b_insights_full",
     "q18_fastest_rising",
