@@ -2398,15 +2398,16 @@ def q154(spark, sf_dir):
       FROM events GROUP BY 1
     ),
     m AS (
-      SELECT CAST(sum(CAST(daily_total AS DECIMAL(18,2))) AS DOUBLE)
-             / count(*) AS mean_total
+      SELECT d, daily_total,
+             CAST(sum(CAST(daily_total AS DECIMAL(18,2))) OVER ()
+                  AS DOUBLE) / count(*) OVER () AS mean_total
       FROM daily
     ),
     dev AS (
       SELECT d, daily_total,
              CAST(floor((daily_total - mean_total) * 1e6 + 0.5) / 1e6
                   AS DECIMAL(28,6)) AS dev_g
-      FROM daily CROSS JOIN m
+      FROM m
     ),
     cs AS (
       SELECT d, daily_total,
@@ -2442,17 +2443,20 @@ def q165(spark, sf_dir):
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         exact_sum("value").alias("daily_total")
     )
-    m = daily.agg(
-        (
-            F.sum(F.col("daily_total").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_total")
+    # global mean as an unbounded window over the day-grain table (q121
+    # domain-bounded contract) — ONE subtree, so the events scan is never
+    # duplicated into a separate aggregate branch
+    wp = Window.partitionBy()
+    mean_total = (
+        F.sum(F.col("daily_total").cast("decimal(18,2)")).over(wp)
+        .cast("double")
+        / F.count(F.lit(1)).over(wp)
     )
     g6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6
-    dev = daily.crossJoin(F.broadcast(m)).select(
+    dev = daily.select(
         "d",
         "daily_total",
-        g6(F.col("daily_total") - F.col("mean_total"))
+        g6(F.col("daily_total") - mean_total)
         .cast("decimal(28,6)")
         .alias("dev_g"),
     )
@@ -2597,11 +2601,11 @@ def q166(spark, sf_dir):
              max(CAST(ts AS DATE)) AS last_d
       FROM events GROUP BY user_id
     ),
-    mx AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+    ur AS (SELECT first_d, last_d, max(last_d) OVER () AS ref FROM u),
     lif AS (
       SELECT CAST(last_d - first_d AS BIGINT) AS dur,
              CASE WHEN ref - last_d > 14 THEN 1 ELSE 0 END AS churned
-      FROM u CROSS JOIN mx
+      FROM ur
     ),
     g AS (
       SELECT dur, CAST(count(*) AS BIGINT) AS n_end,
@@ -2663,8 +2667,11 @@ def q167(spark, sf_dir):
     u = ev.groupBy("user_id").agg(
         F.min(d).alias("first_d"), F.max(d).alias("last_d")
     )
-    mx = ev.agg(F.max(d).alias("ref"))
-    lif = u.crossJoin(F.broadcast(mx)).select(
+    # corpus ref day = max(last_d) over the user-grain table via an
+    # unbounded window — the events scan is never duplicated into a
+    # second max(ts) branch
+    u = u.withColumn("ref", F.max("last_d").over(Window.partitionBy()))
+    lif = u.select(
         F.datediff("last_d", "first_d").cast("long").alias("dur"),
         F.when(F.datediff("ref", "last_d") > 14, 1).otherwise(0).alias(
             "churned"

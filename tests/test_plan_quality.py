@@ -840,3 +840,88 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         assert len(sc._jsc.getPersistentRDDs()) == base, (
             f"{name}: persistent RDDs did not return to baseline"
         )
+
+
+def test_q165_cusum_single_scan_day_grain(spark, queries):
+    """The CUSUM windows may be unpartitioned ONLY because they run on
+    the day-grain aggregate; the global mean is an unbounded window over
+    that same table, so events is scanned exactly ONCE and only
+    (ts, value) is read."""
+    plan = plan_of(queries["q165_cusum_changepoint"](spark, SF_DIR))
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert "ReadSchema: struct<ts:timestamp" in plan
+
+
+def test_q167_km_single_scan_user_then_duration_grain(spark, queries):
+    """Kaplan-Meier's windows run on the duration-grain table: the
+    user-keyed aggregate sits below everything, the corpus ref day is a
+    window over it (no second max(ts) scan branch), and only
+    (ts, user_id) is read."""
+    plan = plan_of(queries["q167_survival_km"](spark, SF_DIR))
+    assert plan.count("events.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<ts:timestamp" in plan
+    assert "user_id:bigint" in plan
+
+
+def test_q168_skyline_frontier_broadcasts_no_cartesian(spark, queries):
+    """The skyline's final point->customer join must broadcast the
+    pruned frontier; dominance is window-based — no quadratic join
+    anywhere."""
+    plan = plan_of(queries["q168_skyline"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q169_zorder_single_aggregate_scan_side_interleave(spark, queries):
+    """The Morton interleave is scan-side expression work: exactly ONE
+    exchange (the bucket-grain aggregate) and a two-column read."""
+    plan = plan_of(queries["q169_zorder_layout"](spark, SF_DIR))
+    assert plan.count("+- Exchange") == 1
+    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in plan
+
+
+def test_q170_phrase_join_filters_before_broadcast(spark, queries):
+    """Positional phrase intersection: each posting side keeps only its
+    query term BEFORE the join (Filter above Generate), the slimmer side
+    broadcasts, and top-k is TakeOrderedAndProject."""
+    plan = plan_of(queries["q170_phrase_search"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q171_normalize_is_pure_scan_side(spark, queries):
+    """The normalization apply stage is shuffle-free: rewritten text,
+    lengths, and md5 all happen in the scan's projection."""
+    plan = plan_of(queries["q171_text_normalize"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_q173_fs_pairs_are_block_equi_join(spark, queries):
+    """Fellegi-Sunter candidates come from the nation equi-join (never
+    an unblocked pair enumeration); the 1-row weight table reaches the
+    pattern census by broadcast."""
+    plan = plan_of(queries["q173_fs_linkage"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the bounded 1-row weights
+
+
+def test_q174_redact_single_type_keyed_exchange(spark, queries):
+    """The redaction certificate is ONE type-keyed aggregate over
+    scan-side regex rewrites — partial collect below the exchange (the
+    only other exchange allowed is widen_if_narrow's fixture repartition
+    at tiny SF)."""
+    plan = plan_of(queries["q174_pii_redact"](spark, SF_DIR))
+    assert "partial_collect_list" in plan
+    assert plan.count("+- Exchange") <= 2
+
+
+def test_q177_bitmaps_combine_map_side(spark, queries):
+    """Activity bitmaps must partial-aggregate: bit_or is associative
+    and the plan has to use that (partial_bit_or below the exchange)."""
+    plan = plan_of(queries["q177_activity_bitmaps"](spark, SF_DIR))
+    assert "partial_bit_or" in plan
+    assert "CartesianProduct" not in plan
