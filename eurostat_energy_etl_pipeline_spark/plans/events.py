@@ -3021,12 +3021,25 @@ def q176(spark, sf_dir):
         ),
     )
     pts = (
-        iv.select(F.col("start_s").alias("sec"), F.lit(1).alias("delta"))
-        .unionByName(
-            iv.select(
-                (F.col("end_s") + 1).alias("sec"), F.lit(-1).alias("delta")
-            )
+        # explode, not union: a union of two selects over iv duplicates
+        # the whole sessionizer subtree (two events scans + two window
+        # passes); the 2-element array explode emits both deltas from ONE
+        # pass
+        iv.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("start_s").alias("sec"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        (F.col("end_s") + 1).alias("sec"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("p")
         )
+        .select(F.col("p.sec").alias("sec"), F.col("p.delta").alias("delta"))
         .groupBy("sec")
         .agg(
             F.sum("delta").cast("long").alias("net"),

@@ -27,7 +27,7 @@ from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
     frame_sample,
     media_table,
 )
-from eurostat_energy_etl_pipeline_spark.plans import query
+from eurostat_energy_etl_pipeline_spark.plans import pin, query
 
 
 @query(
@@ -2984,11 +2984,16 @@ def q173(spark, sf_dir):
     on before emitting pairs. Exactness: u is an integer-count rational
     divided once; log2 weights grid at 1e-12 (the q94 transcendental
     recipe); the 2-term score sums in fixed order and grids at 1e-9."""
-    c = load_tables(spark, sf_dir)["customer"].select(
-        F.col("c_custkey").alias("id"),
-        F.col("c_nationkey").alias("nat"),
-        F.col("c_mktsegment").alias("seg"),
-        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal"),
+    # the projected customer table feeds FIVE consumers (both pair
+    # sides, both u-estimates, the record count) — pin it so the scan
+    # runs once (harness releases via the r10 lifetime contract)
+    c = pin(
+        load_tables(spark, sf_dir)["customer"].select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal"),
+        )
     )
     n = c.agg(F.count(F.lit(1)).cast("long").alias("nrec"))
     g12 = lambda col: F.floor(col * 1e12 + 0.5) / 1e12

@@ -813,6 +813,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q136_hll_audit",
         "q138_bloom_join",
         "q140_chi_square",
+        "q173_fs_linkage",
         "q175_hll_rolling",
     ]
     sc = spark.sparkContext
