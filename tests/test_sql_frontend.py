@@ -119,6 +119,16 @@ DUCKDB_ONLY = {
     "q138_bloom_join",       # duckdb CAST('0x..') hex parse + // int division
     "q_stream_cms",          # duckdb CAST('0x..') hex parse (q113 grid)
     "q139_table_checksum",   # duckdb CAST('0x..') hex parse (Spark: conv)
+    "q165_cusum_changepoint",  # duckdb strftime day keys (Spark: date_format)
+    "q166_seasonal_decompose",  # duckdb strftime/isodow
+    "q167_survival_km",      # duckdb date-minus-date int (Spark: datediff)
+    "q170_phrase_search",    # duckdb string_split_regex/generate_subscripts
+    "q171_text_normalize",   # duckdb regexp_replace 'g' flag + len()
+    "q174_pii_redact",       # duckdb 'g' flag + ordered string_agg/len
+    "q175_hll_rolling",      # duckdb generate_series dates + '0x' hex/bin()
+    "q176_peak_concurrency", # duckdb epoch() + // int division
+    "q177_activity_bitmaps", # duckdb << >> bit operators on bigint
+    "q_stream_hll",          # duckdb '0x' hex parse + bin()/instr (q136 grid)
 }
 
 
