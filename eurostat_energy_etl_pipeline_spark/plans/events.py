@@ -3265,3 +3265,340 @@ def q_stream_hll(spark, sf_dir):
             "rel_err"
         ),
     )
+
+
+# At-rest SCD2 dimension per (session, sf_dir): the slowly-changing
+# user-status table built once from the historical slice (days <= the
+# split), then MERGED with the post-split delta by every q178 call — the
+# q152/q111 build-once-merge-many shape applied to dimension maintenance.
+_SCD2_SPLIT = "2024-01-20"
+_SCD2_BASE: dict[tuple[str, str], str] = {}
+
+
+def _daily_status(ev):
+    """Per (user, day) status = that day's dominant event type (count
+    desc, type asc tiebreak) — the change stream both the at-rest build
+    and the delta merge derive from."""
+    d = F.col("ts").cast("date").alias("d")
+    g = ev.groupBy("user_id", d, "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id", "d").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        g.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "d", F.col("event_type").alias("status"))
+    )
+
+
+def _scd2_rows(status_days):
+    """Gaps-and-islands SCD2 derivation over a (user_id, d, status)
+    stream: collapse consecutive same-status days into rows; a row's
+    valid_to is the day before the NEXT row's valid_from, NULL while
+    open (the standard Kimball type-2 layout)."""
+    w = Window.partitionBy("user_id").orderBy("d")
+    chg = F.when(
+        F.lag("status").over(w).isNull()
+        | (F.lag("status").over(w) != F.col("status")),
+        1,
+    ).otherwise(0)
+    runs = status_days.select(
+        "user_id", "d", "status", chg.alias("chg")
+    ).withColumn(
+        "run",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    rows = runs.groupBy("user_id", "run", "status").agg(
+        F.min("d").alias("valid_from")
+    )
+    wn = Window.partitionBy("user_id").orderBy("valid_from")
+    return rows.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.date_sub(F.lead("valid_from").over(wn), 1).alias("valid_to"),
+    )
+
+
+def _scd2_base_path(spark, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    path = _SCD2_BASE.get(key)
+    if path is None:
+        tag = hashlib.md5(f"{app}:{sf_dir}:scd2".encode()).hexdigest()[:12]
+        path = f"{tempfile.gettempdir()}/spark_graft_scd2_base_{tag}"
+        ev = load_tables(spark, sf_dir)["events"].where(
+            F.col("ts").cast("date") <= F.lit(_SCD2_SPLIT).cast("date")
+        )
+        _scd2_rows(_daily_status(ev)).write.mode("overwrite").parquet(path)
+        _SCD2_BASE[key] = path
+    return path
+
+
+@query(
+    "q178_scd2_merge",
+    oracle=f"""
+    WITH ds AS (
+      SELECT user_id, d, event_type AS status FROM (
+        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY count(*) DESC, event_type) AS rk
+        FROM events GROUP BY user_id, CAST(ts AS DATE), event_type)
+      WHERE rk = 1
+    ),
+    r AS (
+      SELECT user_id, d, status,
+             CASE WHEN lag(status) OVER w IS NULL
+                       OR lag(status) OVER w <> status THEN 1 ELSE 0 END
+               AS chg
+      FROM ds WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    runs AS (
+      SELECT user_id, d, status,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM r
+    ),
+    rws AS (
+      SELECT user_id, status, run, min(d) AS valid_from
+      FROM runs GROUP BY user_id, status, run
+    )
+    SELECT user_id, status,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(lead(valid_from) OVER wn - INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS valid_to,
+           CASE WHEN lead(valid_from) OVER wn IS NULL THEN 1 ELSE 0 END
+             AS is_current
+    FROM rws
+    WINDOW wn AS (PARTITION BY user_id ORDER BY valid_from)
+    ORDER BY user_id, valid_from
+    """,
+)
+def q178(spark, sf_dir):
+    """SCD TYPE-2 DIMENSION MERGE — the warehouse dimension-maintenance
+    op (Kimball type 2): an at-rest slowly-changing user-status table
+    (status = daily dominant event type, rows = consecutive-status runs
+    with valid_from/valid_to/open) is built ONCE from the historical
+    slice (days <= {_SCD2_SPLIT}), and each call merges only the
+    POST-SPLIT delta: the base's CLOSED rows pass through untouched,
+    and the gaps-and-islands derivation re-runs only over {{each user's
+    open row}} UNION {{delta status-days}} — closing open rows whose
+    status changed and extending those whose status held, at
+    O(delta + open) cost, never rescanning history. The oracle
+    recomputes the whole SCD2 table from scratch, certifying
+    merge == recompute (the q152 IVM contract applied to dimensions:
+    run-collapse is prefix-stable, so a closed run can never be
+    reopened by later data).
+
+    Scale shape: the delta pass is one (user, day)-keyed aggregate plus
+    user-partitioned windows; the at-rest base is partition-prunable by
+    user at a real warehouse's layout. All comparisons are exact
+    strings/dates."""
+    base = spark.read.parquet(_scd2_base_path(spark, sf_dir))
+    closed = base.where(F.col("valid_to").isNotNull())
+    open_rows = base.where(F.col("valid_to").isNull()).select(
+        "user_id", F.col("valid_from").alias("d"), "status"
+    )
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("ts").cast("date") > F.lit(_SCD2_SPLIT).cast("date")
+    )
+    tail = _scd2_rows(open_rows.unionByName(_daily_status(ev)))
+    merged = closed.unionByName(tail)
+    return merged.select(
+        "user_id",
+        "status",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias(
+            "is_current"
+        ),
+    ).transform(presentation_sort, "user_id", "valid_from")
+
+
+@query(
+    "q179_window_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0
+        AND e.ts <= v.t0 + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e
+      JOIN c ON e.user_id = c.user_id
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        AND e.ts <= v.t0 + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_1h,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_1h,
+           floor((SELECT count(*) FROM c) * 1.0
+                 / (SELECT count(*) FROM v) * 1e6 + 0.5) / 1e6
+             AS click_rate,
+           floor((SELECT count(*) FROM p) * 1.0
+                 / (SELECT count(*) FROM v) * 1e6 + 0.5) / 1e6
+             AS purchase_rate
+    """,
+)
+def q179(spark, sf_dir):
+    """TIME-BOUNDED WINDOW FUNNEL (the ClickHouse windowFunnel
+    semantics at fixed anchor): view -> click -> purchase where BOTH
+    later steps must land within 1 HOUR of the user's first view — the
+    attribution-window constraint q64's unbounded funnel cannot
+    express (a purchase next week is not this session's conversion).
+    Anchor is deterministic (the user's earliest view); each later
+    step is the earliest qualifying event after the previous step and
+    inside the anchor window.
+
+    Scale shape: three user-keyed min-aggregates chained by broadcast-
+    able user-grain joins (each stage's output is one row per
+    surviving user, strictly shrinking); the final readout is a 1-row
+    conditional rollup. Counts exact; rates are single divisions
+    gridded at 1e-6."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t0"))
+            & (F.col("ts") <= F.col("t0") + F.expr("interval 1 hour"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t0") + F.expr("interval 1 hour"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_1h"))
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_1h"))
+    g6 = lambda col: F.floor(col * 1e6 + 0.5) / 1e6
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click_1h",
+            "n_purchase_1h",
+            g6(F.col("n_click_1h") * 1.0 / F.col("n_view")).alias(
+                "click_rate"
+            ),
+            g6(F.col("n_purchase_1h") * 1.0 / F.col("n_view")).alias(
+                "purchase_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "q180_ohlc_resample",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(epoch(time_bucket(INTERVAL 15 MINUTES, ts)) AS BIGINT)
+               AS bucket_s,
+             ts, event_id, value,
+             row_number() OVER (PARTITION BY event_type,
+                  time_bucket(INTERVAL 15 MINUTES, ts)
+                  ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type,
+                  time_bucket(INTERVAL 15 MINUTES, ts)
+                  ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT event_type, bucket_s,
+           round(CAST(max(CASE WHEN ra = 1 THEN CAST(value AS DECIMAL(18,2))
+                          END) AS DOUBLE), 4) AS open,
+           round(CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS high,
+           round(CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS low,
+           round(CAST(max(CASE WHEN rd = 1 THEN CAST(value AS DECIMAL(18,2))
+                          END) AS DOUBLE), 4) AS close,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS total
+    FROM b GROUP BY event_type, bucket_s
+    ORDER BY event_type, bucket_s
+    """,
+)
+def q180(spark, sf_dir):
+    """OHLC RESAMPLING — the financial-style bar aggregation (open/
+    high/low/close per 15-minute bucket per event type), the resample
+    shape q_events_tumbling (count/sum) and q134 (TWAP) do not cover:
+    OPEN/CLOSE are ORDER statistics of the bucket (first/last by
+    (ts, event_id) — the library's deterministic event order), not
+    commutative aggregates, carried here by rank-1 flags folded into
+    the same single hash aggregate as high/low/count/total.
+
+    Scale shape: two (type, bucket)-partitioned windows tag the first
+    and last event per bar, then ONE map-side-combined aggregate; bars
+    are epoch-aligned like q_events_tumbling so the bucket key is an
+    exact integer. Values go through DECIMAL(18,2) everywhere."""
+    ev = load_tables(spark, sf_dir)["events"]
+    bucket = F.window("ts", "15 minutes")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        bucket.start.cast("long").alias("bucket_s"),
+    )
+    wa = Window.partitionBy("event_type", "bucket_s").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy("event_type", "bucket_s").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    tagged = base.select(
+        "event_type",
+        "bucket_s",
+        "v",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return (
+        tagged.groupBy("event_type", "bucket_s")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("ra") == 1, F.col("v"))).cast("double"),
+                4,
+            ).alias("open"),
+            F.round(F.max("v").cast("double"), 4).alias("high"),
+            F.round(F.min("v").cast("double"), 4).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rd") == 1, F.col("v"))).cast("double"),
+                4,
+            ).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("v").cast("double"), 4).alias("total"),
+        )
+        .transform(presentation_sort, "event_type", "bucket_s")
+    )
