@@ -3602,3 +3602,148 @@ def q180(spark, sf_dir):
         )
         .transform(presentation_sort, "event_type", "bucket_s")
     )
+
+
+@query(
+    "q181_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN substr(md5('did:' || CAST(user_id AS STRING)), 1, 1)
+                       < '8' THEN 'T' ELSE 'C' END AS grp,
+             CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                  THEN 'pre' ELSE 'post' END AS period,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT grp, period,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DOUBLE) AS s,
+             CAST(sum(CAST(v * v AS DECIMAL(28,4))) AS DOUBLE) AS ssq
+      FROM cells GROUP BY grp, period
+    ),
+    m AS (
+      SELECT grp, period, n, s / n AS mean,
+             ((ssq - (s / n) * s) / (n - 1)) / n AS mvar
+      FROM agg
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN grp = 'T' AND period = 'pre' THEN mean END) AS t_pre,
+        max(CASE WHEN grp = 'T' AND period = 'post' THEN mean END) AS t_post,
+        max(CASE WHEN grp = 'C' AND period = 'pre' THEN mean END) AS c_pre,
+        max(CASE WHEN grp = 'C' AND period = 'post' THEN mean END) AS c_post,
+        max(CASE WHEN grp = 'T' AND period = 'pre' THEN n END) AS n_t_pre,
+        max(CASE WHEN grp = 'T' AND period = 'post' THEN n END) AS n_t_post,
+        max(CASE WHEN grp = 'C' AND period = 'pre' THEN n END) AS n_c_pre,
+        max(CASE WHEN grp = 'C' AND period = 'post' THEN n END) AS n_c_post,
+        max(CASE WHEN grp = 'T' AND period = 'pre' THEN mvar END) AS v_t_pre,
+        max(CASE WHEN grp = 'T' AND period = 'post' THEN mvar END) AS v_t_post,
+        max(CASE WHEN grp = 'C' AND period = 'pre' THEN mvar END) AS v_c_pre,
+        max(CASE WHEN grp = 'C' AND period = 'post' THEN mvar END) AS v_c_post
+      FROM m
+    )
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           floor(t_pre * 1e6 + 0.5) / 1e6 AS t_pre,
+           floor(t_post * 1e6 + 0.5) / 1e6 AS t_post,
+           floor(c_pre * 1e6 + 0.5) / 1e6 AS c_pre,
+           floor(c_post * 1e6 + 0.5) / 1e6 AS c_post,
+           floor(((t_post - t_pre) - (c_post - c_pre)) * 1e6 + 0.5) / 1e6
+             AS did,
+           floor(sqrt(((v_t_pre + v_t_post) + v_c_pre) + v_c_post)
+                 * 1e6 + 0.5) / 1e6 AS se
+    FROM w
+    """,
+)
+def q181(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
+    (Card-Krueger shape) completing the experimentation family (q151
+    two-proportion z, q140 chi-square): users hash-split into
+    treatment/control (the library's salted-md5 cohort device), purchase
+    values split pre/post the Jan-15 cutover, and the causal readout is
+    DiD = (T_post - T_pre) - (C_post - C_pre) with its large-sample
+    standard error sqrt(sum of per-cell mean-variances).
+
+    Exactness: each cell reduces to exact DECIMAL sums of v and v*v
+    (2-decimal values make v^2 exactly a DECIMAL(28,4), so the sum of
+    squares is order-independent too); means/variances/DiD/SE are then
+    a FIXED-ORDER single-row expression tree, gridded at 1e-6. Scale
+    shape: ONE map-side-combined 4-cell aggregate over the purchase
+    stream; everything after is 1-row arithmetic."""
+    ev = load_tables(spark, sf_dir)["events"]
+    grp = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("did:"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        F.lit("T"),
+    ).otherwise(F.lit("C"))
+    period = F.when(
+        F.col("ts").cast("date") <= F.lit("2024-01-15").cast("date"), "pre"
+    ).otherwise("post")
+    v = F.col("value").cast("decimal(18,2)")
+    cells = ev.where(F.col("event_type") == "purchase").select(
+        grp.alias("grp"), period.alias("period"), v.alias("v")
+    )
+    agg = cells.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("ssq"),
+    )
+    mean = F.col("s") / F.col("n")
+    m = agg.select(
+        "grp",
+        "period",
+        "n",
+        mean.alias("mean"),
+        (
+            ((F.col("ssq") - mean * F.col("s")) / (F.col("n") - 1))
+            / F.col("n")
+        ).alias("mvar"),
+    )
+    def cell(col, g, p):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col(col))
+        )
+    w = m.agg(
+        cell("mean", "T", "pre").alias("t_pre_m"),
+        cell("mean", "T", "post").alias("t_post_m"),
+        cell("mean", "C", "pre").alias("c_pre_m"),
+        cell("mean", "C", "post").alias("c_post_m"),
+        cell("n", "T", "pre").alias("n_t_pre"),
+        cell("n", "T", "post").alias("n_t_post"),
+        cell("n", "C", "pre").alias("n_c_pre"),
+        cell("n", "C", "post").alias("n_c_post"),
+        cell("mvar", "T", "pre").alias("v_t_pre"),
+        cell("mvar", "T", "post").alias("v_t_post"),
+        cell("mvar", "C", "pre").alias("v_c_pre"),
+        cell("mvar", "C", "post").alias("v_c_post"),
+    )
+    g6 = lambda col: F.floor(col * 1e6 + 0.5) / 1e6
+    return w.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        g6(F.col("t_pre_m")).alias("t_pre"),
+        g6(F.col("t_post_m")).alias("t_post"),
+        g6(F.col("c_pre_m")).alias("c_pre"),
+        g6(F.col("c_post_m")).alias("c_post"),
+        g6(
+            (F.col("t_post_m") - F.col("t_pre_m"))
+            - (F.col("c_post_m") - F.col("c_pre_m"))
+        ).alias("did"),
+        g6(
+            F.sqrt(
+                (
+                    (F.col("v_t_pre") + F.col("v_t_post"))
+                    + F.col("v_c_pre")
+                )
+                + F.col("v_c_post")
+            )
+        ).alias("se"),
+    )
