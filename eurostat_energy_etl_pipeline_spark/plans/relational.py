@@ -1808,3 +1808,118 @@ def q169(spark, sf_dir):
         )
         .transform(presentation_sort, "zbucket")
     )
+
+
+@query(
+    "q182_item_item_cf",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    pop AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY p),
+    co AS (
+      SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+      GROUP BY x.p, y.p HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT a, b, n_ab FROM co
+      UNION ALL SELECT b, a, n_ab FROM co
+    ),
+    scored AS (
+      SELECT s.a, s.b, s.n_ab,
+             floor(s.n_ab / sqrt(CAST(pa.n AS DOUBLE) * pb.n) * 1e9 + 0.5)
+               / 1e9 AS cosine
+      FROM sym s JOIN pop pa ON pa.p = s.a JOIN pop pb ON pb.p = s.b
+    ),
+    ranked AS (
+      SELECT a, b, n_ab, cosine,
+             row_number() OVER (PARTITION BY a
+                                ORDER BY cosine DESC, b) AS rk
+      FROM scored
+    )
+    SELECT a AS part, b AS similar_part, n_ab AS n_cooccur, cosine,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY part, rk
+    """,
+)
+def q182(spark, sf_dir):
+    """ITEM-ITEM COLLABORATIVE FILTERING — the classic co-occurrence
+    recommender (Linden et al. 2003, Amazon item-to-item): similarity
+    between parts = cosine over order-baskets, cos(a,b) =
+    n_ab / sqrt(n_a * n_b), top-3 neighbors per part. Builds directly
+    on q133's support-floored basket pairs (>= 2 shared orders prunes
+    the quadratic coincidence tail BEFORE scoring — the same map-side
+    combinable HAVING) and q105's array pair expansion: per-order
+    baskets are collected with ONE orderkey-keyed aggregate and the
+    C(k,2) canonical pairs expand scan-side from the sorted set array
+    (no li-x-li self-join — each order's items cross the wire once).
+
+    Scale shape: pair grain is bounded by basket sizes; popularity is a
+    part-grain broadcastable table joined twice; the per-part top-3 is
+    a pair-keyed window on the pruned pair set. Exactness: counts are
+    integers, the cosine is one sqrt over an exact integer product,
+    gridded at 1e-9; ranking ties break on the gridded value + part id."""
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    baskets = li.groupBy("o").agg(
+        F.sort_array(F.collect_set("p")).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    pop = li.groupBy(F.col("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sym = co.unionByName(
+        co.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "n_ab"
+        )
+    )
+    pa = pop.select(F.col("p").alias("_pa"), F.col("n").alias("n_a"))
+    pb = pop.select(F.col("p").alias("_pb"), F.col("n").alias("n_b"))
+    scored = (
+        sym.join(F.broadcast(pa), F.col("a") == F.col("_pa"))
+        .join(F.broadcast(pb), F.col("b") == F.col("_pb"))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            (
+                F.floor(
+                    F.col("n_ab")
+                    / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
+                    * 1e9
+                    + 0.5
+                )
+                / 1e9
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("a").alias("part"),
+            F.col("b").alias("similar_part"),
+            F.col("n_ab").alias("n_cooccur"),
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .transform(presentation_sort, "part", "rk")
+    )
