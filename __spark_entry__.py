@@ -61,6 +61,11 @@ _DRIVER_CHECK_PRIORITY = [
     "q175_hll_rolling",
     "q176_peak_concurrency",
     "q177_activity_bitmaps",
+    "q178_scd2_merge",
+    "q179_window_funnel",
+    "q180_ohlc_resample",
+    "q181_diff_in_diff",
+    "q182_item_item_cf",
     "q_stream_hll",
     # last driver-checked in round 7
     "q17b_insights_full",
