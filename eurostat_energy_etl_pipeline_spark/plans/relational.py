@@ -1867,27 +1867,35 @@ def q182(spark, sf_dir):
     baskets = li.groupBy("o").agg(
         F.sort_array(F.collect_set("p")).alias("ps")
     )
+    # emit BOTH orientations scan-side (each canonical pair as (a,b) AND
+    # (b,a)): per-direction counts equal the canonical pair count, so one
+    # aggregation replaces the co UNION co-swapped shape — which would
+    # duplicate the whole basket subtree (two more lineitem scans)
     pair_arr = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+        F.flatten(
+            F.transform(
+                F.col("ps"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                    lambda y: F.array(
+                        F.struct(x.alias("a"), y.alias("b")),
+                        F.struct(y.alias("a"), x.alias("b")),
+                    ),
+                ),
+            )
         )
     )
-    co = (
+    sym = (
         baskets.select(F.explode(pair_arr).alias("pr"))
         .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .where(F.col("n_ab") >= 2)
     )
-    pop = li.groupBy(F.col("p")).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    sym = co.unionByName(
-        co.select(
-            F.col("b").alias("a"), F.col("a").alias("b"), "n_ab"
+    # the part-grain popularity table feeds BOTH broadcast sides — pin
+    # it so the lineitem scan behind it runs once (r10 lifetime contract)
+    pop = pin(
+        li.groupBy(F.col("p")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
         )
     )
     pa = pop.select(F.col("p").alias("_pa"), F.col("n").alias("n_a"))

@@ -815,6 +815,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q140_chi_square",
         "q173_fs_linkage",
         "q175_hll_rolling",
+        "q182_item_item_cf",
     ]
     sc = spark.sparkContext
     for name in pin_users:
@@ -926,3 +927,41 @@ def test_q177_bitmaps_combine_map_side(spark, queries):
     plan = plan_of(queries["q177_activity_bitmaps"](spark, SF_DIR))
     assert "partial_bit_or" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q178_scd2_merge_reads_base_not_history(spark, queries):
+    """The SCD2 merge must read the at-rest base parquet plus ONLY the
+    post-split delta: the events scan carries the split-day filter (so
+    history is never rescanned) and the base parquet appears in the
+    plan."""
+    plan = plan_of(queries["q178_scd2_merge"](spark, SF_DIR))
+    assert "spark_graft_scd2_base_" in plan
+    assert "GreaterThan(ts" in plan or "isnotnull(ts" in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_q179_funnel_stages_shrink_by_join(spark, queries):
+    """Each funnel stage joins the previous stage's user-grain output
+    back to the stream — no cartesian, no sort-merge of the raw stream
+    against itself."""
+    plan = plan_of(queries["q179_window_funnel"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_q180_ohlc_single_aggregate_after_rank_tags(spark, queries):
+    """OHLC folds open/close rank tags and high/low/count/total into ONE
+    hash aggregate; the windows are (type, bucket)-partitioned (never
+    SinglePartition)."""
+    plan = plan_of(queries["q180_ohlc_resample"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "partial_" in plan
+
+
+def test_q182_cf_pairs_expand_scan_side(spark, queries):
+    """Item-item CF pair generation is the q105 array expansion (one
+    orderkey aggregate + scan-side C(k,2) explode), NOT a lineitem
+    self-join; popularity tables broadcast."""
+    plan = plan_of(queries["q182_item_item_cf"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") <= 2  # baskets + popularity
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
