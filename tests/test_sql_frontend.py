@@ -129,6 +129,8 @@ DUCKDB_ONLY = {
     "q176_peak_concurrency", # duckdb epoch() + // int division
     "q177_activity_bitmaps", # duckdb << >> bit operators on bigint
     "q_stream_hll",          # duckdb '0x' hex parse + bin()/instr (q136 grid)
+    "q178_scd2_merge",       # duckdb strftime + date - INTERVAL arithmetic
+    "q180_ohlc_resample",    # duckdb time_bucket/epoch (q_events_tumbling idiom)
 }
 
 
