@@ -3967,3 +3967,119 @@ def q171(spark, sf_dir):
         ),
         F.md5(F.col("ntext")).alias("text_md5"),
     )
+
+
+@query(
+    "q183_budget_selection",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source, tk,
+             CAST(len(tk) AS BIGINT) AS n_tok,
+             CAST(floor(len(list_distinct(tk)) * 1.0 / len(tk) * 1e6)
+                  AS BIGINT) AS score_i
+      FROM (SELECT doc_id, source,
+                   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents)
+      WHERE len(tk) > 0
+    ),
+    b AS (SELECT CAST(floor(0.4 * sum(n_tok)) AS BIGINT) AS budget FROM t),
+    o AS (
+      SELECT doc_id, source, n_tok, score_i,
+             sum(n_tok) OVER (ORDER BY 1000000 - score_i, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_total,
+           CAST(sum(CASE WHEN cum <= b.budget THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_selected,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN cum <= b.budget THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_selected,
+           floor(sum(CASE WHEN cum <= b.budget THEN n_tok ELSE 0 END) * 1.0
+                 / sum(n_tok) * 1e6 + 0.5) / 1e6 AS pct_tokens_selected
+    FROM o CROSS JOIN b
+    GROUP BY source, b.budget ORDER BY source
+    """,
+)
+def q183(spark, sf_dir):
+    """TOKEN-BUDGET DATA SELECTION — the "best docs until the budget is
+    spent" primitive every curriculum / data-mixing pipeline runs before
+    training: docs rank globally by a quality score (here lexical
+    diversity, distinct-token ratio — integer-gridded so the order is
+    exact), and the selection keeps the prefix of that order whose
+    CUMULATIVE token count fits a 40%-of-corpus budget; per-source
+    accounting shows what the greedy selection kept (the fractional-
+    knapsack shape of quality-aware subsampling, complementing q73's
+    proportional mixture draw).
+
+    Scale shape: the global running total comes from the DISTRIBUTED
+    prefix-sum kernel (`operators/ranking.global_prefix_sum` —
+    deterministic buckets + O(#buckets) offsets, never a
+    single-partition window; the q135 contract), over an integral token
+    count so the cumsum is exact; the budget scalar derives from one
+    aggregate and broadcasts. All outputs are integer-exact but the one
+    gridded percentage."""
+    from eurostat_energy_etl_pipeline_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+    from eurostat_energy_etl_pipeline_spark.operators.text import (
+        whitespace_tokens,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tk = F.filter(whitespace_tokens(F.col("text")), lambda x: x != "")
+    t = (
+        widen_if_narrow(docs)
+        .select("doc_id", "source", tk.alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size("tk").cast("long").alias("n_tok"),
+            F.floor(
+                F.size(F.array_distinct("tk"))
+                * 1.0
+                / F.size("tk")
+                * 1e6
+            )
+            .cast("long")
+            .alias("score_i"),
+        )
+        .withColumn("sort_key", F.lit(1000000) - F.col("score_i"))
+        # three consumers (bucket boundary sample + offset collect inside
+        # the kernel, the final cumsum pass, the budget aggregate) — pin
+        # so the tokenizing scan runs once (r10 lifetime contract)
+        .transform(pin)
+    )
+    cum = global_prefix_sum(
+        t, ["sort_key", "doc_id"], "n_tok", out_col="cum"
+    )
+    b = t.agg(
+        F.floor(0.4 * F.sum("n_tok")).cast("long").alias("budget")
+    )
+    sel = F.col("cum") <= F.col("budget")
+    return (
+        cum.crossJoin(F.broadcast(b))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum(sel.cast("int")).cast("long").alias("docs_selected"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.when(sel, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_selected"),
+            (
+                F.floor(
+                    F.sum(F.when(sel, F.col("n_tok")).otherwise(0))
+                    * 1.0
+                    / F.sum("n_tok")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("pct_tokens_selected"),
+        )
+        .transform(presentation_sort, "source")
+    )

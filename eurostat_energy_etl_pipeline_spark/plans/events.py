@@ -3747,3 +3747,106 @@ def q181(spark, sf_dir):
             )
         ).alias("se"),
     )
+
+
+@query(
+    "q184_multi_touch",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    o AS (
+      SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT t.event_id AS t_id, CAST(t.ts AS DATE) AS t_day,
+             o.event_id AS o_id, o.v,
+             count(*) OVER (PARTITION BY o.event_id) AS n_touch
+      FROM t JOIN o ON t.user_id = o.user_id
+       AND t.ts < o.ts AND t.ts >= o.ts - INTERVAL 7 DAY
+    ),
+    credit AS (
+      SELECT t_day, o_id,
+             CAST(floor(CAST(v AS DOUBLE) / n_touch * 1e9 + 0.5) / 1e9
+                  AS DECIMAL(28,9)) AS c
+      FROM pairs
+    )
+    SELECT strftime(t_day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(count(DISTINCT o_id) AS BIGINT) AS n_purchases,
+           floor(CAST(sum(c) AS DOUBLE) * 1e4 + 0.5) / 1e4
+             AS attributed_value
+    FROM credit GROUP BY t_day ORDER BY day
+    """,
+)
+def q184(spark, sf_dir):
+    """LINEAR MULTI-TOUCH ATTRIBUTION — each purchase's value split
+    EQUALLY across every click touch in its trailing 7-day window,
+    rolled up to the touch day: the marketing-mix readout
+    q_stream_attribution's single-touch pairing cannot express (there a
+    click claims whole conversions; here credit is conserved — each
+    purchase distributes exactly its value, so summing attributed_value
+    over days reproduces total credited revenue).
+
+    Scale shape: the touch-conversion pairing is a user-keyed equi-join
+    with a sargable time band (the q_events_asof_join family); the
+    per-purchase fan-out count is a purchase-keyed window on the joined
+    stream (bounded by touches-per-week per user, never corpus-global);
+    the rollup is day grain. Exactness: each credit is ONE double
+    division of an exact decimal value gridded at 1e-9, then summed in
+    DECIMAL — order-independent, certified bit-for-bit."""
+    ev = load_tables(spark, sf_dir)["events"]
+    t = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+    )
+    o = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("o_user"),
+        F.col("ts").alias("o_ts"),
+        F.col("event_id").alias("o_id"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    pairs = t.join(
+        o,
+        (F.col("t_user") == F.col("o_user"))
+        & (F.col("t_ts") < F.col("o_ts"))
+        & (F.col("t_ts") >= F.col("o_ts") - F.expr("interval 7 day")),
+    ).select(
+        F.col("t_ts").cast("date").alias("t_day"),
+        "o_id",
+        "v",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_id"))
+        .alias("n_touch"),
+    )
+    credit = pairs.select(
+        "t_day",
+        "o_id",
+        (
+            F.floor(
+                F.col("v").cast("double") / F.col("n_touch") * 1e9 + 0.5
+            )
+            / 1e9
+        )
+        .cast("decimal(28,9)")
+        .alias("c"),
+    )
+    return (
+        credit.groupBy("t_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            F.count_distinct("o_id").cast("long").alias("n_purchases"),
+            (
+                F.floor(F.sum("c").cast("double") * 1e4 + 0.5) / 1e4
+            ).alias("attributed_value"),
+        )
+        .select(
+            F.date_format("t_day", "yyyy-MM-dd").alias("day"),
+            "n_credits",
+            "n_purchases",
+            "attributed_value",
+        )
+        .transform(presentation_sort, "day")
+    )

@@ -816,6 +816,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q173_fs_linkage",
         "q175_hll_rolling",
         "q182_item_item_cf",
+        "q183_budget_selection",
     ]
     sc = spark.sparkContext
     for name in pin_users:
