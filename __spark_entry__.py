@@ -66,6 +66,8 @@ _DRIVER_CHECK_PRIORITY = [
     "q180_ohlc_resample",
     "q181_diff_in_diff",
     "q182_item_item_cf",
+    "q183_budget_selection",
+    "q184_multi_touch",
     "q_stream_hll",
     # last driver-checked in round 7
     "q17b_insights_full",
