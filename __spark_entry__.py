@@ -38,58 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # tiebreak — regenerated each round by scripts in this repo's workflow.
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
-    # never driver-checked (new this round)
-    "q156_substring_cut",
-    "q157_substring_cut_audit",
-    "q158_media_signatures",
-    "q159_media_dedup",
-    "q160_ivf_merge_probe",
-    "q161_media_quality",
-    "q162_tfidf_keywords",
-    "q163_media_dedup_apply",
-    "q164_postings_merge_probe",
-    "q165_cusum_changepoint",
-    "q166_seasonal_decompose",
-    "q167_survival_km",
-    "q168_skyline",
-    "q169_zorder_layout",
-    "q170_phrase_search",
-    "q171_text_normalize",
-    "q172_label_propagation",
-    "q173_fs_linkage",
-    "q174_pii_redact",
-    "q175_hll_rolling",
-    "q176_peak_concurrency",
-    "q177_activity_bitmaps",
-    "q178_scd2_merge",
-    "q179_window_funnel",
-    "q180_ohlc_resample",
-    "q181_diff_in_diff",
-    "q182_item_item_cf",
-    "q183_budget_selection",
-    "q184_multi_touch",
-    "q_stream_hll",
+    # pinned: oracle conversion never driver-certified (last visit r09)
+    "q80_ivf_sq8_ann",
+    # pinned: oracle conversion never driver-certified (last visit r09)
+    "q88_knn_join_lsh",
     # last driver-checked in round 7
-    "q17b_insights_full",
-    "q18_fastest_rising",
-    "q19_dedup_exact",
-    "q20_text_stats",
-    "q21_word_count",
-    "q22_embedding_topk",
-    "q23_dedup_hash_groups",
-    "q24_ngram_jaccard",
-    "q25_minhash_lsh_pairs",
-    "q26_simhash_pairs",
-    "q27_fingerprint",
-    "q31_embedding_neardup",
-    "q32_lsh_ann",
-    "q33_multimodal_features",
-    "q35_forecast",
-    "q36_tfidf_search",
-    "q37_ivf_ann",
-    "q74_forecast_features",
-    "q75_bm25_search",
-    "q76_length_histogram",
     "q78_vocab_topk",
     "q81_rolling_dau",
     "q82_bigram_lm_score",
@@ -192,11 +145,9 @@ _DRIVER_CHECK_PRIORITY = [
     "q72_source_audit",
     "q73_mixture_sample",
     "q79_quantize_audit",
-    "q80_ivf_sq8_ann",
     "q83_crossmodal_audit",
     "q85_median_bridge",
     "q87_knn_join_exact",
-    "q88_knn_join_lsh",
     "q_stream_cms",
     "q_stream_enrich",
     "q_stream_sliding",
@@ -251,6 +202,57 @@ _DRIVER_CHECK_PRIORITY = [
     "q_events_tumbling",
     "q_events_type_stats",
     "q_stream_markov",
+    # last driver-checked in round 11
+    "q156_substring_cut",
+    "q157_substring_cut_audit",
+    "q158_media_signatures",
+    "q159_media_dedup",
+    "q160_ivf_merge_probe",
+    "q161_media_quality",
+    "q162_tfidf_keywords",
+    "q163_media_dedup_apply",
+    "q164_postings_merge_probe",
+    "q165_cusum_changepoint",
+    "q166_seasonal_decompose",
+    "q167_survival_km",
+    "q168_skyline",
+    "q169_zorder_layout",
+    "q170_phrase_search",
+    "q171_text_normalize",
+    "q172_label_propagation",
+    "q173_fs_linkage",
+    "q174_pii_redact",
+    "q175_hll_rolling",
+    "q176_peak_concurrency",
+    "q177_activity_bitmaps",
+    "q178_scd2_merge",
+    "q179_window_funnel",
+    "q17b_insights_full",
+    "q180_ohlc_resample",
+    "q181_diff_in_diff",
+    "q182_item_item_cf",
+    "q183_budget_selection",
+    "q184_multi_touch",
+    "q18_fastest_rising",
+    "q19_dedup_exact",
+    "q20_text_stats",
+    "q21_word_count",
+    "q22_embedding_topk",
+    "q23_dedup_hash_groups",
+    "q24_ngram_jaccard",
+    "q25_minhash_lsh_pairs",
+    "q26_simhash_pairs",
+    "q27_fingerprint",
+    "q31_embedding_neardup",
+    "q32_lsh_ann",
+    "q33_multimodal_features",
+    "q35_forecast",
+    "q36_tfidf_search",
+    "q37_ivf_ann",
+    "q74_forecast_features",
+    "q75_bm25_search",
+    "q76_length_histogram",
+    "q_stream_hll",
 ]
 
 

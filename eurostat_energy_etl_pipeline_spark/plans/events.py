@@ -2419,16 +2419,17 @@ def q154(spark, sf_dir):
     SELECT strftime(d, '%Y-%m-%d') AS day,
            floor(daily_total * 1e4 + 0.5) / 1e4 AS daily_total,
            cusum,
-           CASE WHEN abs(cusum) = max(abs(cusum)) OVER () THEN 1 ELSE 0 END
-             AS is_changepoint
+           CASE WHEN row_number() OVER (ORDER BY abs(cusum) DESC, d ASC) = 1
+                THEN 1 ELSE 0 END AS is_changepoint
     FROM cs ORDER BY day
     """,
 )
 def q165(spark, sf_dir):
     """CUSUM CHANGEPOINT detection over the daily revenue series — the
     classic level-shift detector (Page 1954): cumulative sum of
-    deviations from the global mean, with the changepoint flagged where
-    |CUSUM| peaks. The monitoring primitive behind data-drift pages and
+    deviations from the global mean, with exactly ONE changepoint flagged:
+    the earliest day attaining the max |CUSUM| (deterministic on ties).
+    The monitoring primitive behind data-drift pages and
     KPI step-change alerts, here in its offline (retrospective) form;
     q77's z-score flags POINT outliers, this finds the LEVEL SHIFT.
 
@@ -2466,19 +2467,18 @@ def q165(spark, sf_dir):
         "daily_total",
         g6(F.sum("dev_g").over(wcum).cast("double")).alias("cusum"),
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # deterministic tie-break (ADVICE r11): exactly ONE changepoint is
+    # flagged — the EARLIEST day attaining max |CUSUM| — instead of
+    # multi-flagging every tied day; row_number over the day-grain table
+    # (q121 domain-bounded contract)
+    wpeak = Window.orderBy(F.abs(F.col("cusum")).desc(), F.col("d").asc())
     return cs.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         (F.floor(F.col("daily_total") * 1e4 + 0.5) / 1e4).alias(
             "daily_total"
         ),
         "cusum",
-        F.when(
-            F.abs(F.col("cusum")) == F.max(F.abs(F.col("cusum"))).over(wall),
-            1,
-        )
+        F.when(F.row_number().over(wpeak) == 1, 1)
         .otherwise(0)
         .alias("is_changepoint"),
     ).transform(presentation_sort, "day")
@@ -2951,12 +2951,19 @@ def q175(spark, sf_dir):
       FROM sessions GROUP BY user_id, session_id
     ),
     pts AS (
+      -- delta points PLUS a delta-0 sentinel at every midnight a session
+      -- spans, so the plateau carried in across a day boundary is sampled
+      -- even when the day's first real delta is a session end
       SELECT sec, CAST(sum(delta) AS BIGINT) AS net,
              CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS starts
       FROM (
         SELECT start_s AS sec, 1 AS delta FROM iv
         UNION ALL SELECT end_s + 1, -1 FROM iv
+        UNION ALL
+        SELECT d * 86400, 0
+        FROM iv, LATERAL (SELECT unnest(generate_series(
+                 (start_s + 86399) // 86400, end_s // 86400)) AS d) u
       ) GROUP BY sec
     ),
     curve AS (
@@ -2968,7 +2975,7 @@ def q175(spark, sf_dir):
     SELECT day_idx, max(conc) AS peak_concurrency,
            CAST(sum(starts) AS BIGINT) AS sessions_started
     FROM curve GROUP BY day_idx
-    HAVING sum(starts) > 0 ORDER BY day_idx
+    HAVING max(conc) > 0 ORDER BY day_idx
     """,
 )
 def q176(spark, sf_dir):
@@ -2980,7 +2987,13 @@ def q176(spark, sf_dir):
     ORDER-FREE by aggregating deltas to second grain first — at second
     grain the running total AFTER all of a second's deltas equals the
     ends-first peak at that second, so no within-timestamp ordering
-    exists to disagree on.
+    exists to disagree on. Every midnight a session spans gets a delta-0
+    SENTINEL point, so the plateau carried in across a day boundary is
+    sampled too: a day whose first real delta is a session end reports
+    its true peak, and a day with active sessions but zero starts still
+    appears (sessions_started = 0). Concurrency is piecewise constant
+    between deltas, so max over {day-start sentinel} ∪ {post-delta
+    values} IS the exact day peak.
 
     Scale shape: the only raw-grain pass is the sessionizer's user-keyed
     window; deltas collapse to distinct-second grain immediately. The
@@ -3020,22 +3033,44 @@ def q176(spark, sf_dir):
             "end_s"
         ),
     )
+    # delta points PLUS a delta-0 sentinel at every midnight the session
+    # spans (ADVICE r11): the sentinel samples the plateau carried in
+    # across the day boundary, so a day whose first real delta is a
+    # session end no longer under-reports its peak and active-but-zero-
+    # start days are no longer dropped. Spark's sequence(a, b) runs
+    # DESCENDING when a > b, so the empty range needs an explicit guard.
+    d_lo = F.expr("(start_s + 86399) div 86400")
+    d_hi = F.expr("end_s div 86400")
+    point_t = "array<struct<sec:bigint,delta:int>>"
+    sentinels = F.when(
+        d_lo <= d_hi,
+        F.transform(
+            F.sequence(d_lo, d_hi),
+            lambda d: F.struct(
+                (d * 86400).cast("long").alias("sec"),
+                F.lit(0).alias("delta"),
+            ),
+        ),
+    ).otherwise(F.expr(f"cast(array() as {point_t})"))
     pts = (
-        # explode, not union: a union of two selects over iv duplicates
-        # the whole sessionizer subtree (two events scans + two window
-        # passes); the 2-element array explode emits both deltas from ONE
-        # pass
+        # explode ONE concatenated array, not a union of selects over iv:
+        # a union would duplicate the whole sessionizer subtree (two
+        # events scans + two window passes); concat emits the 2 deltas
+        # and the spanned-midnight sentinels from ONE pass
         iv.select(
             F.explode(
-                F.array(
-                    F.struct(
-                        F.col("start_s").alias("sec"),
-                        F.lit(1).alias("delta"),
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.col("start_s").alias("sec"),
+                            F.lit(1).alias("delta"),
+                        ),
+                        F.struct(
+                            (F.col("end_s") + 1).alias("sec"),
+                            F.lit(-1).alias("delta"),
+                        ),
                     ),
-                    F.struct(
-                        (F.col("end_s") + 1).alias("sec"),
-                        F.lit(-1).alias("delta"),
-                    ),
+                    sentinels,
                 )
             ).alias("p")
         )
@@ -3060,7 +3095,7 @@ def q176(spark, sf_dir):
             F.max("conc").alias("peak_concurrency"),
             F.sum("starts").cast("long").alias("sessions_started"),
         )
-        .where(F.col("sessions_started") > 0)
+        .where(F.col("peak_concurrency") > 0)
         .transform(presentation_sort, "day_idx")
     )
 
@@ -3076,13 +3111,21 @@ def q176(spark, sf_dir):
       WHERE CAST(ts AS DATE) - day0 < 64
     ),
     bm AS (
+      -- DuckDB's << is overflow-CHECKED: 1::BIGINT << 63 raises instead
+      -- of wrapping to the sign bit like Spark/Java shiftleft, so bit 63
+      -- is spelled as the min-int64 literal
       SELECT user_id,
-             bit_or(CAST(1 AS BIGINT) << CAST(idx AS INT)) AS b
+             bit_or(CASE WHEN idx = 63 THEN -9223372036854775807 - 1
+                         ELSE CAST(1 AS BIGINT) << CAST(idx AS INT) END)
+               AS b
       FROM ud GROUP BY user_id
     ),
     per AS (
+      -- (b >> 1) sign-extends when bit 63 (day-63 activity) is set, which
+      -- would fabricate a phantom (63,64) pair; mask bit 63 after the shift
+      -- to get the logical-shift value Spark's shiftrightunsigned computes.
       SELECT user_id, bit_count(b) AS active_days,
-             bit_count(b & (b >> 1)) AS consec_pairs
+             bit_count(b & ((b >> 1) & 9223372036854775807)) AS consec_pairs
       FROM bm
     )
     SELECT CAST(active_days AS INT) AS active_days,
@@ -3129,9 +3172,12 @@ def q177(spark, sf_dir):
     per = bm.select(
         "user_id",
         F.bit_count("b").alias("active_days"),
-        F.bit_count(F.col("b").bitwiseAND(F.shiftright("b", 1))).alias(
-            "consec_pairs"
-        ),
+        # logical (not arithmetic) shift: a user active on day 63 sets the
+        # sign bit, and a signed >> would sign-extend and count a phantom
+        # (day63, day64) pair (ADVICE r11)
+        F.bit_count(
+            F.col("b").bitwiseAND(F.shiftrightunsigned("b", 1))
+        ).alias("consec_pairs"),
     )
     return (
         per.groupBy(F.col("active_days").cast("int").alias("active_days"))
@@ -3326,8 +3372,16 @@ def _scd2_base_path(spark, sf_dir: str) -> str:
     import hashlib
     import tempfile
 
+    import shutil
+
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
+    # evict entries keyed by stopped SparkContexts AND remove their temp
+    # parquet dirs — the _PREPARED_GRAPHS stale-appId pattern plus disk
+    # cleanup, so repeated sessions don't leak scd2_base_* dirs in tempdir
+    # (ADVICE r11)
+    for stale in [k for k in _SCD2_BASE if k[0] != app]:
+        shutil.rmtree(_SCD2_BASE.pop(stale), ignore_errors=True)
     path = _SCD2_BASE.get(key)
     if path is None:
         tag = hashlib.md5(f"{app}:{sf_dir}:scd2".encode()).hexdigest()[:12]
@@ -3623,8 +3677,11 @@ def q180(spark, sf_dir):
       FROM cells GROUP BY grp, period
     ),
     m AS (
+      -- n=1 cell would divide by zero (n-1); guard -> NULL mvar, surfaced
+      -- by cells_ok below instead of a silent NULL se
       SELECT grp, period, n, s / n AS mean,
-             ((ssq - (s / n) * s) / (n - 1)) / n AS mvar
+             CASE WHEN n > 1 THEN ((ssq - (s / n) * s) / (n - 1)) / n END
+               AS mvar
       FROM agg
     ),
     w AS (
@@ -3651,7 +3708,10 @@ def q180(spark, sf_dir):
            floor(((t_post - t_pre) - (c_post - c_pre)) * 1e6 + 0.5) / 1e6
              AS did,
            floor(sqrt(((v_t_pre + v_t_post) + v_c_pre) + v_c_post)
-                 * 1e6 + 0.5) / 1e6 AS se
+                 * 1e6 + 0.5) / 1e6 AS se,
+           CAST(CASE WHEN v_t_pre IS NOT NULL AND v_t_post IS NOT NULL
+                      AND v_c_pre IS NOT NULL AND v_c_post IS NOT NULL
+                     THEN 1 ELSE 0 END AS INT) AS cells_ok
     FROM w
     """,
 )
@@ -3667,9 +3727,12 @@ def q181(spark, sf_dir):
     Exactness: each cell reduces to exact DECIMAL sums of v and v*v
     (2-decimal values make v^2 exactly a DECIMAL(28,4), so the sum of
     squares is order-independent too); means/variances/DiD/SE are then
-    a FIXED-ORDER single-row expression tree, gridded at 1e-6. Scale
-    shape: ONE map-side-combined 4-cell aggregate over the purchase
-    stream; everything after is 1-row arithmetic."""
+    a FIXED-ORDER single-row expression tree, gridded at 1e-6. Degenerate
+    data is loud, not silent: an n<2 cell yields NULL mvar (guarded, no
+    division by zero) and a missing/degenerate cell sets cells_ok=0 so a
+    NULL did/se is always explained. Scale shape: ONE map-side-combined
+    4-cell aggregate over the purchase stream; everything after is 1-row
+    arithmetic."""
     ev = load_tables(spark, sf_dir)["events"]
     grp = F.when(
         F.substring(
@@ -3700,9 +3763,13 @@ def q181(spark, sf_dir):
         "period",
         "n",
         mean.alias("mean"),
-        (
+        # n=1 cell would divide by zero (n-1); guard -> NULL mvar,
+        # surfaced by cells_ok below instead of a silent NULL se
+        # (ADVICE r11)
+        F.when(
+            F.col("n") > 1,
             ((F.col("ssq") - mean * F.col("s")) / (F.col("n") - 1))
-            / F.col("n")
+            / F.col("n"),
         ).alias("mvar"),
     )
     def cell(col, g, p):
@@ -3746,6 +3813,18 @@ def q181(spark, sf_dir):
                 + F.col("v_c_post")
             )
         ).alias("se"),
+        # explicit NULL-reason flag: 0 when any T/C×pre/post cell is
+        # missing or has n<2 (did/se are NULL in that case, loudly)
+        F.when(
+            F.col("v_t_pre").isNotNull()
+            & F.col("v_t_post").isNotNull()
+            & F.col("v_c_pre").isNotNull()
+            & F.col("v_c_post").isNotNull(),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("cells_ok"),
     )
 
 

@@ -30,13 +30,33 @@ def main() -> None:
 
     plans.load_all()
     names = set(QUERIES) | {"q35_forecast", "q36_tfidf_search", "q75_bm25_search"}
-    order = sorted(names, key=lambda n: (last.get(n, 0), n))
+    # VERDICT r11 item 1: q80/q88's r10 oracle conversions were never
+    # driver-hash-certified (last visited r09) — force them to the head,
+    # right after never-checked entries, until a CORRECTNESS_r*.json shows
+    # them checked in a round >= 12 (then this pin becomes a no-op).
+    force_head = [
+        n
+        for n in ("q80_ivf_sq8_ann", "q88_knn_join_lsh")
+        if n in names and last.get(n, 0) < 12
+    ]
+    order = sorted(
+        names,
+        key=lambda n: (
+            last.get(n, 0) != 0,          # never-checked first
+            n not in force_head,          # then the certification pins
+            last.get(n, 0),               # then least-recently-checked
+            n,
+        ),
+    )
 
     lines = []
     cur = None
     for n in order:
         r = last.get(n, 0)
-        if r != cur:
+        if n in force_head:
+            lines.append("    # pinned: oracle conversion never driver-certified"
+                         f" (last visit r{r:02d})")
+        elif r != cur:
             cur = r
             lines.append(
                 "    # never driver-checked (new this round)"

@@ -1,0 +1,177 @@
+"""Regression fixtures for the round-11 ADVICE findings — planted data
+the stock testdata (30-day span, dense cells) can never exercise:
+q177's day-63 sign bit, q176's midnight-crossing plateau, q181's
+degenerate single-purchase cell, and q165's |CUSUM| tie-break. Each
+test runs BOTH the Spark plan and the DuckDB oracle on the planted
+parquet and checks them against a hand-computed expectation, so a
+future regression in either engine (not just a divergence) fails."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from eurostat_energy_etl_pipeline_spark.plans import ORACLE
+
+EVENTS_SCHEMA = (
+    "event_id long, ts string, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+
+def _oracle(tmp_path, name):
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part-file glob
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    return con.execute(ORACLE[name]).fetch_df()
+
+
+def test_q177_day63_sign_bit(spark, tmp_path):
+    """A user active ONLY on days 62 and 63: bit 63 is the int64 sign
+    bit, so an arithmetic >> would sign-extend and count a phantom
+    (63, 64) pair on top of the real (62, 63) one (ADVICE r11)."""
+    from eurostat_energy_etl_pipeline_spark.plans.events import q177
+
+    rows = [
+        # user 1 pins day0; user 2 hits days 62 and 63 only
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, ""),
+        (2, "2024-03-03 10:00:00", 2, "click", 1.0, ""),  # day 62
+        (3, "2024-03-04 10:00:00", 2, "click", 1.0, ""),  # day 63
+        # user 3 hits ONLY day 63: any pair it reports is a phantom
+        (4, "2024-03-04 11:00:00", 3, "view", 1.0, ""),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["active_days"]: (r["consec_day_pairs"], r["users_with_streak"])
+        for r in q177(spark, str(tmp_path)).collect()
+    }
+    # user1: 1 active day, 0 pairs; user3: 1 active day, 0 pairs (the
+    # phantom (63,64) pair would make this 1); user2: 2 days, 1 pair
+    assert got == {1: (0, 0), 2: (1, 1)}
+    ora = _oracle(tmp_path, "q177_activity_bitmaps")
+    assert {
+        int(r.active_days): (int(r.consec_day_pairs), int(r.users_with_streak))
+        for r in ora.itertuples()
+    } == got
+
+
+def test_q176_midnight_plateau_sampled(spark, tmp_path):
+    """One session crossing midnight (23:50 -> 00:20, gap exactly the
+    30-min threshold so it stays one session): day 2's only real delta
+    is the session END, so without the midnight sentinel its carried-in
+    plateau of 1 was never sampled and the day was dropped by the old
+    starts>0 HAVING (ADVICE r11)."""
+    from eurostat_energy_etl_pipeline_spark.plans.events import q176
+
+    rows = [
+        (1, "2024-01-01 23:50:00", 1, "click", 1.0, ""),
+        (2, "2024-01-02 00:20:00", 1, "click", 1.0, ""),
+        # a second, same-day-only user makes day 1's peak 2
+        (3, "2024-01-01 23:55:00", 2, "view", 1.0, ""),
+        (4, "2024-01-01 23:59:00", 2, "view", 1.0, ""),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["day_idx"]: (r["peak_concurrency"], r["sessions_started"])
+        for r in q176(spark, str(tmp_path)).collect()
+    }
+    day1 = rows[0][1][:10]
+    import datetime
+
+    d1 = datetime.date.fromisoformat(day1).toordinal() - datetime.date(
+        1970, 1, 1
+    ).toordinal()
+    # day 1: both sessions overlap 23:55-23:59 -> peak 2, 2 starts;
+    # day 2: zero starts, but the spanning session's sentinel at
+    # midnight samples the plateau -> peak 1
+    assert got == {d1: (2, 2), d1 + 1: (1, 0)}
+    ora = _oracle(tmp_path, "q176_peak_concurrency")
+    assert {
+        int(r.day_idx): (int(r.peak_concurrency), int(r.sessions_started))
+        for r in ora.itertuples()
+    } == got
+
+
+def test_q181_degenerate_cell_is_loud(spark, tmp_path):
+    """A T/C×pre/post cell with a single purchase must yield NULL mvar
+    (guarded n-1 division, no crash) and cells_ok=0 — never a silent
+    NULL se with no explanation (ADVICE r11)."""
+    from eurostat_energy_etl_pipeline_spark.plans.events import q181
+
+    # one purchase per user, pre-period only -> at most two cells exist
+    # and post cells are missing entirely
+    rows = [
+        (1, "2024-01-05 10:00:00", 1, "purchase", 10.0, ""),
+        (2, "2024-01-06 10:00:00", 2, "purchase", 20.0, ""),
+        (3, "2024-01-07 10:00:00", 3, "purchase", 30.0, ""),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = q181(spark, str(tmp_path)).collect()[0]
+    assert r["cells_ok"] == 0
+    assert r["se"] is None and r["did"] is None
+    ora = _oracle(tmp_path, "q181_diff_in_diff")
+    assert int(ora["cells_ok"].iloc[0]) == 0
+    assert ora["se"].isna().all()
+
+
+def test_q165_tie_flags_earliest_day_only(spark, tmp_path):
+    """Daily totals 30,10,30,10 give |CUSUM| = 10,0,10,0 around the
+    mean of 20: two tied peaks, and exactly ONE changepoint — the
+    EARLIEST tied day — must be flagged (ADVICE r11)."""
+    from eurostat_energy_etl_pipeline_spark.plans.events import q165
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 30.0, ""),
+        (2, "2024-01-02 10:00:00", 1, "click", 10.0, ""),
+        (3, "2024-01-03 10:00:00", 1, "click", 30.0, ""),
+        (4, "2024-01-04 10:00:00", 1, "click", 10.0, ""),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r["day"]: (r["cusum"], r["is_changepoint"]) for r in
+           q165(spark, str(tmp_path)).collect()}
+    assert got == {
+        "2024-01-01": (10.0, 1),
+        "2024-01-02": (0.0, 0),
+        "2024-01-03": (10.0, 0),  # tied |cusum|, later day -> not flagged
+        "2024-01-04": (0.0, 0),
+    }
+    ora = _oracle(tmp_path, "q165_cusum_changepoint")
+    assert {
+        r.day: (float(r.cusum), int(r.is_changepoint))
+        for r in ora.itertuples()
+    } == got
+
+
+def test_scd2_base_cache_evicts_stale_appids(spark, tmp_path, monkeypatch):
+    """_SCD2_BASE entries keyed by a stopped SparkContext are evicted on
+    the next build AND their temp parquet dirs removed (ADVICE r11 —
+    the _PREPARED_GRAPHS pattern plus disk cleanup)."""
+    import os
+
+    from eurostat_energy_etl_pipeline_spark.plans import events as ev_mod
+
+    stale_dir = tmp_path / "stale_scd2_base"
+    stale_dir.mkdir()
+    (stale_dir / "marker").write_text("x")
+    ev_mod._SCD2_BASE[("app-from-a-dead-context", "/nowhere")] = str(stale_dir)
+
+    rows = [
+        (1, "2024-01-05 10:00:00", 1, "click", 1.0, ""),
+        (2, "2024-01-25 10:00:00", 1, "view", 1.0, ""),
+    ]
+    _write_events(spark, tmp_path, rows)
+    path = ev_mod._scd2_base_path(spark, str(tmp_path))
+    assert os.path.isdir(path)
+    assert ("app-from-a-dead-context", "/nowhere") not in ev_mod._SCD2_BASE
+    assert not stale_dir.exists()
+    # the live entry survives a second call (build-once contract)
+    assert ev_mod._scd2_base_path(spark, str(tmp_path)) == path
