@@ -129,4 +129,5 @@ def load_all() -> None:
         events,
         corpus,
         graph,
+        funnel,
     )

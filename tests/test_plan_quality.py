@@ -817,6 +817,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q175_hll_rolling",
         "q182_item_item_cf",
         "q183_budget_selection",
+        "q185_curation_funnel",
     ]
     sc = spark.sparkContext
 
@@ -973,3 +974,19 @@ def test_q182_cf_pairs_expand_scan_side(spark, queries):
     assert plan.count("lineitem.parquet") <= 2  # baskets + popularity
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q185_funnel_one_documents_scan(spark, queries):
+    """The curation funnel's whole chain (normalize -> dedup -> span cut
+    -> decontaminate -> quality -> budget -> pack, plus all eight
+    accounting aggregates AND the benchmark shingle side) feeds off ONE
+    parquet scan of documents — everything else reads the pinned
+    doc-grain intermediates. No quadratic shapes anywhere and the
+    selection uses the distributed prefix-sum kernel (no
+    single-partition exchange)."""
+    plan = plan_of(queries["q185_curation_funnel"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 1
+    assert "InMemoryTableScan" in plan  # the pinned intermediates
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -175,3 +175,93 @@ def test_scd2_base_cache_evicts_stale_appids(spark, tmp_path, monkeypatch):
     assert not stale_dir.exists()
     # the live entry survives a second call (build-once contract)
     assert ev_mod._scd2_base_path(spark, str(tmp_path)) == path
+
+
+def _write_documents(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+
+def test_q185_funnel_every_stage_acts(spark, tmp_path):
+    """Planted corpus where EVERY funnel stage drops or rewrites
+    something (the stock fixture has no exact dups and no multi-space
+    text, so stages 2-3 are no-ops there): multi-space text shrinks at
+    normalize, a whitespace-variant duplicate dies at dedup, a repeated
+    8-token span is cut keep-first, a benchmark 4-gram kills one doc at
+    decontamination, punctuation soup dies at quality, and the 60%
+    budget drops the least-diverse survivor. Spark and the DuckDB
+    oracle must agree on the whole cascade."""
+    from eurostat_energy_etl_pipeline_spark.plans.funnel import q185
+
+    stop = "the and of is to in that with a for on as are it"
+    span = "one two three four five six seven eight"
+
+    # stopwords woven with per-doc-unique fillers: keeps the stopword
+    # ratio high (quality passes) WITHOUT any cross-doc 8-token gram
+    # repeat that the span-cut stage would otherwise remove
+    def weave(tag):
+        return " ".join(
+            x
+            for i, s in enumerate(stop.split())
+            for x in (s, f"{tag}{i}")
+        )
+
+    good = (
+        f"{stop} quick brown fox jumps over lazy dog near river bank "
+        f"{stop} mountain valley forest meadow stream pebble cloud sky"
+    )
+    rows = [
+        # doc 0: benchmark split (0 % 97 == 0) — provides the 4-gram
+        (0, "alpha beta gamma delta benchmark holdout", "en", "s1"),
+        # doc 1: good doc with DOUBLE spaces -> normalize shrinks chars;
+        # its stopword block repeats INSIDE the doc, so the cut pass
+        # also rewrites the kept copy's second block
+        (1, good.replace(" quick", "  quick"), "en", "s1"),
+        # doc 2: whitespace-variant of doc 1 -> exact dup AFTER normalize
+        (2, good.replace(" brown", "   brown"), "en", "s1"),
+        # docs 3+4: share the 8-token span -> doc 4's occurrence is cut
+        (3, f"{weave('u')} {span} unique trailing words here", "en", "s1"),
+        (4, f"{weave('v')} different head tokens then {span}", "en", "s1"),
+        # doc 5: contaminated (contains the benchmark 4-gram once in
+        # the training corpus, so the span-cut pass leaves it alone)
+        (5, f"{weave('w')} alpha beta gamma delta other useful", "en", "s1"),
+        # doc 6: punctuation soup, no stopwords -> quality < 0.35
+        (6, "zzz... !!! ??? ;;; qqq", "en", "s1"),
+        # doc 7: low lexical diversity -> ranked last, budget drops it
+        (7, f"{weave('x')} spam spam spam spam spam spam spam", "en", "s1"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r["stage"]: (r["label"], r["docs"], r["tokens"], r["chars"])
+        for r in q185(spark, str(tmp_path)).collect()
+    }
+    assert [got[i][0] for i in range(1, 9)] == [
+        "input", "normalize", "exact_dedup", "span_cut", "decontaminate",
+        "quality_filter", "budget_select", "pack",
+    ]
+    # stage-by-stage: each stage demonstrably acts on this corpus
+    assert got[1][1] == 7                      # bench doc 0 excluded
+    assert got[2][2] == got[1][2]              # tokens invariant ...
+    assert got[2][3] < got[1][3]               # ... but chars shrink
+    assert got[3][1] == got[1][1] - 1          # dup doc 2 dies
+    assert got[4][1] == got[3][1]              # cut rewrites, never drops
+    assert got[4][2] < got[3][2]               # span tokens removed
+    assert got[5][1] == got[4][1] - 1          # contaminated doc 5 dies
+    assert got[6][1] == got[5][1] - 1          # soup doc 6 dies
+    assert got[7][1] < got[6][1]               # budget drops >= 1 doc
+    assert 0 < got[7][2] <= int(0.6 * got[6][2])  # budget respected
+    assert got[8][2] == got[7][2]              # pack conserves tokens
+    assert got[8][1] >= 1                      # at least one bin
+    # cross-engine: the DuckDB oracle replays the identical cascade
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ora = con.execute(ORACLE["q185_curation_funnel"]).fetch_df()
+    assert {
+        int(r.stage): (r.label, int(r.docs), int(r.tokens), int(r.chars))
+        for r in ora.itertuples()
+    } == got

@@ -133,6 +133,7 @@ DUCKDB_ONLY = {
     "q180_ohlc_resample",    # duckdb time_bucket/epoch (q_events_tumbling idiom)
     "q183_budget_selection", # duckdb string_split_regex/list_* token idiom
     "q184_multi_touch",      # duckdb strftime + ts - INTERVAL arithmetic
+    "q185_curation_funnel",  # duckdb list_*/string_split_regex/lateral unnest
 }
 
 
