@@ -38,6 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # tiebreak — regenerated each round by scripts in this repo's workflow.
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
+    # never driver-checked (new this round)
+    "q185_curation_funnel",
+    "q_stream_scd2",
     # pinned: oracle conversion never driver-certified (last visit r09)
     "q80_ivf_sq8_ann",
     # pinned: oracle conversion never driver-certified (last visit r09)

@@ -562,3 +562,77 @@ def hll_register_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SCD2_STATE_SCHEMA = StructType([StructField("counts_json", StringType())])
+_SCD2_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day", StringType()),
+        StructField("status", StringType()),
+        StructField("version", LongType()),
+    ]
+)
+
+
+def _update_user_status_days(key, pdfs, state: GroupState):
+    """Per-user DAILY-STATUS maintenance for streaming SCD2 (the
+    stateful half of the q178 dimension): state is the user's per-day
+    event-type counts (JSON — O(#days-in-window x #types) per user, a
+    retention-bounded domain, never per-event). Each batch merges its
+    (day, type) increments in, recomputes the dominant status (count
+    desc, type asc — the batch `_daily_status` contract) for every day
+    the batch TOUCHED, and emits (user, day, status, version) where
+    version = the day's cumulative event count. Versions strictly
+    increase per (user, day) update, so the sink rollup's max-version
+    pick is batch-split- and replay-invariant: the surviving row is
+    always the one computed from the day's FINAL counts, no matter how
+    micro-batches sliced the arrivals or which intermediate dominants
+    were emitted along the way."""
+    import json
+
+    rows = [p for p in pdfs if len(p)]
+    if not rows:
+        return
+    pdf = pd.concat(rows, ignore_index=True)
+    counts: dict[str, dict[str, int]] = (
+        json.loads(state.get[0]) if state.exists else {}
+    )
+    touched = set()
+    for day, et in zip(pdf["day"], pdf["event_type"]):
+        d = counts.setdefault(day, {})
+        d[et] = d.get(et, 0) + 1
+        touched.add(day)
+    state.update((json.dumps(counts, sort_keys=True),))
+    out = []
+    for day in sorted(touched):
+        d = counts[day]
+        status = min(d.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append((int(key[0]), day, status, int(sum(d.values()))))
+    yield pd.DataFrame(
+        out, columns=["user_id", "day", "status", "version"]
+    )
+
+
+def scd2_status_stream(events: DataFrame) -> DataFrame:
+    """Streaming dimension maintenance, stage 1 of the q178 SCD2 twin:
+    incremental per-(user, day) dominant-status upkeep via
+    applyInPandasWithState. The day key is computed scan-side on the
+    stream (session-TZ date, the batch CAST(ts AS DATE) contract); the
+    SCD2 run derivation itself is a deterministic view over this
+    maintained grain (plans/events._scd2_rows in the sink rollup) —
+    splitting it this way keeps the stateful operator's emissions
+    versioned-monotone per key, the property that makes the rollup
+    exactly-once under any batch split."""
+    d = events.select(
+        "user_id",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    )
+    return d.groupBy("user_id").applyInPandasWithState(
+        _update_user_status_days,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -130,6 +130,7 @@ DUCKDB_ONLY = {
     "q177_activity_bitmaps", # duckdb << >> bit operators on bigint
     "q_stream_hll",          # duckdb '0x' hex parse + bin()/instr (q136 grid)
     "q178_scd2_merge",       # duckdb strftime + date - INTERVAL arithmetic
+    "q_stream_scd2",         # duckdb strftime + date - INTERVAL (q178 twin)
     "q180_ohlc_resample",    # duckdb time_bucket/epoch (q_events_tumbling idiom)
     "q183_budget_selection", # duckdb string_split_regex/list_* token idiom
     "q184_multi_touch",      # duckdb strftime + ts - INTERVAL arithmetic

@@ -594,3 +594,100 @@ def test_hll_register_stream_monotone_across_batches(spark, tmp_path):
         ).groupBy("reg").agg(F.max("rho").alias("mr")).collect()
     }
     assert got == ref
+
+
+def test_scd2_stream_rollup_is_batch_split_invariant(spark, tmp_path):
+    """The versioned-emission contract of scd2_status_stream: a day
+    whose dominant status FLIPS between micro-batches (view-only in
+    batch 1, out-voted by clicks in batch 2) must survive only as its
+    final-counts status after the max-version rollup, and the derived
+    SCD2 runs must equal the batch gaps-and-islands over the union of
+    all events — the q178 recompute."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from eurostat_energy_etl_pipeline_spark.plans.events import (
+        _daily_status, _scd2_rows,
+    )
+    from eurostat_energy_etl_pipeline_spark.streaming.events import (
+        scd2_status_stream,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    # user 1: day1 view-only in batch 1 (interim dominant 'view'),
+    # then 2 clicks on day1 in batch 2 flip it to 'click'; day2+day3
+    # 'view' extends into a 2-day run across the batch boundary
+    batch1 = [(1, "2024-01-01 10:00:00", 1, "view", 1.0, ""),
+              (2, "2024-01-02 09:00:00", 1, "view", 1.0, "")]
+    batch2 = [(3, "2024-01-01 11:00:00", 1, "click", 1.0, ""),
+              (4, "2024-01-01 12:00:00", 1, "click", 1.0, ""),
+              (5, "2024-01-03 09:00:00", 1, "view", 1.0, "")]
+    src_dir = f"{tmp_path}/scd2_src"
+    os.makedirs(src_dir)
+    rows_schema = ("event_id long, ts string, user_id long,"
+                   " event_type string, value double, props string")
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(rows, rows_schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        scd2_status_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_scd2_split")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    from pyspark.sql import Window
+
+    sink = spark.table("t_scd2_split")
+    # the flipped day emitted BOTH interim statuses across batches ...
+    emitted = {
+        (r["day"], r["status"], r["version"]) for r in sink.collect()
+    }
+    assert ("2024-01-01", "view", 1) in emitted
+    assert ("2024-01-01", "click", 3) in emitted
+    # ... and the max-version rollup keeps only the final-counts one
+    wv = Window.partitionBy("user_id", "day").orderBy(F.desc("version"))
+    latest = (
+        sink.withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.to_date("day").alias("d"), "status")
+    )
+    got = sorted(
+        (r["user_id"], r["status"], str(r["valid_from"]),
+         str(r["valid_to"]))
+        for r in _scd2_rows(latest).collect()
+    )
+    # batch recompute over the union of both files
+    allrows = spark.createDataFrame(batch1 + batch2, rows_schema
+                                    ).withColumn("ts", F.to_timestamp("ts"))
+    want = sorted(
+        (r["user_id"], r["status"], str(r["valid_from"]),
+         str(r["valid_to"]))
+        for r in _scd2_rows(_daily_status(allrows)).collect()
+    )
+    assert got == want
+    assert got == [
+        (1, "click", "2024-01-01", "2024-01-01"),
+        (1, "view", "2024-01-02", "None"),
+    ]
