@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_CHECK_PRIORITY = [
     # never driver-checked (new this round)
     "q185_curation_funnel",
+    "q186_media_clusters",
     "q_stream_scd2",
     # pinned: oracle conversion never driver-certified (last visit r09)
     "q80_ivf_sq8_ann",

@@ -2825,6 +2825,149 @@ def q163(spark, sf_dir):
     )
 
 
+@query(
+    "q186_media_clusters",
+    oracle=_MEDIA_SIG_CTES.replace("WITH b AS", "WITH RECURSIVE b AS", 1)
+    + r""",
+    bands AS (
+      SELECT media_id, media_type, ahash, k, (ahash >> (k*15)) & 32767
+               AS key
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    ),
+    npairs AS (
+      SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.k = y.k AND x.key = y.key
+       AND x.media_type = y.media_type AND x.media_id < y.media_id
+      WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
+    ),
+    ex AS (
+      SELECT media_id,
+             min(media_id) OVER (PARTITION BY media_type, bh) AS gmin
+      FROM sig
+    ),
+    edges AS (
+      SELECT gmin AS id_a, media_id AS id_b FROM ex WHERE media_id <> gmin
+      UNION
+      SELECT id_a, id_b FROM npairs
+    ),
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    nodesx AS (SELECT DISTINCT s AS id FROM und),
+    walk(id, reach) AS (
+      SELECT id, id FROM nodesx
+      UNION
+      SELECT w.id, u.d FROM walk w JOIN und u ON u.s = w.reach
+    ),
+    comp AS (SELECT id AS media_id, min(reach) AS cluster_id
+             FROM walk GROUP BY id),
+    memb AS (
+      SELECT c.media_id, c.cluster_id, s.media_type, s.L
+      FROM comp c JOIN sig s ON c.media_id = s.media_id
+    ),
+    rankedc AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY L DESC, media_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM memb
+    )
+    SELECT media_type, cluster_id, media_id AS kept_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM rankedc WHERE rn = 1 ORDER BY cluster_id
+    """,
+)
+def q186(spark, sf_dir):
+    """MEDIA NEAR-DUP CLUSTERING + CANONICAL KEEP (VERDICT r11 item 4)
+    — the media-grain twin of the text family's q45/q61/q67: q159 emits
+    the binary dup PAIR graph (exact sha-256 groups within media_type +
+    banded-hamming aHash pairs confirmed at <= 3) and q163 applies a
+    pairwise keep-list, but a transitive chain (A~B, B~C, A!~C) needs
+    CONNECTED COMPONENTS to keep exactly one member per cluster. Edges:
+    exact groups star-linked to their min id plus hamming<=3 perceptual
+    pairs; components via the library's star-contraction kernel
+    (`operators/dedup.connected_components`, O(log^2 n) shuffle
+    rounds); the canonical keep is the q67 policy at media grain —
+    largest payload wins, ties to the smallest id ("keep the most
+    complete copy"). Output: one keep-list row per multi-member
+    cluster-or-singleton touched by an edge.
+
+    The oracle recomputes the whole thing independently: signatures
+    from the payload's hex rendering (the q158 bit-exact CTEs), the
+    same edge derivation, components via a WITH RECURSIVE transitive
+    closure (min reachable id == the star-contraction label, so the
+    hash match certifies the iterative kernel against a closed form),
+    and the same keep rank. The stock sf0.01 fixture has NO media dup
+    edges (q159 precedent) — empty == empty is the correct answer
+    there; sf0.1 carries real clusters and the planted-duplicate test
+    pins chain semantics.
+
+    Scale shape: payload bytes never shuffle (sha + signature are
+    scan-side); the pair join is banded within media_type; components
+    shuffle only 8-byte node keys; the keep rank windows over
+    cluster-grain members."""
+    from pyspark.sql.window import Window as W
+
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        PERCEPTUAL_HASH_BITS,
+        media_signatures,
+        media_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    media = media_table(t["documents"])
+    sigs = media_signatures(media).join(
+        media.select("media_id", F.sha2("payload", 256).alias("bh")),
+        "media_id",
+    )
+    w_bh = W.partitionBy("media_type", "bh")
+    exact_edges = (
+        sigs.withColumn("gmin", F.min("media_id").over(w_bh))
+        .where(F.col("media_id") != F.col("gmin"))
+        .select(
+            F.col("gmin").alias("id_a"), F.col("media_id").alias("id_b")
+        )
+    )
+    near_edges = D.hamming_band_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="ahash",
+        sig_bits=PERCEPTUAL_HASH_BITS,
+        band_bits=15,
+        max_hamming=3,
+        key_cols=("media_type",),
+    ).select("id_a", "id_b")
+    edges = exact_edges.unionByName(near_edges)
+    cc = D.connected_components(edges, "id_a", "id_b")
+    members = cc.select(
+        F.col("id").alias("media_id"),
+        F.col("component").alias("cluster_id"),
+    ).join(sigs.select("media_id", "media_type", "n_bytes"), "media_id")
+    wc = W.partitionBy("cluster_id")
+    ranked = members.select(
+        "media_type",
+        "cluster_id",
+        "media_id",
+        F.row_number()
+        .over(wc.orderBy(F.desc("n_bytes"), "media_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_members"),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "media_type",
+            "cluster_id",
+            F.col("media_id").alias("kept_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+        .transform(presentation_sort, "cluster_id")
+    )
+
+
 # Maintained at-rest BM25 posting index memo per (session, sf_dir): base
 # index on ~2/3 of the documents, then ONE merge batch (adds + text
 # updates + tombstones) — q164 searches the POST-maintenance index, so

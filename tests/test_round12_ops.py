@@ -265,3 +265,59 @@ def test_q185_funnel_every_stage_acts(spark, tmp_path):
         int(r.stage): (r.label, int(r.docs), int(r.tokens), int(r.chars))
         for r in ora.itertuples()
     } == got
+
+
+def test_q186_media_chain_clusters_transitively(spark, tmp_path):
+    """Transitivity pin for the media keep-list: a STRICT near-dup
+    chain A~B (hamming 2), B~C (hamming 2), A!~C (hamming 4 > the <=3
+    confirm bar) — no A-C pair exists, so only connected components can
+    put all three in one cluster; plus an exact duplicate of A joining
+    via the sha tier, and an unrelated doc that must stay out. The
+    DuckDB oracle's WITH RECURSIVE closure must agree with the
+    star-contraction kernel on the planted graph."""
+    from eurostat_energy_etl_pipeline_spark.plans.northstar import q186
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        * 8
+    )
+
+    def flip(s, positions):
+        bb = bytearray(s.encode())
+        for p in positions:
+            bb[p] = 33 + ((bb[p] + 40 - 33) % 94)  # printable ASCII
+        return bb.decode()
+
+    a_txt = base
+    b_txt = flip(base, [0, 9])          # hamming(A,B) == 2
+    c_txt = flip(base, [0, 9, 30, 39])  # hamming(B,C) == 2, (A,C) == 4
+    rows = [
+        # all doc_id % 3 == 0 -> media_type 'image' (near pairs are
+        # within-type by contract)
+        (0, a_txt, "en", "s1"),
+        (3, b_txt, "en", "s1"),
+        (6, c_txt, "en", "s1"),
+        (9, a_txt, "en", "s1"),   # exact dup of doc 0 (sha tier)
+        (12, "completely unrelated text about databases", "en", "s1"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = [
+        (r["media_type"], r["cluster_id"], r["kept_id"], r["n_members"],
+         r["n_dropped"])
+        for r in q186(spark, str(tmp_path)).collect()
+    ]
+    # one cluster {0, 3, 6, 9}: 0-9 exact, 0-3 and 3-6 near; 6 reaches 0
+    # only transitively. Keep = equal lengths -> smallest id. Doc 12 has
+    # no edge -> absent from the keep-list.
+    assert got == [("image", 0, 0, 4, 3)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ora = con.execute(ORACLE["q186_media_clusters"]).fetch_df()
+    assert [
+        (r.media_type, int(r.cluster_id), int(r.kept_id),
+         int(r.n_members), int(r.n_dropped))
+        for r in ora.itertuples()
+    ] == got

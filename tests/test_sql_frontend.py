@@ -68,6 +68,7 @@ DUCKDB_ONLY = {
     "q159_media_dedup",       # same sig ladder + xor/bit_count/<< pairing
     "q161_media_quality",     # duckdb hex bytes + entropy() aggregate
     "q163_media_dedup_apply",  # sig ladder + EXISTS keep-first fates
+    "q186_media_clusters",    # sig ladder + WITH RECURSIVE closure
     "q36_tfidf_search",      # duckdb list_filter/string_split_regex
     "q162_tfidf_keywords",   # same tf-idf CTE ladder, per-doc ranking
     "q63_incremental_dedup", # duckdb list_* (same shingle CTE as q24)
