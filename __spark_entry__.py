@@ -41,6 +41,8 @@ _DRIVER_CHECK_PRIORITY = [
     # never driver-checked (new this round)
     "q185_curation_funnel",
     "q186_media_clusters",
+    "q187_leakage_safe_split",
+    "q188_decontamination_profile",
     "q_stream_scd2",
     # pinned: oracle conversion never driver-certified (last visit r09)
     "q80_ivf_sq8_ann",

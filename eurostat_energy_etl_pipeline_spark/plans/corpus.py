@@ -4083,3 +4083,270 @@ def q183(spark, sf_dir):
         )
         .transform(presentation_sort, "source")
     )
+
+
+@query(
+    "q187_leakage_safe_split",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3
+                  THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) END)
+               AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+      WHERE (CASE WHEN len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles)) > 0
+             THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles)))
+             ELSE 0.0 END) >= 0.005
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             CASE WHEN p.id_b IS NOT NULL THEN 0 ELSE 1 END AS is_start
+      FROM documents d LEFT JOIN pairs p ON p.id_b = d.doc_id
+    ),
+    grp AS (
+      SELECT doc_id, sum(is_start) OVER (ORDER BY doc_id) AS g FROM flags
+    ),
+    cl AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS cluster_id
+      FROM grp
+    ),
+    asg AS (
+      SELECT c.doc_id, c.cluster_id,
+             CASE WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 8)
+                       < 'e6666665' THEN 'val'
+                  ELSE 'test' END AS gsplit,
+             CASE WHEN substr(md5(d.text), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(d.text), 1, 8) < 'e6666665' THEN 'val'
+                  ELSE 'test' END AS nsplit
+      FROM cl c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    ec AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(coalesce(sum(CASE WHEN a.gsplit <> b.gsplit
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS cross_split_edges,
+             CAST(coalesce(sum(CASE WHEN a.nsplit <> b.nsplit
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS cross_split_edges_naive
+      FROM pairs p JOIN asg a ON p.id_a = a.doc_id
+                   JOIN asg b ON p.id_b = b.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN gsplit = 'train' THEN 1 ELSE 0 END)
+                AS BIGINT) AS train_docs,
+           CAST(sum(CASE WHEN gsplit = 'val' THEN 1 ELSE 0 END)
+                AS BIGINT) AS val_docs,
+           CAST(sum(CASE WHEN gsplit = 'test' THEN 1 ELSE 0 END)
+                AS BIGINT) AS test_docs,
+           ec.n_edges, ec.cross_split_edges, ec.cross_split_edges_naive
+    FROM asg CROSS JOIN ec
+    GROUP BY ec.n_edges, ec.cross_split_edges, ec.cross_split_edges_naive
+    """,
+)
+def q187(spark, sf_dir):
+    """LEAKAGE-SAFE (cluster-aware) train/val/test SPLIT — the unit of
+    assignment is the NEAR-DUP CLUSTER, not the document, so near
+    duplicates can never straddle splits (the classic eval-leakage bug
+    in naive per-doc hash splits: a test doc's near-copy sits in train
+    and the eval is contaminated). Composition: q45's near-dup edges
+    (consecutive-id Jaccard >= 0.005 on this corpus; LSH pairs at
+    scale) -> connected components (star contraction) -> q70's nested
+    md5 hex-interval 80/10/10 assignment applied to the CLUSTER id ->
+    every member inherits its cluster's split.
+
+    Output: ONE certificate row — doc/cluster/split counts plus the
+    leakage readout: cross_split_edges under the grouped assignment
+    (must be 0 BY CONSTRUCTION — both endpoints share a cluster, hence
+    a split) vs cross_split_edges_naive under the per-doc q70 hash
+    split (> 0 whenever edges exist with ~1-2(.8^2+.1^2+.1^2)=0.34
+    expected crossing rate — the quantified leakage this operator
+    prevents). The oracle recomputes clusters via the q45
+    gaps-and-islands closed form and both assignments independently.
+
+    Scale shape: edges at consecutive-id grain (LSH band output at
+    scale), components shuffle 8-byte node keys, split assignment is a
+    scan-side md5 interval compare, and every certificate aggregate is
+    map-side combinable over doc/edge grain."""
+    from eurostat_energy_etl_pipeline_spark.operators.sampling import (
+        hash_split,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    edges = pin(
+        ngram_jaccard_pairs(docs, k=3)
+        .where(F.col("jacc") >= 0.005)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(
+        edges, "id_a", "id_b", nodes=docs.select("doc_id")
+    )
+    grouped = hash_split(
+        cc.select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        ),
+        "cluster_id",
+        out_col="gsplit",
+    )
+    naive = hash_split(docs, "text", out_col="nsplit").select(
+        "doc_id", "nsplit"
+    )
+    asg = pin(grouped.join(naive, "doc_id"))
+    a = asg.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("gsplit").alias("gsplit_a"),
+        F.col("nsplit").alias("nsplit_a"),
+    )
+    b = asg.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("gsplit").alias("gsplit_b"),
+        F.col("nsplit").alias("nsplit_b"),
+    )
+    ec = (
+        edges.join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.coalesce(
+                F.sum((F.col("gsplit_a") != F.col("gsplit_b")).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cross_split_edges"),
+            F.coalesce(
+                F.sum((F.col("nsplit_a") != F.col("nsplit_b")).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cross_split_edges_naive"),
+        )
+    )
+    cert = asg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum((F.col("gsplit") == "train").cast("long"))
+        .cast("long")
+        .alias("train_docs"),
+        F.sum((F.col("gsplit") == "val").cast("long"))
+        .cast("long")
+        .alias("val_docs"),
+        F.sum((F.col("gsplit") == "test").cast("long"))
+        .cast("long")
+        .alias("test_docs"),
+    )
+    return cert.crossJoin(F.broadcast(ec))
+
+
+@query(
+    "q188_decontamination_profile",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS g
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(tk) < 4
+                    THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(generate_series(1, len(tk) - 3),
+                         i -> array_to_string(tk[i:i+3], ' ')) END) AS g
+        FROM toks)
+    ),
+    bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM grams WHERE doc_id % 97 <> 0 GROUP BY doc_id
+    ),
+    m AS (
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+      FROM grams c JOIN bg ON c.g = bg.g
+      WHERE c.doc_id % 97 <> 0
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles, m.n_matched,
+           floor(CAST(m.n_matched AS DOUBLE) / t.n_shingles * 1e6 + 0.5)
+             / 1e6 AS contaminated_frac
+    FROM tot t JOIN m ON t.doc_id = m.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q188(spark, sf_dir):
+    """GRADED benchmark decontamination (GPT-3 appendix-C shape) — the
+    quantitative generalization of q52's binary any-shingle flag: per
+    training document, the FRACTION of its distinct 4-token shingles
+    that appear anywhere in the held-out benchmark split (doc_id % 97
+    == 0). Real decontamination pipelines act on this fraction (drop
+    above a high bar, review the tail), not on a single-shingle hit —
+    a 1000-shingle doc sharing one idiom is noise, a doc with 40% of
+    its shingles in the benchmark is a leak. Output: every training
+    doc with at least one match, with exact integer shingle counts and
+    the 1e6-gridded fraction.
+
+    Scale shape: the q52 contract throughout — both sides reduce to
+    distinct 16-hex-char gram keys scan-side (array_distinct BEFORE the
+    explode makes per-doc distinctness free, so the post-semi-join count
+    per doc IS the distinct matched count with no second distinct);
+    the benchmark key set broadcasts; per-doc totals are a scan-side
+    array size, never a shuffle. Text never crosses any exchange."""
+    t = load_tables(spark, sf_dir)
+    docs = widen_if_narrow(t["documents"])
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        token_shingles,
+    )
+
+    gram_key = F.substring(F.md5(F.col("_g")), 1, 16)
+    shingles = F.array_distinct(token_shingles(F.col("text"), 4))
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bg = (
+        bench.select(F.explode(shingles).alias("_g"))
+        .select(gram_key.alias("g"))
+        .distinct()
+    )
+    cg = corpus.select(
+        "doc_id", F.explode(shingles).alias("_g")
+    ).select("doc_id", gram_key.alias("g"))
+    m = (
+        cg.join(F.broadcast(bg), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    tot = corpus.select(
+        "doc_id", F.size(shingles).cast("long").alias("n_shingles")
+    )
+    return (
+        tot.join(m, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_matched",
+            (
+                F.floor(
+                    F.col("n_matched").cast("double")
+                    / F.col("n_shingles")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("contaminated_frac"),
+        )
+        .transform(presentation_sort, "doc_id")
+    )

@@ -818,6 +818,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q182_item_item_cf",
         "q183_budget_selection",
         "q185_curation_funnel",
+        "q187_leakage_safe_split",
     ]
     sc = spark.sparkContext
 
@@ -990,3 +991,22 @@ def test_q185_funnel_one_documents_scan(spark, queries):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q187_split_assignment_scan_side_and_bounded_joins(spark, queries):
+    """The leakage-safe split's assignments are scan-side md5 interval
+    compares (no rangepartitioning anywhere); the certificate joins run
+    on the pinned doc-grain assignment table — no quadratic shapes."""
+    plan = plan_of(queries["q187_leakage_safe_split"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "InMemoryTableScan" in plan  # pinned edges + assignments
+
+
+def test_q188_graded_decontamination_broadcasts_benchmark(spark, queries):
+    """The graded profile keeps the q52 contract: benchmark gram keys
+    broadcast into a semi-join; corpus grams never sort-merge; per-doc
+    totals are a scan-side array size (no extra exchange for them)."""
+    plan = plan_of(queries["q188_decontamination_profile"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan

@@ -321,3 +321,81 @@ def test_q186_media_chain_clusters_transitively(spark, tmp_path):
          int(r.n_members), int(r.n_dropped))
         for r in ora.itertuples()
     ] == got
+
+
+def test_q187_grouped_split_prevents_straddle(spark, tmp_path):
+    """Planted near-dup pair with consecutive ids whose texts are almost
+    identical (high Jaccard): the cluster-aware split must put both in
+    the SAME split (cross_split_edges == 0 structurally), cluster count
+    must reflect the merge, and the oracle's gaps-and-islands closed
+    form must agree with the star-contraction kernel."""
+    from eurostat_energy_etl_pipeline_spark.plans.corpus import q187
+
+    near = (
+        "solar generation rose steadily across the northern grid last "
+        "winter while hydro output held flat in every reporting region"
+    )
+    rows = [
+        (1, near, "en", "s1"),
+        (2, near + " appendix", "en", "s1"),  # near-dup of doc 1
+        (3, "completely different text about database join strategies",
+         "en", "s1"),
+        (4, "yet another unrelated document mentioning shuffle exchanges",
+         "en", "s1"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    r = q187(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["n_clusters"] == 3          # {1,2} merged, 3 and 4 singleton
+    assert r["n_edges"] == 1
+    assert r["cross_split_edges"] == 0   # the structural guarantee
+    assert (
+        r["train_docs"] + r["val_docs"] + r["test_docs"] == r["n_docs"]
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ora = con.execute(ORACLE["q187_leakage_safe_split"]).fetch_df()
+    assert {
+        c: int(ora[c].iloc[0]) for c in ora.columns
+    } == {c: r[c] for c in ora.columns}
+
+
+def test_q188_overlap_fraction_exact(spark, tmp_path):
+    """Hand-computable graded contamination: doc 1 has 5 distinct
+    4-token shingles, exactly 2 of which appear in the benchmark doc
+    (doc 0) -> contaminated_frac must be exactly 0.4; a clean doc must
+    not appear at all."""
+    from eurostat_energy_etl_pipeline_spark.plans.corpus import q188
+
+    # benchmark doc 0 contains the two planted 4-grams back to back
+    bench = "alpha beta gamma delta epsilon"  # grams: a b g d / b g d e
+    # doc 1: 8 tokens -> 5 shingles; the first two shingles are the
+    # benchmark's two, the last three are unique
+    doc1 = "alpha beta gamma delta epsilon unique1 unique2 unique3"
+    rows = [
+        (0, bench, "en", "s1"),
+        (1, doc1, "en", "s1"),
+        (2, "totally clean document with no benchmark overlap at all",
+         "en", "s1"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_matched"],
+                      r["contaminated_frac"])
+        for r in q188(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (5, 2, 0.4)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ora = con.execute(ORACLE["q188_decontamination_profile"]).fetch_df()
+    assert {
+        int(r.doc_id): (int(r.n_shingles), int(r.n_matched),
+                        float(r.contaminated_frac))
+        for r in ora.itertuples()
+    } == got
