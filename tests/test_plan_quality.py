@@ -818,7 +818,11 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q182_item_item_cf",
         "q183_budget_selection",
         "q185_curation_funnel",
-        "q187_leakage_safe_split",
+        # q187_leakage_safe_split pins edges+assignments but ALSO runs
+        # connected_components, whose localCheckpoint RDDs are lifetime-
+        # managed by the returned plan (released only when the plan is
+        # GC'd) — the same reason q45/q67/q99 are not listed here; its
+        # release would always leave the CC checkpoint blocks behind.
     ]
     sc = spark.sparkContext
 
