@@ -43,6 +43,8 @@ _DRIVER_CHECK_PRIORITY = [
     "q186_media_clusters",
     "q187_leakage_safe_split",
     "q188_decontamination_profile",
+    "q189_khop_reach",
+    "q190_zonemap_pruning",
     "q_stream_scd2",
     # pinned: oracle conversion never driver-certified (last visit r09)
     "q80_ivf_sq8_ann",

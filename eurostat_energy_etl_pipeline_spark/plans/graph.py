@@ -487,3 +487,104 @@ def q172(spark, sf_dir):
         )
         .transform(presentation_sort, F.desc("n_members"), "community")
     )
+
+
+@query(
+    "q189_khop_reach",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0
+          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    v0 AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+           WHERE c_nationkey = 0),
+    f1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN v0 ON v0.node = e.src),
+    n1 AS (SELECT node FROM f1 EXCEPT SELECT node FROM v0),
+    v1 AS (SELECT node FROM v0 UNION SELECT node FROM n1),
+    f2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN n1 ON n1.node = e.src),
+    n2 AS (SELECT node FROM f2 EXCEPT SELECT node FROM v1),
+    v2 AS (SELECT node FROM v1 UNION SELECT node FROM n2),
+    f3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN n2 ON n2.node = e.src),
+    n3 AS (SELECT node FROM f3 EXCEPT SELECT node FROM v2)
+    SELECT * FROM (
+      SELECT 0 AS hop, CAST(count(*) AS BIGINT) AS nodes_reached FROM v0
+      UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM n1
+      UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM n2
+      UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM n3
+    ) ORDER BY hop
+    """,
+)
+def q189(spark, sf_dir):
+    """K-HOP REACHABILITY (bounded BFS) over the symmetric
+    customer-supplier purchase graph — the blast-radius traversal the
+    library's iterative family lacked (q99 scores, q172 labels, q45
+    contracts; none answers "how many entities are WITHIN k hops of
+    this seed set", the fraud-ring / recall-campaign / abuse-spread
+    primitive). Seeds = nation-0 customers; each BFS level is one
+    frontier-keyed equi-join against the shared prepared edge table
+    plus an anti-join against the visited set; the output is the exact
+    frontier census per hop (bipartite graph, so hops alternate
+    supplier / customer grains).
+
+    Determinism: levels are SET operations on string node ids — no
+    floats, no ordering; the oracle unrolls the identical 3 levels as
+    join/EXCEPT CTEs (the q172 unrolled-iteration recipe), so the hash
+    match certifies the iterative loop against a closed form.
+
+    Scale shape: each hop shuffles only (node) keys — the frontier and
+    visited sets are O(|V|) single-column tables, localCheckpoint'd per
+    level (the connected_components lifetime pattern) so level N's plan
+    never replays levels 1..N-1; a celebrity node is an AQE-splittable
+    hot key, never a hot task."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _PREPARED_GRAPHS if k[0] != key[0]]:
+        del _PREPARED_GRAPHS[stale]
+    prepared = _PREPARED_GRAPHS.get(key)
+    t = load_tables(spark, sf_dir)
+    if prepared is None:
+        e0 = (
+            t["orders"]
+            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            )
+            .distinct()
+        )
+        edges = e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        prepared = prepare_graph(edges)
+        _PREPARED_GRAPHS[key] = prepared
+    _nodes, base, _n = prepared
+    edges = base.select("src", "dst")
+    seeds = (
+        t["customer"]
+        .where(F.col("c_nationkey") == 0)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    counts = [seeds.agg(F.count(F.lit(1)).cast("long").alias("n"))]
+    visited, frontier = seeds, seeds
+    for _hop in range(1, 4):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        counts.append(nxt.agg(F.count(F.lit(1)).cast("long").alias("n")))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = None
+    for hop, c in enumerate(counts):
+        row = c.select(
+            F.lit(hop).cast("int").alias("hop"),
+            F.col("n").alias("nodes_reached"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.transform(presentation_sort, "hop")

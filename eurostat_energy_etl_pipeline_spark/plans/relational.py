@@ -1931,3 +1931,150 @@ def q182(spark, sf_dir):
         )
         .transform(presentation_sort, "part", "rk")
     )
+
+
+@query(
+    "q190_zonemap_pruning",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_orderkey // 256 AS nat_file,
+             ({_Z_INTERLEAVE_SQL}) >> 8 AS z_file,
+             (l_partkey & 255) AS px, (l_suppkey & 255) AS sx
+      FROM lineitem
+    ),
+    tagged AS (
+      SELECT *, CASE WHEN px BETWEEN 32 AND 47 AND sx BETWEEN 64 AND 79
+                     THEN 1 ELSE 0 END AS hit
+      FROM z
+    ),
+    nat AS (
+      SELECT nat_file AS f, count(*) AS n, sum(hit) AS hits,
+             min(px) AS px_min, max(px) AS px_max,
+             min(sx) AS sx_min, max(sx) AS sx_max
+      FROM tagged GROUP BY nat_file
+    ),
+    zo AS (
+      SELECT z_file AS f, count(*) AS n, sum(hit) AS hits,
+             min(px) AS px_min, max(px) AS px_max,
+             min(sx) AS sx_min, max(sx) AS sx_max
+      FROM tagged GROUP BY z_file
+    ),
+    audit AS (
+      SELECT 'natural' AS layout, * FROM nat
+      UNION ALL SELECT 'zorder', * FROM zo
+    ),
+    flags AS (
+      SELECT layout, n, hits,
+             CASE WHEN px_max >= 32 AND px_min <= 47
+                   AND sx_max >= 64 AND sx_min <= 79
+                  THEN 1 ELSE 0 END AS must_read
+      FROM audit
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(must_read) AS BIGINT) AS files_read,
+           CAST(sum(n) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN must_read = 1 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_read,
+           CAST(sum(hits) AS BIGINT) AS rows_matching,
+           floor((1.0 - CAST(sum(must_read) AS DOUBLE) / count(*))
+                 * 1e6 + 0.5) / 1e6 AS file_skip_rate,
+           CASE WHEN sum(hits) > 0 THEN
+             floor(CAST(sum(CASE WHEN must_read = 1 THEN n ELSE 0 END)
+                        AS DOUBLE) / sum(hits) * 1e6 + 0.5) / 1e6
+           END AS read_amplification
+    FROM flags GROUP BY layout ORDER BY layout
+    """,
+)
+def q190(spark, sf_dir):
+    """ZONE-MAP PRUNING SIMULATION — quantifies WHY the q169 z-order
+    layout matters: simulate min/max file skipping (parquet row-group /
+    Delta-Iceberg data-skipping stats) for the 2-D predicate
+    px∈[32,47] ∧ sx∈[64,79] under TWO file layouts of the same rows —
+    'natural' (files = l_orderkey div 256 ranges, the as-ingested
+    order) vs 'zorder' (files = top-8 Morton bits, q169's assignment).
+    A file must be read iff its (px,sx) bounding box intersects the
+    predicate box. Output per layout: file/row counts, the exact
+    matching-row count (identical across layouts — layout never changes
+    the answer, only the I/O), the file-skip rate and the read
+    amplification rows_read/rows_matching — the number a 100 TB table
+    owner uses to justify an OPTIMIZE ZORDER rewrite.
+
+    Scale shape: BOTH file assignments are scan-side integer
+    expressions (no global sort — the orderkey-range and z-bucket
+    assignments are order-free closed forms, so no single-partition
+    window anywhere); one file-grain aggregate per layout, then a
+    2-row rollup. All integer-exact; the two rates are 1e6-gridded."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    px = F.col("l_partkey").bitwiseAND(F.lit(255))
+    sx = F.col("l_suppkey").bitwiseAND(F.lit(255))
+    bits = [
+        F.shiftleft(F.shiftright(px, i).bitwiseAND(F.lit(1)), 2 * i)
+        + F.shiftleft(F.shiftright(sx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        for i in range(8)
+    ]
+    zval = bits[0]
+    for b in bits[1:]:
+        zval = zval + b
+    hit = (
+        px.between(32, 47) & sx.between(64, 79)
+    ).cast("int")
+    tagged = li.select(
+        F.expr("l_orderkey div 256").alias("nat_file"),
+        F.shiftright(zval, 8).alias("z_file"),
+        px.alias("px"),
+        sx.alias("sx"),
+        hit.alias("hit"),
+    )
+
+    def file_stats(file_col, layout):
+        return (
+            tagged.groupBy(F.col(file_col).alias("f"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("hit").alias("hits"),
+                F.min("px").alias("px_min"),
+                F.max("px").alias("px_max"),
+                F.min("sx").alias("sx_min"),
+                F.max("sx").alias("sx_max"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+
+    audit = file_stats("nat_file", "natural").unionByName(
+        file_stats("z_file", "zorder")
+    )
+    must_read = (
+        (F.col("px_max") >= 32)
+        & (F.col("px_min") <= 47)
+        & (F.col("sx_max") >= 64)
+        & (F.col("sx_min") <= 79)
+    ).cast("int")
+    flags = audit.select("layout", "n", "hits", must_read.alias("must_read"))
+    rows_read = F.sum(F.when(F.col("must_read") == 1, F.col("n")).otherwise(0))
+    return (
+        flags.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("must_read").cast("long").alias("files_read"),
+            F.sum("n").cast("long").alias("rows_total"),
+            rows_read.cast("long").alias("rows_read"),
+            F.sum("hits").cast("long").alias("rows_matching"),
+            (
+                F.floor(
+                    (1.0 - F.sum("must_read").cast("double") / F.count(F.lit(1)))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("file_skip_rate"),
+            F.when(
+                F.sum("hits") > 0,
+                F.floor(
+                    rows_read.cast("double") / F.sum("hits") * 1e6 + 0.5
+                )
+                / 1e6,
+            ).alias("read_amplification"),
+        )
+        .transform(presentation_sort, "layout")
+    )

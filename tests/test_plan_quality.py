@@ -1014,3 +1014,27 @@ def test_q188_graded_decontamination_broadcasts_benchmark(spark, queries):
     plan = plan_of(queries["q188_decontamination_profile"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q189_bfs_levels_shuffle_node_keys_only(spark, queries):
+    """The BFS levels run EAGERLY at build (localCheckpoint per level —
+    the connected_components lifetime pattern), so the returned plan
+    must be censuses over the checkpointed level RDDs: no join of any
+    kind survives into it (each level's anti-join was already paid once
+    inside its checkpoint), no quadratic shapes, no range exchange."""
+    plan = plan_of(queries["q189_khop_reach"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Scan ExistingRDD" in plan  # the checkpointed BFS levels
+    assert "Join" not in plan  # levels never replay at result time
+
+
+def test_q190_file_assignments_are_scan_side(spark, queries):
+    """Both simulated file layouts are order-free scan-side integer
+    expressions — NO sort, NO window, NO single-partition exchange;
+    only the two file-grain aggregates and the 2-row rollup shuffle."""
+    plan = plan_of(queries["q190_zonemap_pruning"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint>" in plan

@@ -399,3 +399,37 @@ def test_q188_overlap_fraction_exact(spark, tmp_path):
                         float(r.contaminated_frac))
         for r in ora.itertuples()
     } == got
+
+
+def test_q189_bfs_chain_hops(spark, tmp_path):
+    """Planted 4-node chain c1-s1-c2-s2 seeded at c1 (nation 0): the
+    BFS census must be exactly one new node per hop, and the oracle's
+    unrolled join/EXCEPT ladder must agree with the iterative loop."""
+    from eurostat_energy_etl_pipeline_spark.plans import graph as g_mod
+    from eurostat_energy_etl_pipeline_spark.plans.graph import q189
+
+    # chain via two orders: c1 buys from s1; c2 buys from s1 and s2
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 2)], "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 0), (2, 5)], "c_custkey long, c_nationkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    # the prepared-graph memo is keyed by (appId, sf_dir) - tmp_path is
+    # fresh, so no stale entry can leak in
+    got = {r["hop"]: r["nodes_reached"]
+           for r in q189(spark, str(tmp_path)).collect()}
+    # c1 -> s1 -> c2 -> s2: exactly one new node per hop
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    ora = con.execute(ORACLE["q189_khop_reach"]).fetch_df()
+    assert {int(r.hop): int(r.nodes_reached)
+            for r in ora.itertuples()} == got

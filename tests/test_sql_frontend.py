@@ -71,6 +71,7 @@ DUCKDB_ONLY = {
     "q186_media_clusters",    # sig ladder + WITH RECURSIVE closure
     "q187_leakage_safe_split",  # duckdb list_* shingle CTE (q45 idiom)
     "q188_decontamination_profile",  # duckdb list_* (q52 gram idiom)
+    "q190_zonemap_pruning",  # duckdb // integer division (Spark: div)
     "q36_tfidf_search",      # duckdb list_filter/string_split_regex
     "q162_tfidf_keywords",   # same tf-idf CTE ladder, per-doc ranking
     "q63_incremental_dedup", # duckdb list_* (same shingle CTE as q24)
