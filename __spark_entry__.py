@@ -45,6 +45,7 @@ _DRIVER_CHECK_PRIORITY = [
     "q188_decontamination_profile",
     "q189_khop_reach",
     "q190_zonemap_pruning",
+    "q191_cf_backtest",
     "q_stream_scd2",
     # pinned: oracle conversion never driver-certified (last visit r09)
     "q80_ivf_sq8_ann",

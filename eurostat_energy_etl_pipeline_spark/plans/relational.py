@@ -2078,3 +2078,192 @@ def q190(spark, sf_dir):
         )
         .transform(presentation_sort, "layout")
     )
+
+
+@query(
+    "q191_cf_backtest",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    bsz AS (SELECT o, count(*) AS sz FROM li GROUP BY o),
+    held AS (
+      SELECT li.o, max(li.p) AS h
+      FROM li JOIN bsz ON li.o = bsz.o WHERE bsz.sz >= 2
+      GROUP BY li.o
+    ),
+    tr AS (
+      SELECT li.o, li.p FROM li LEFT JOIN held
+        ON li.o = held.o AND li.p = held.h
+      WHERE held.o IS NULL
+    ),
+    pop AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY p),
+    co AS (
+      SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM tr x JOIN tr y ON x.o = y.o AND x.p < y.p
+      GROUP BY x.p, y.p HAVING count(*) >= 2
+    ),
+    sym AS (SELECT a, b, n_ab FROM co
+            UNION ALL SELECT b, a, n_ab FROM co),
+    scored AS (
+      SELECT s.a, s.b,
+             floor(s.n_ab / sqrt(CAST(pa.n AS DOUBLE) * pb.n) * 1e9 + 0.5)
+               / 1e9 AS cosine
+      FROM sym s JOIN pop pa ON pa.p = s.a JOIN pop pb ON pb.p = s.b
+    ),
+    top3 AS (
+      SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (PARTITION BY a
+                         ORDER BY cosine DESC, b) AS rk
+        FROM scored) WHERE rk <= 3
+    ),
+    poptop AS (
+      SELECT p FROM (
+        SELECT p, row_number() OVER (ORDER BY n DESC, p) AS rk
+        FROM pop) WHERE rk <= 3
+    ),
+    ev AS (
+      SELECT held.o, held.h,
+             max(CASE WHEN t.b IS NOT NULL THEN 1 ELSE 0 END) AS cf_hit,
+             max(CASE WHEN pt.p IS NOT NULL THEN 1 ELSE 0 END) AS pop_hit
+      FROM held
+      JOIN tr r ON r.o = held.o
+      LEFT JOIN top3 t ON t.a = r.p AND t.b = held.h
+      LEFT JOIN poptop pt ON pt.p = held.h
+      GROUP BY held.o, held.h
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_baskets,
+           CAST(sum(cf_hit) AS BIGINT) AS cf_hits,
+           floor(CAST(sum(cf_hit) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+             AS cf_hit_rate,
+           CAST(sum(pop_hit) AS BIGINT) AS pop_hits,
+           floor(CAST(sum(pop_hit) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+             AS pop_hit_rate
+    FROM ev
+    """,
+)
+def q191(spark, sf_dir):
+    """RECOMMENDER BACKTEST — leave-one-out hit-rate@3 for the q182
+    item-item CF, the evaluation every deployed recommender needs
+    before its scores mean anything (q150 evaluates the classifier;
+    nothing evaluated the recommender). Protocol: in every basket with
+    >= 2 distinct parts, HIDE the max-partkey item (deterministic
+    holdout); train the full q182 pipeline (support >= 2 co-occurrence,
+    cosine over train popularity, top-3 per part) on the CENSORED
+    corpus only — the held item never leaks into training counts; a
+    basket is a hit iff its hidden item appears in the top-3 neighbor
+    list of ANY remaining basket item. Reported against the
+    popularity@3 baseline (is the hidden item just one of the 3
+    most popular parts?) — the number that justifies shipping CF.
+
+    Scale shape: identical to q182's (scan-side C(k,2) expansion on the
+    censored baskets, support floor before scoring, broadcast
+    popularity, pair-keyed top-3 window) plus one basket-grain
+    evaluation join of the exploded rest-items against the top-3 table
+    — pair-keyed, never quadratic. All counts integer-exact; rates and
+    cosines gridded. Wall is ~2x q182 (two passes over the basket
+    machinery: train + evaluate), honest for a backtest."""
+    li = pin(
+        load_tables(spark, sf_dir)["lineitem"]
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    wb = Window.partitionBy("o")
+    tagged = li.select(
+        "o",
+        "p",
+        F.count(F.lit(1)).over(wb).alias("sz"),
+        F.max("p").over(wb).alias("mx"),
+    )
+    held = (
+        tagged.where((F.col("sz") >= 2) & (F.col("p") == F.col("mx")))
+        .select("o", F.col("p").alias("h"))
+    )
+    tr = pin(
+        tagged.where((F.col("sz") < 2) | (F.col("p") != F.col("mx"))).select(
+            "o", "p"
+        )
+    )
+    baskets = tr.groupBy("o").agg(
+        F.sort_array(F.collect_set("p")).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.flatten(
+            F.transform(
+                F.col("ps"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                    lambda y: F.array(
+                        F.struct(x.alias("a"), y.alias("b")),
+                        F.struct(y.alias("a"), x.alias("b")),
+                    ),
+                ),
+            )
+        )
+    )
+    sym = (
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    pop = pin(
+        tr.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pa = pop.select(F.col("p").alias("_pa"), F.col("n").alias("n_a"))
+    pb = pop.select(F.col("p").alias("_pb"), F.col("n").alias("n_b"))
+    scored = (
+        sym.join(F.broadcast(pa), F.col("a") == F.col("_pa"))
+        .join(F.broadcast(pb), F.col("b") == F.col("_pb"))
+        .select(
+            "a",
+            "b",
+            (
+                F.floor(
+                    F.col("n_ab")
+                    / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
+                    * 1e9
+                    + 0.5
+                )
+                / 1e9
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    top3 = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 3)
+        .select("a", "b")
+    )
+    poptop = (
+        pop.orderBy(F.desc("n"), "p")
+        .limit(3)
+        .select(F.col("p").alias("pt"))
+    )
+    rest = held.join(tr.withColumnRenamed("p", "r"), "o")
+    ev = (
+        rest.join(
+            top3,
+            (top3["a"] == rest["r"]) & (top3["b"] == rest["h"]),
+            "left",
+        )
+        .join(F.broadcast(poptop), rest["h"] == F.col("pt"), "left")
+        .groupBy("o", "h")
+        .agg(
+            F.max(
+                F.when(F.col("a").isNotNull(), 1).otherwise(0)
+            ).alias("cf_hit"),
+            F.max(
+                F.when(F.col("pt").isNotNull(), 1).otherwise(0)
+            ).alias("pop_hit"),
+        )
+    )
+    rate = lambda c: F.floor(
+        F.sum(c).cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
+    ) / 1e6
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets"),
+        F.sum("cf_hit").cast("long").alias("cf_hits"),
+        rate("cf_hit").alias("cf_hit_rate"),
+        F.sum("pop_hit").cast("long").alias("pop_hits"),
+        rate("pop_hit").alias("pop_hit_rate"),
+    )

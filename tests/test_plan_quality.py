@@ -818,6 +818,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q182_item_item_cf",
         "q183_budget_selection",
         "q185_curation_funnel",
+        "q191_cf_backtest",
         # q187_leakage_safe_split pins edges+assignments but ALSO runs
         # connected_components, whose localCheckpoint RDDs are lifetime-
         # managed by the returned plan (released only when the plan is
@@ -1038,3 +1039,14 @@ def test_q190_file_assignments_are_scan_side(spark, queries):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan.lower()
     assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint>" in plan
+
+
+def test_q191_backtest_keeps_q182_shape(spark, queries):
+    """The backtest trains on censored baskets with the q182 machinery:
+    scan-side pair expansion (no lineitem self-join), broadcast
+    popularity, pair-keyed top-3 window - and the evaluation join is
+    pair-keyed too. No sort-merge of the raw pair stream, no cartesian."""
+    plan = plan_of(queries["q191_cf_backtest"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1  # the pinned (o,p) scan

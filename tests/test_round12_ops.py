@@ -433,3 +433,41 @@ def test_q189_bfs_chain_hops(spark, tmp_path):
     ora = con.execute(ORACLE["q189_khop_reach"]).fetch_df()
     assert {int(r.hop): int(r.nodes_reached)
             for r in ora.itertuples()} == got
+
+
+def test_q191_backtest_hits_planted_copurchase(spark, tmp_path):
+    """Planted co-purchase signal: parts 1,2,5 co-occur so the censored
+    training set still supports (1,2) n=3 and (1,5) n=2; baskets whose
+    hidden item is 5 must be CF hits via top-3(1), and part 9 (held in
+    every one of its baskets, hence absent from training) can never be
+    recommended - the leave-one-out protocol's defining property."""
+    from eurostat_energy_etl_pipeline_spark.plans.relational import q191
+
+    rows = [
+        # (l_orderkey, l_partkey): o1-o3 = {1,2,5}, o4 = {5,9},
+        # o5-o6 = {1,5,9}
+        (1, 1), (1, 2), (1, 5),
+        (2, 1), (2, 2), (2, 5),
+        (3, 1), (3, 2), (3, 5),
+        (4, 5), (4, 9),
+        (5, 1), (5, 5), (5, 9),
+        (6, 1), (6, 5), (6, 9),
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    r = q191(spark, str(tmp_path)).collect()[0]
+    # held: o1-o3 -> 5 (rest {1,2}), o4 -> 9 (rest {5}), o5/o6 -> 9
+    # (rest {1,5}); train pairs: (1,2) n=3, (1,5) n=2 -> top3(1)=[2,5];
+    # o1-o3 hit (5 in top3(1)); 9 never trains -> o4-o6 miss
+    assert (r["n_baskets"], r["cf_hits"], r["pop_hits"]) == (6, 3, 3)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    ora = con.execute(ORACLE["q191_cf_backtest"]).fetch_df()
+    assert (
+        int(ora.n_baskets.iloc[0]), int(ora.cf_hits.iloc[0]),
+        int(ora.pop_hits.iloc[0]),
+    ) == (6, 3, 3)
