@@ -48,6 +48,11 @@ def _wait_for_quiet_window(max_wait: float | None = None) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Repeated-workload harness: every pass re-executes the whole
+    # registry, so the plan memo must hold ALL of it (the default LRU
+    # cap protects one-shot sweeps' driver heap, not this one — the
+    # bench session runs with the repo's 24g conf).
+    os.environ.setdefault("SPARK_GRAFT_PLAN_CACHE_SIZE", "100000")
     spark = get_spark("bench", cpus=cpus)
     # Size the shuffle layer to the measured input (r7): partitions from
     # input bytes at the 64 MB advisory size, AQE only above the scale

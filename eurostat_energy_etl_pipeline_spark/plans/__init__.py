@@ -9,7 +9,9 @@ sf0.001.
 
 from __future__ import annotations
 
+import os
 import threading
+from collections import OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,14 +27,56 @@ ORACLE: dict[str, str] = {}
 # DataFrame and let every call re-EXECUTE it — results are never cached
 # here, only the plan. Inputs are immutable testdata dirs, so plans never
 # go stale; the appId key drops the cache with the session.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#
+# BOUNDED by default (r12): a retained DataFrame keeps its executed
+# broadcasts / localCheckpoint RDDs / exchange state JVM-reachable, so an
+# unbounded cache makes a one-shot 200+-query sweep accumulate every
+# query's broadcast hash tables — which overflowed a 1g plain-session
+# driver heap at sf0.1 even though no single query is large. A one-shot
+# harness gets zero reuse from the memo anyway, so the default LRU cap
+# costs it nothing and caps retention; repeated-workload harnesses
+# (bench.py) raise SPARK_GRAFT_PLAN_CACHE_SIZE above the registry size
+# to keep full reuse — exactly a real engine's sized prepared-statement
+# cache.
+_PLAN_CACHE: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
+# bench's throughput pass hits the cache from 8 client threads; OrderedDict
+# reordering is not atomic, so every cache touch takes this (uncontended,
+# nanoseconds next to a 200 ms plan build)
+_PLAN_CACHE_LOCK = threading.Lock()
+
+
+def _plan_cache_cap() -> int:
+    return int(os.environ.get("SPARK_GRAFT_PLAN_CACHE_SIZE", "32"))
 
 
 def clear_plan_cache() -> None:
     """Drop memoized plans. Needed when a test wants the pre-execution plan:
     once a cached DataFrame has been executed, ``explain`` shows the
     AQE-finalized physical plan, not the static one."""
-    _PLAN_CACHE.clear()
+    with _PLAN_CACHE_LOCK:
+        _PLAN_CACHE.clear()
+
+
+def drop_plan(name: str) -> int:
+    """Evict ``name``'s memoized plans (every session/sf_dir key).
+
+    A ONE-SHOT harness (the driver's correctness sweep runs each query
+    exactly once) should not retain executed plans: each kept DataFrame
+    pins its executed broadcasts, localCheckpoint RDDs, and exchange
+    state as JVM-reachable, so a 200+-query sweep accumulates every
+    query's broadcast hash tables for the whole session — which
+    overflows a small plain-session driver heap at sf0.1 even though no
+    single query is large. Dropping the plan after its comparison lets
+    ContextCleaner GC all of it; repeated-workload harnesses (bench)
+    keep the cache, which is the whole point of the memo. Session-
+    lifetime caches (catalog cached_view, prepared graphs, at-rest
+    index memos) are deliberately untouched — they are the bounded,
+    intended long-lived state."""
+    with _PLAN_CACHE_LOCK:
+        keys = [k for k in _PLAN_CACHE if k[2] == name]
+        for k in keys:
+            del _PLAN_CACHE[k]
+    return len(keys)
 
 
 # Persisted-intermediate registry (VERDICT r9 item 4): plans that persist
@@ -99,14 +143,21 @@ def query(name: str, oracle: str | None = None):
     def deco(fn):
         def prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = (spark.sparkContext.applicationId, sf_dir, name)
-            df = _PLAN_CACHE.get(key)
-            if df is None:
-                _BUILDING.stack.append(name)
-                try:
-                    df = fn(spark, sf_dir)
-                finally:
-                    _BUILDING.stack.pop()
+            with _PLAN_CACHE_LOCK:
+                df = _PLAN_CACHE.get(key)
+                if df is not None:
+                    _PLAN_CACHE.move_to_end(key)
+                    return df
+            _BUILDING.stack.append(name)
+            try:
+                df = fn(spark, sf_dir)
+            finally:
+                _BUILDING.stack.pop()
+            with _PLAN_CACHE_LOCK:
                 _PLAN_CACHE[key] = df
+                cap = _plan_cache_cap()
+                while len(_PLAN_CACHE) > cap:
+                    _PLAN_CACHE.popitem(last=False)  # LRU eviction
             return df
 
         prepared.__name__ = f"{fn.__name__}_prepared"

@@ -159,8 +159,12 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir).toPandas()
             # one-shot harness: return the cached-block footprint to
-            # baseline after each query (the r10 pin/release contract)
+            # baseline after each query (the r10 pin/release contract),
+            # and evict the memoized plan so its executed broadcasts /
+            # checkpoint RDDs become GC-able — retaining all 200+ plans
+            # overflowed the 1g plain-session heap at sf0.1 (r12).
             plans_mod.release_pins(name)
+            plans_mod.drop_plan(name)
             sql = oracles.get(name)
             if sql is None:
                 results[name] = {"rows": len(sdf), "oracle": None, "ok": True}

@@ -857,6 +857,10 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         assert not leftover, (
             f"{name}: release_pins left cached blocks {leftover}"
         )
+    # don't leak the LAST name's memoized plan (its pins are now
+    # RELEASED): a later plan gate hitting that stale entry would see
+    # raw FileScans where it asserts the pinned InMemoryRelation
+    P.clear_plan_cache()
 
 
 def test_q165_cusum_single_scan_day_grain(spark, queries):
