@@ -2918,9 +2918,17 @@ def q186(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     media = media_table(t["documents"])
-    sigs = media_signatures(media).join(
-        media.select("media_id", F.sha2("payload", 256).alias("bh")),
-        "media_id",
+    # ONE signature-kernel pass + sha serves every consumer (both edge
+    # tiers, the CC iteration's input, and the member-info join): the
+    # kernel decodes every payload, so recomputing it per branch would
+    # multiply the scan 10+x (caught by the plan gate). Pinned, not in
+    # pin_users (CC's localCheckpoints make full release impossible —
+    # the q187 precedent); the harness still releases it per query.
+    sigs = pin(
+        media_signatures(media).join(
+            media.select("media_id", F.sha2("payload", 256).alias("bh")),
+            "media_id",
+        )
     )
     w_bh = W.partitionBy("media_type", "bh")
     exact_edges = (
@@ -2941,10 +2949,17 @@ def q186(spark, sf_dir):
     ).select("id_a", "id_b")
     edges = exact_edges.unionByName(near_edges)
     cc = D.connected_components(edges, "id_a", "id_b")
-    members = cc.select(
-        F.col("id").alias("media_id"),
-        F.col("component").alias("cluster_id"),
-    ).join(sigs.select("media_id", "media_type", "n_bytes"), "media_id")
+    # cc covers only edge-touched nodes (tiny next to the corpus) —
+    # broadcast it into the member-info join rather than shuffling sigs
+    members = sigs.select("media_id", "media_type", "n_bytes").join(
+        F.broadcast(
+            cc.select(
+                F.col("id").alias("media_id"),
+                F.col("component").alias("cluster_id"),
+            )
+        ),
+        "media_id",
+    )
     wc = W.partitionBy("cluster_id")
     ranked = members.select(
         "media_type",

@@ -1054,3 +1054,17 @@ def test_q191_backtest_keeps_q182_shape(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("lineitem.parquet") == 1  # the pinned (o,p) scan
+
+
+def test_q186_one_signature_pass_feeds_all_branches(spark, queries):
+    """The media-cluster keep-list must compute the signature kernel
+    ONCE (pinned sigs serve both edge tiers, the CC input, and the
+    member join — the unpinned shape recomputed the payload decode 14x)
+    and broadcast the tiny cluster map; the only SMJs allowed are the
+    banded self-join's (equal-sized sides, the honest at-scale shape)."""
+    plan = plan_of(queries["q186_media_clusters"](spark, SF_DIR))
+    assert plan.count("documents.parquet") <= 2
+    assert "InMemoryTableScan" in plan  # the pinned signature table
+    assert "BroadcastHashJoin" in plan  # cluster map broadcast
+    assert plan.count("SortMergeJoin") <= 2
+    assert "CartesianProduct" not in plan
