@@ -4192,8 +4192,16 @@ def q187(spark, sf_dir):
         .where(F.col("jacc") >= 0.005)
         .select("id_a", "id_b")
     )
+    # one slim (doc_id, nsplit) projection serves BOTH the CC node list
+    # and the naive-baseline assignment — without it each was its own
+    # documents scan (3 total; now 2: this + the shingle pass)
+    naive = pin(
+        hash_split(docs, "text", out_col="nsplit").select(
+            "doc_id", "nsplit"
+        )
+    )
     cc = connected_components(
-        edges, "id_a", "id_b", nodes=docs.select("doc_id")
+        edges, "id_a", "id_b", nodes=naive.select("doc_id")
     )
     grouped = hash_split(
         cc.select(
@@ -4202,9 +4210,6 @@ def q187(spark, sf_dir):
         ),
         "cluster_id",
         out_col="gsplit",
-    )
-    naive = hash_split(docs, "text", out_col="nsplit").select(
-        "doc_id", "nsplit"
     )
     asg = pin(grouped.join(naive, "doc_id"))
     a = asg.select(
@@ -4302,10 +4307,11 @@ def q188(spark, sf_dir):
 
     Scale shape: the q52 contract throughout — both sides reduce to
     distinct 16-hex-char gram keys scan-side (array_distinct BEFORE the
-    explode makes per-doc distinctness free, so the post-semi-join count
-    per doc IS the distinct matched count with no second distinct);
-    the benchmark key set broadcasts; per-doc totals are a scan-side
-    array size, never a shuffle. Text never crosses any exchange."""
+    explode makes per-doc distinctness free); the benchmark key set
+    broadcasts as a LEFT-join tag, so ONE doc-keyed aggregate computes
+    total (count(*)) AND matched (count of tags) distinct shingles —
+    two documents scans total (corpus grams + bench grams), one
+    aggregate, and text never crosses any exchange."""
     t = load_tables(spark, sf_dir)
     docs = widen_if_narrow(t["documents"])
     from eurostat_energy_etl_pipeline_spark.operators.dedup import (
@@ -4324,16 +4330,19 @@ def q188(spark, sf_dir):
     cg = corpus.select(
         "doc_id", F.explode(shingles).alias("_g")
     ).select("doc_id", gram_key.alias("g"))
-    m = (
-        cg.join(F.broadcast(bg), "g", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
-    )
-    tot = corpus.select(
-        "doc_id", F.size(shingles).cast("long").alias("n_shingles")
-    )
+    # one doc-keyed aggregate computes BOTH counts: tag each distinct
+    # gram with a broadcast LEFT join against the benchmark key set,
+    # then count(*) = the doc's distinct-shingle total and count(_m) =
+    # its matched count — no separate totals scan, no second aggregate
+    # (was: semi-join + groupBy PLUS a third documents scan for sizes)
     return (
-        tot.join(m, "doc_id")
+        cg.join(F.broadcast(bg.withColumn("_m", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("_m").cast("long").alias("n_matched"),
+        )
+        .where(F.col("n_matched") > 0)
         .select(
             "doc_id",
             "n_shingles",

@@ -1014,11 +1014,14 @@ def test_q187_split_assignment_scan_side_and_bounded_joins(spark, queries):
 
 def test_q188_graded_decontamination_broadcasts_benchmark(spark, queries):
     """The graded profile keeps the q52 contract: benchmark gram keys
-    broadcast into a semi-join; corpus grams never sort-merge; per-doc
-    totals are a scan-side array size (no extra exchange for them)."""
+    broadcast as a LEFT-join tag so ONE doc-keyed aggregate computes
+    BOTH the distinct-shingle total and the matched count — exactly two
+    documents scans (corpus grams + bench grams), never a sort-merge of
+    the gram stream."""
     plan = plan_of(queries["q188_decontamination_profile"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert plan.count("documents.parquet") == 2
 
 
 def test_q189_bfs_levels_shuffle_node_keys_only(spark, queries):
