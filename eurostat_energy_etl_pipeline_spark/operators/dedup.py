@@ -957,6 +957,11 @@ def connected_components(
         ).first()
         return (row["n"], row["x"])
 
+    # the per-round checkpoints live as long as the returned plan —
+    # declare them so lifetime gates don't read them as pin leaks
+    from eurostat_energy_etl_pipeline_spark import plans as _plans
+
+    _plans.note_checkpoint_blocks()
     edges = edges.localCheckpoint(eager=True)
     prev = _checksum(edges)
     converged = False
@@ -985,13 +990,58 @@ def connected_components(
     )
 
 
+def shingle_keys(
+    df: DataFrame, k: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """DISTINCT 64-bit k-token shingle keys (`_g`, 16-hex md5 prefix —
+    the exact key :func:`contaminated_ids` joins on) of a text corpus.
+    This is the at-rest BENCHMARK SHINGLE INDEX a decontamination
+    pipeline stores: tomorrow's batch probes the stored keys instead of
+    re-shingling the benchmark (pass to ``benchmark_keys``)."""
+    gram_key = F.substring(F.md5(F.col("_gram")), 1, 16)
+    return (
+        df.select(
+            F.explode(
+                F.array_distinct(token_shingles(F.col(text_col), k))
+            ).alias("_gram")
+        )
+        .select(gram_key.alias("_g"))
+        .distinct()
+    )
+
+
+def doc_shingle_keys(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, _g) INVERTED doc-shingle index — per-document distinct
+    k-token shingle keys on the :func:`contaminated_ids` key contract.
+    Stored at rest, it answers the REVERSE decontamination probe: when a
+    NEW benchmark document arrives, which already-released corpus
+    documents does it contaminate? (join the new benchmark's
+    :func:`shingle_keys` against this index — O(new shingles), never a
+    corpus re-scan). Keys are distinct within a document (row-local
+    array_distinct — no shuffle spent on global dedup; semi-join probes
+    are idempotent across documents anyway)."""
+    gram_key = F.substring(F.md5(F.col("_gram")), 1, 16)
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(token_shingles(F.col(text_col), k))
+        ).alias("_gram"),
+    ).select(id_col, gram_key.alias("_g"))
+
+
 def contaminated_ids(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 4,
     broadcast_benchmark: bool = True,
+    benchmark_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: ids of corpus documents sharing at least
     one k-token shingle with any benchmark document — the standard
@@ -1004,7 +1054,17 @@ def contaminated_ids(
     whole check a scan + broadcast semi-join with a final distinct on ids.
     With a large benchmark, set broadcast_benchmark=False and AQE plans the
     distinct-key equi-join as a regular shuffle join.
+
+    ``benchmark_keys`` replaces the benchmark-text side with an already
+    materialized :func:`shingle_keys` table (`_g` column) — the
+    incremental shape: the stored benchmark shingle index is probed
+    directly, no benchmark re-shingling (q192). Exactly one of
+    ``benchmark`` / ``benchmark_keys`` must be provided.
     """
+    if (benchmark is None) == (benchmark_keys is None):
+        raise ValueError(
+            "contaminated_ids: pass exactly one of benchmark / benchmark_keys"
+        )
     gram_key = F.substring(F.md5(F.col("_gram")), 1, 16)
     # No per-doc gram dedup before the join: a left-semi probe emits each
     # left row at most once and the final distinct() reduces to ids, so a
@@ -1015,15 +1075,18 @@ def contaminated_ids(
         F.col(id_col),
         F.explode(F.array_distinct(token_shingles(F.col(text_col), k))).alias("_gram"),
     ).select(id_col, gram_key.alias("_g"))
-    bench_grams = (
-        benchmark.select(
-            F.explode(F.array_distinct(token_shingles(F.col(text_col), k))).alias(
-                "_gram"
+    if benchmark_keys is not None:
+        bench_grams = benchmark_keys.select("_g")
+    else:
+        bench_grams = (
+            benchmark.select(
+                F.explode(
+                    F.array_distinct(token_shingles(F.col(text_col), k))
+                ).alias("_gram")
             )
+            .select(gram_key.alias("_g"))
+            .distinct()
         )
-        .select(gram_key.alias("_g"))
-        .distinct()
-    )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     return (

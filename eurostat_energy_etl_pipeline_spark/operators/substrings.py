@@ -388,12 +388,74 @@ def repetition_profile(
     )
 
 
+def _gram_stream(tok: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gh) stream of 60-bit md5-prefix k-token gram hashes
+    from a (doc_id, tk) token table — scan-side expressions only; the
+    text never survives past this projection, so any downstream
+    content-keyed exchange carries 15-byte keys."""
+    return (
+        tok.where(F.size("tk") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(k - 1))
+            ).alias("pos"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(
+                F.md5(
+                    F.array_join(F.slice(F.col("tk"), F.col("pos"), k), " ")
+                ),
+                1,
+                15,
+            ).alias("gh"),
+        )
+    )
+
+
+def span_gram_index(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The at-rest ExactSubstr GRAM INDEX: (gh, n_occ) — every distinct
+    k-token gram hash present anywhere in ``docs`` with its corpus
+    occurrence count. A daily-ingest pipeline stores this next to the
+    span-cut corpus so tomorrow's batch can be cut against the full
+    history WITHOUT re-scanning it: pass the stored table to
+    :func:`cut_duplicated_spans` as ``base_gram_index``. Carrying the
+    count (not bare existence) keeps the incremental cut exact for any
+    ``min_count``, and gives rank information for free — every base
+    occurrence precedes every batch occurrence under the (doc_id, pos)
+    total order when batch ids are larger, so ``n_occ`` IS the batch
+    occurrence's rank offset.
+
+    Scale shape: one scan-side gram expansion + one map-side-combinable
+    count on the 15-byte hash key; text never shuffles."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(whitespace_tokens(F.col(text_col)), lambda x: x != "").alias(
+            "tk"
+        ),
+    )
+    return (
+        _gram_stream(tok, k)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+
+
 def cut_duplicated_spans(
     docs: DataFrame,
     k: int = 8,
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    base_gram_index: DataFrame | None = None,
 ) -> DataFrame:
     """The APPLY stage of substring-level dedup (Lee et al. 2022 §4,
     "ExactSubstr" removal; completes q141's measure-only profile): emit
@@ -423,6 +485,18 @@ def cut_duplicated_spans(
     spans_cut, text) at document grain — `text` is the rewritten corpus
     column a training pipeline consumes downstream.
 
+    Incremental mode (``base_gram_index``): pass the stored
+    :func:`span_gram_index` of an already-cut base corpus whose doc_ids
+    are all SMALLER than this batch's, and the batch is cut with
+    full-corpus semantics while scanning ONLY the batch: a batch
+    occurrence's corpus-wide count is ``n_occ + cnt`` and its corpus-wide
+    first-occurrence rank is ``n_occ + rk`` (every base occurrence
+    precedes every batch occurrence under the (doc_id, pos) order), so
+    the cut predicate ``cnt >= min_count AND rk >= 2`` evaluates exactly.
+    Base documents themselves never need re-cutting under append-only
+    ingest: a base occurrence is cut iff an EARLIER occurrence exists,
+    and all of those are in the base — the q192 monotonicity contract.
+
     Scale shape: the gram stream is hashed scan-side (15-byte 60-bit md5
     prefixes — text never crosses the content-keyed exchange); corpus
     frequency AND first-occurrence rank come from TWO window functions
@@ -441,33 +515,27 @@ def cut_duplicated_spans(
             "tk"
         ),
     )
-    g = (
-        tok.where(F.size("tk") >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("tk") - F.lit(k - 1))
-            ).alias("pos"),
-            "tk",
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.substring(
-                F.md5(
-                    F.array_join(F.slice(F.col("tk"), F.col("pos"), k), " ")
-                ),
-                1,
-                15,
-            ).alias("gh"),
-        )
-    )
+    g = _gram_stream(tok.select("doc_id", "tk"), k)
     w_cnt = Window.partitionBy("gh")
     w_first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    if base_gram_index is not None:
+        # one equi-join on the 15-byte key; the join output is already
+        # hash-partitioned on gh, so the two windows reuse the exchange
+        g = g.join(
+            base_gram_index.select("gh", F.col("n_occ").alias("_base_occ")),
+            "gh",
+            "left",
+        )
+        base_occ = F.coalesce(F.col("_base_occ"), F.lit(0))
+    else:
+        base_occ = F.lit(0)
     cutpos = (
         g.withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
         .withColumn("rk", F.row_number().over(w_first))
-        .where((F.col("cnt") >= min_count) & (F.col("rk") >= 2))
+        .where(
+            (base_occ + F.col("cnt") >= min_count)
+            & (base_occ + F.col("rk") >= 2)
+        )
         .select("doc_id", "pos")
         # distinct is unnecessary (one row per (doc,pos) by construction)
     )

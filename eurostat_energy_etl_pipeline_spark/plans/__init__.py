@@ -116,6 +116,32 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
+_CHECKPOINT_USERS: set[str] = set()
+
+
+def note_checkpoint_blocks() -> None:
+    """Structural checkpoint-lifetime declaration (VERDICT r12 item 4):
+    kernels that ``localCheckpoint`` intermediates whose blocks live as
+    long as the RETURNED plan (connected_components' star fixpoint,
+    PageRank's materialized ranks, BFS's per-level frontiers) call this
+    while the plan is being built. Lifetime gates then KNOW a query's
+    post-release leftovers are plan-managed checkpoint blocks — released
+    only when the plan itself is dropped and GC'd — instead of carrying
+    a hand-maintained per-query exclusion list. Idempotent; attribution
+    uses the same thread-local build stack as :func:`pin`."""
+    stack = _BUILDING.stack
+    name = stack[-1] if stack else "__anon__"
+    with _PINNED_LOCK:
+        _CHECKPOINT_USERS.add(name)
+
+
+def checkpoint_users() -> frozenset[str]:
+    """Queries that self-declared plan-lifetime checkpoint blocks (only
+    populated for plans BUILT in this session — build before asking)."""
+    with _PINNED_LOCK:
+        return frozenset(_CHECKPOINT_USERS)
+
+
 def release_pins(name: str | None = None, blocking: bool = False) -> int:
     """Unpersist every handle pinned by `name` (or by all queries when
     None). Returns the number of handles released. ``blocking=False``

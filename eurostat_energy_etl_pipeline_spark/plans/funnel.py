@@ -20,13 +20,41 @@ from eurostat_energy_etl_pipeline_spark.functions import (
     widen_if_narrow,
 )
 from eurostat_energy_etl_pipeline_spark.operators import text as T
-from eurostat_energy_etl_pipeline_spark.operators.dedup import contaminated_ids
+from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+    contaminated_ids,
+    doc_shingle_keys,
+    shingle_keys,
+)
 from eurostat_energy_etl_pipeline_spark.operators.packing import pack_sequences
 from eurostat_energy_etl_pipeline_spark.operators.ranking import global_prefix_sum
 from eurostat_energy_etl_pipeline_spark.operators.substrings import (
     cut_duplicated_spans,
+    span_gram_index,
 )
-from eurostat_energy_etl_pipeline_spark.plans import pin, query
+from eurostat_energy_etl_pipeline_spark.plans import (
+    note_checkpoint_blocks,
+    pin,
+    query,
+)
+
+
+def _at_rest(df):
+    """Materialize an AT-REST ARTIFACT: eager localCheckpoint executes
+    the build once and truncates lineage, so every consumer references
+    a leaf RDD — exactly the semantics of a stored table (q192's
+    artifacts ARE yesterday's persisted outputs). This is load-bearing
+    for plan size, not just fidelity: chaining the incremental funnel
+    through lazy pins re-embeds each artifact's build subtree at every
+    reference, and with artifacts built FROM other artifacts the
+    returned logical plan grew combinatorially (~24 MB, thousands of
+    duplicated join nodes) — Catalyst then re-optimized that tree on
+    EVERY action, minutes of driver CPU per execution. Leaf RDDs keep
+    the returned plan proportional to the merge logic itself. Blocks
+    are plan-lifetime (released when the plan is dropped and GC'd) —
+    declared via the structural checkpoint registry."""
+    note_checkpoint_blocks()
+    return df.localCheckpoint(eager=True)
+
 
 # Funnel knobs — fixed constants so the oracle is a closed form.
 # quality gate: integer-gridded composite score (q53's closed form) at
@@ -37,6 +65,12 @@ PACK_BUDGET = 2048           # q49's training-bin size
 CUT_K = 8                    # q156's span-cut gram width
 DECON_K = 4                  # q52's decontamination shingle width
 
+# Multiply-referenced CTEs carry AS MATERIALIZED: the 8 stage rows (and
+# q192's base-run chain) each re-reference the shared cascade, and
+# DuckDB inlines un-hinted CTEs per reference — measured 13.5 s -> 0.8 s
+# for q192 at sf0.001, identical results. A fair baseline should not
+# recompute the funnel once per accounting row any more than Spark does
+# (the Spark plans pin/checkpoint exactly these intermediates).
 _FUNNEL_SQL = r"""
     WITH base AS (
       SELECT doc_id, lang, source,
@@ -45,14 +79,14 @@ _FUNNEL_SQL = r"""
              doc_id % 97 = 0 AS is_bench
       FROM documents
     ),
-    basen AS (
+    basen AS MATERIALIZED (
       SELECT *, CAST(len(ntext) AS BIGINT) AS chars_norm,
              list_filter(string_split_regex(trim(lower(ntext)), '\s+'),
                          x -> x <> '') AS tk
       FROM base
     ),
-    train AS (SELECT * FROM basen WHERE NOT is_bench),
-    dd AS (
+    train AS MATERIALIZED (SELECT * FROM basen WHERE NOT is_bench),
+    dd AS MATERIALIZED (
       SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY ntext
                                      ORDER BY doc_id) AS rn
@@ -90,7 +124,7 @@ _FUNNEL_SQL = r"""
                             AND CURRENT ROW) AS island
       FROM brk
     ),
-    ivs AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+    ivs AS MATERIALIZED (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
             FROM isl GROUP BY doc_id, island),
     nsp AS (SELECT doc_id, count(*) AS spans_cut,
                    sum(e - s + 1) AS cut_toks
@@ -110,7 +144,7 @@ _FUNNEL_SQL = r"""
       SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS rtext
       FROM keptt GROUP BY doc_id
     ),
-    cutc AS (
+    cutc AS MATERIALIZED (
       SELECT d.doc_id, d.lang, d.source,
              CASE WHEN n.doc_id IS NULL THEN d.ntext
                   ELSE coalesce(r.rtext, '') END AS ctext,
@@ -119,13 +153,13 @@ _FUNNEL_SQL = r"""
       LEFT JOIN nsp n ON d.doc_id = n.doc_id
       LEFT JOIN rew r ON d.doc_id = r.doc_id
     ),
-    cutn AS (
+    cutn AS MATERIALIZED (
       SELECT *, CAST(len(ctext) AS BIGINT) AS chars_cut,
              list_filter(string_split_regex(trim(lower(ctext)), '\s+'),
                          x -> x <> '') AS ctk
       FROM cutc
     ),
-    bgr AS (
+    bgr AS MATERIALIZED (
       SELECT DISTINCT substr(md5(g), 1, 16) AS g
       FROM (
         SELECT unnest(CASE WHEN len(btk) < 4
@@ -135,7 +169,7 @@ _FUNNEL_SQL = r"""
         FROM (SELECT string_split_regex(trim(lower(ntext)), '\s+') AS btk
               FROM basen WHERE is_bench))
     ),
-    cgr AS (
+    cgr AS MATERIALIZED (
       SELECT doc_id, substr(md5(g), 1, 16) AS g
       FROM (
         SELECT doc_id,
@@ -147,14 +181,14 @@ _FUNNEL_SQL = r"""
                      string_split_regex(trim(lower(ctext)), '\s+') AS xtk
               FROM cutn))
     ),
-    contam AS (
+    contam AS MATERIALIZED (
       SELECT DISTINCT doc_id FROM cgr WHERE g IN (SELECT g FROM bgr)
     ),
-    dec AS (
+    dec AS MATERIALIZED (
       SELECT c.* FROM cutn c LEFT JOIN contam x ON c.doc_id = x.doc_id
       WHERE x.doc_id IS NULL
     ),
-    q AS (
+    q AS MATERIALIZED (
       SELECT *,
              CAST(floor((
                least(CAST(len(ctext) AS DOUBLE) / 500.0, 1.0) * 0.5
@@ -174,8 +208,8 @@ _FUNNEL_SQL = r"""
              ) * 1e9 + 0.5) AS BIGINT) AS q_i
       FROM dec
     ),
-    qf AS (SELECT * FROM q WHERE q_i >= 350000000),
-    selt AS (
+    qf AS MATERIALIZED (SELECT * FROM q WHERE q_i >= 350000000),
+    selt AS MATERIALIZED (
       SELECT doc_id, lang, n_tok, chars_cut,
              CAST(floor(len(list_distinct(ctk)) * 1.0 / len(ctk) * 1e6)
                   AS BIGINT) AS score_i
@@ -188,7 +222,7 @@ _FUNNEL_SQL = r"""
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM selt
     ),
-    sel AS (SELECT o.* FROM ord o CROSS JOIN bud b
+    sel AS MATERIALIZED (SELECT o.* FROM ord o CROSS JOIN bud b
             WHERE o.cum <= b.budget),
     pk AS (
       SELECT lang,
@@ -435,6 +469,657 @@ def q185(spark, sf_dir):
                 "docs",
                 "tokens",
                 F.lit(0).cast("long").alias("chars"),
+            )
+        )
+    )
+    return funnel.transform(presentation_sort, "stage")
+
+
+# ---------------------------------------------------------------------------
+# q192 — INCREMENTAL end-to-end curation (VERDICT r12 item 1): the delta
+# twin of q185. The corpus is split at a doc_id cutoff (bottom 90% = the
+# at-rest base the pipeline curated yesterday, top 10% = today's ingest
+# batch); the query runs the base funnel ONCE to materialize yesterday's
+# artifacts (exact-hash index, ExactSubstr gram index, benchmark shingle
+# index, doc-shingle inverted index, doc-grain metadata, keep-list) and
+# then processes ONLY the delta against those artifacts. The DuckDB
+# oracle recomputes the whole funnel FROM SCRATCH over the full corpus —
+# so a hash match IS the merge-equals-recompute differential (the
+# q152/q178 contract, now for the full curation cascade).
+# ---------------------------------------------------------------------------
+
+_QI_SQL = r"""CAST(floor((
+               least(CAST(len(ctext) AS DOUBLE) / 500.0, 1.0) * 0.5
+               + least(CASE WHEN trim(ctext) = '' THEN 0.0
+                   ELSE CAST(len(list_filter(
+                          string_split_regex(trim(lower(ctext)), '\s+'),
+                          t -> list_contains(
+                            ['the','and','of','is','to','in','that','with',
+                             'a','an','for','on','as','are','it'], t)))
+                        AS DOUBLE)
+                        / len(string_split_regex(trim(lower(ctext)), '\s+'))
+                   END * 4.0, 1.0) * 0.3
+               + (1.0 - least(CASE WHEN len(ctext) > 0
+                   THEN CAST(len(regexp_replace(ctext, '[^.!?,;:]', '', 'g'))
+                        AS DOUBLE) / len(ctext)
+                   ELSE 0.0 END * 5.0, 1.0)) * 0.2
+             ) * 1e9 + 0.5) AS BIGINT)"""
+
+_INCR_SQL = (
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             CAST(len(text) AS BIGINT) AS chars_raw,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS ntext,
+             doc_id % 97 = 0 AS is_bench
+      FROM documents
+    ),
+    co AS (SELECT (max(doc_id) * 9) // 10 AS cut FROM documents),
+    basen AS MATERIALIZED (
+      SELECT *, CAST(len(ntext) AS BIGINT) AS chars_norm,
+             list_filter(string_split_regex(trim(lower(ntext)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM base
+    ),
+    train AS MATERIALIZED (SELECT * FROM basen WHERE NOT is_bench),
+    dd AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY ntext
+                                     ORDER BY doc_id) AS rn
+        FROM train) WHERE rn = 1
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             substr(md5(array_to_string(tk[pos:pos+7], ' ')), 1, 15) AS gh
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - 7)) AS pos
+            FROM dd WHERE len(tk) >= 8)
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gh) AS cnt,
+             row_number() OVER (PARTITION BY gh
+                                ORDER BY doc_id, pos) AS rk
+      FROM g
+    ),
+    cut AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rk >= 2),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS brk
+      FROM cut
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM brk
+    ),
+    ivs AS MATERIALIZED (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+            FROM isl GROUP BY doc_id, island),
+    nsp AS (SELECT doc_id, count(*) AS spans_cut,
+                   sum(e - s + 1) AS cut_toks
+            FROM ivs GROUP BY doc_id),
+    toksx AS (
+      SELECT doc_id, i, tk[i] AS tok
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+            FROM dd WHERE len(tk) >= 1)
+    ),
+    keptt AS (
+      SELECT x.doc_id, x.i, x.tok
+      FROM toksx x LEFT JOIN ivs v
+        ON x.doc_id = v.doc_id AND x.i BETWEEN v.s AND v.e
+      WHERE v.doc_id IS NULL
+    ),
+    rew AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS rtext
+      FROM keptt GROUP BY doc_id
+    ),
+    cutc AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, d.source,
+             CASE WHEN n.doc_id IS NULL THEN d.ntext
+                  ELSE coalesce(r.rtext, '') END AS ctext,
+             CAST(len(d.tk) - coalesce(n.cut_toks, 0) AS BIGINT) AS n_tok
+      FROM dd d
+      LEFT JOIN nsp n ON d.doc_id = n.doc_id
+      LEFT JOIN rew r ON d.doc_id = r.doc_id
+    ),
+    cutn AS MATERIALIZED (
+      SELECT *, CAST(len(ctext) AS BIGINT) AS chars_cut,
+             list_filter(string_split_regex(trim(lower(ctext)), '\s+'),
+                         x -> x <> '') AS ctk
+      FROM cutc
+    ),
+    cutq AS MATERIALIZED (
+      SELECT *, """
+    + _QI_SQL
+    + r""" AS q_i
+      FROM cutn
+    ),
+    bgr AS MATERIALIZED (
+      SELECT DISTINCT substr(md5(g), 1, 16) AS g
+      FROM (
+        SELECT unnest(CASE WHEN len(btk) < 4
+                 THEN [array_to_string(btk, ' ')]
+                 ELSE list_transform(generate_series(1, len(btk) - 3),
+                      i -> array_to_string(btk[i:i+3], ' ')) END) AS g
+        FROM (SELECT string_split_regex(trim(lower(ntext)), '\s+') AS btk
+              FROM basen WHERE is_bench))
+    ),
+    bgrb AS MATERIALIZED (
+      SELECT DISTINCT substr(md5(g), 1, 16) AS g
+      FROM (
+        SELECT unnest(CASE WHEN len(btk) < 4
+                 THEN [array_to_string(btk, ' ')]
+                 ELSE list_transform(generate_series(1, len(btk) - 3),
+                      i -> array_to_string(btk[i:i+3], ' ')) END) AS g
+        FROM (SELECT string_split_regex(trim(lower(ntext)), '\s+') AS btk
+              FROM basen, co
+              WHERE is_bench AND doc_id <= co.cut))
+    ),
+    cgr AS MATERIALIZED (
+      SELECT doc_id, substr(md5(g), 1, 16) AS g
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(xtk) < 4
+                 THEN [array_to_string(xtk, ' ')]
+                 ELSE list_transform(generate_series(1, len(xtk) - 3),
+                      i -> array_to_string(xtk[i:i+3], ' ')) END) AS g
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(ctext)), '\s+') AS xtk
+              FROM cutn))
+    ),
+    contam AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM cgr WHERE g IN (SELECT g FROM bgr)
+    ),
+    contamb AS MATERIALIZED (
+      SELECT DISTINCT c.doc_id FROM cgr c, co
+      WHERE c.doc_id <= co.cut AND c.g IN (SELECT g FROM bgrb)
+    ),
+    dec AS MATERIALIZED (
+      SELECT c.* FROM cutq c LEFT JOIN contam x ON c.doc_id = x.doc_id
+      WHERE x.doc_id IS NULL
+    ),
+    qf AS MATERIALIZED (SELECT * FROM dec WHERE q_i >= 350000000),
+    selt AS MATERIALIZED (
+      SELECT doc_id, lang, n_tok, chars_cut,
+             CAST(floor(len(list_distinct(ctk)) * 1.0 / len(ctk) * 1e6)
+                  AS BIGINT) AS score_i
+      FROM qf WHERE len(ctk) > 0
+    ),
+    bud AS (SELECT CAST(floor(0.6 * sum(n_tok)) AS BIGINT) AS budget
+            FROM selt),
+    ord AS (
+      SELECT *, sum(n_tok) OVER (ORDER BY 1000000 - score_i, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM selt
+    ),
+    sel AS MATERIALIZED (SELECT o.* FROM ord o CROSS JOIN bud b
+            WHERE o.cum <= b.budget),
+    decb AS MATERIALIZED (
+      SELECT c.* FROM cutq c, co
+      WHERE c.doc_id <= co.cut
+        AND c.doc_id NOT IN (SELECT doc_id FROM contamb)
+    ),
+    qfb AS MATERIALIZED (SELECT * FROM decb WHERE q_i >= 350000000),
+    seltb AS MATERIALIZED (
+      SELECT doc_id, lang, n_tok, chars_cut,
+             CAST(floor(len(list_distinct(ctk)) * 1.0 / len(ctk) * 1e6)
+                  AS BIGINT) AS score_i
+      FROM qfb WHERE len(ctk) > 0
+    ),
+    budb AS (SELECT CAST(floor(0.6 * sum(n_tok)) AS BIGINT) AS budget
+             FROM seltb),
+    ordb AS (
+      SELECT *, sum(n_tok) OVER (ORDER BY 1000000 - score_i, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM seltb
+    ),
+    selb AS MATERIALIZED (SELECT o.* FROM ordb o CROSS JOIN budb b
+             WHERE o.cum <= b.budget),
+    flip5 AS (
+      SELECT (SELECT count(*) FROM contam c, co WHERE c.doc_id <= co.cut)
+           - (SELECT count(*) FROM contamb) AS n
+    ),
+    flip7 AS (
+      SELECT count(*) AS n FROM (
+        SELECT doc_id FROM (
+          SELECT doc_id FROM selb
+          UNION ALL
+          SELECT s.doc_id FROM sel s, co WHERE s.doc_id <= co.cut
+        ) GROUP BY doc_id HAVING count(*) = 1)
+    ),
+    pk AS (
+      SELECT lang,
+             CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin_id,
+             n_tok
+      FROM sel
+    ),
+    bins AS (SELECT lang, bin_id, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+             FROM pk GROUP BY lang, bin_id)
+    SELECT * FROM (
+      SELECT 1 AS stage, 'input' AS label,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(coalesce(sum(len(tk)), 0) AS BIGINT) AS tokens,
+             CAST(coalesce(sum(chars_raw), 0) AS BIGINT) AS chars,
+             CAST(coalesce(sum(CASE WHEN t.doc_id > co.cut
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS delta_docs,
+             CAST(0 AS BIGINT) AS old_flipped
+      FROM train t, co
+      UNION ALL
+      SELECT 2, 'normalize', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(tk)), 0) AS BIGINT),
+             CAST(coalesce(sum(chars_norm), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN t.doc_id > co.cut
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM train t, co
+      UNION ALL
+      SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(tk)), 0) AS BIGINT),
+             CAST(coalesce(sum(chars_norm), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN t.doc_id > co.cut
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM dd t, co
+      UNION ALL
+      SELECT 4, 'span_cut', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n_tok), 0) AS BIGINT),
+             CAST(coalesce(sum(chars_cut), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN t.doc_id > co.cut
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM cutn t, co
+      UNION ALL
+      SELECT 5, 'decontaminate', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n_tok), 0) AS BIGINT),
+             CAST(coalesce(sum(chars_cut), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN t.doc_id > co.cut
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST((SELECT n FROM flip5) AS BIGINT)
+      FROM dec t, co
+      UNION ALL
+      SELECT 6, 'quality_filter', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n_tok), 0) AS BIGINT),
+             CAST(coalesce(sum(chars_cut), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN t.doc_id > co.cut
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM qf t, co
+      UNION ALL
+      SELECT 7, 'budget_select', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n_tok), 0) AS BIGINT),
+             CAST(coalesce(sum(chars_cut), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN t.doc_id > co.cut
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST((SELECT n FROM flip7) AS BIGINT)
+      FROM sel t, co
+      UNION ALL
+      SELECT 8, 'pack', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(bin_tokens), 0) AS BIGINT),
+             CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM bins
+    ) ORDER BY stage
+"""
+)
+
+
+@query("q192_incremental_funnel", oracle=_INCR_SQL)
+def q192(spark, sf_dir):
+    """INCREMENTAL end-to-end curation (VERDICT r12 item 1) — the delta
+    twin of q185. Yesterday's pipeline curated the base corpus (doc_id
+    <= cutoff, cutoff = floor(max_id * 0.9)) and left its artifacts at
+    rest; today's batch (doc_id > cutoff) must be folded in WITHOUT
+    re-running the funnel over the base. The at-rest artifacts (each a
+    pinned table standing in for a stored one):
+
+      A1 exact-hash index     distinct sha2(ntext) of base train docs
+      A2 gram index           `span_gram_index` (gh, n_occ) of the base
+                              deduped corpus — the ExactSubstr history
+      A3 bench shingle index  `shingle_keys` of the base benchmark
+      A4 doc-shingle index    `doc_shingle_keys` of the base cut corpus
+                              (the REVERSE decontamination probe)
+      A5 doc-grain metadata   (tokens_after, chars, q_i, score_i) per
+                              base doc — text-free
+      A6 keep-list            yesterday's budget selection
+
+    Delta processing, each stage O(batch) against an index probe:
+      - dedup: batch hashes anti-join A1, keep-first within batch (batch
+        ids are larger, so full-corpus keep-first is preserved exactly);
+      - span cut: `cut_duplicated_spans(base_gram_index=A2)` — the
+        (n_occ + cnt, n_occ + rk) shift gives full-corpus semantics from
+        a batch-only scan; base docs provably never change (an
+        occurrence is cut iff an EARLIER one exists, and every earlier
+        occurrence is in the base — the append-only monotonicity);
+      - decontaminate: batch docs probe A3 UNION the new benchmark's
+        shingles; the new benchmark's shingles probe A4 to find OLD docs
+        it newly contaminates (the only way base docs change, counted in
+        `old_flipped` at stage 5);
+      - quality: per-doc, batch only;
+      - budget select + pack: global by definition — recomputed over the
+        MERGED text-free doc-grain metadata (A5 + batch), ~24 bytes/doc;
+        `old_flipped` at stage 7 = |A6 Δ (new selection ∩ base)| — how
+        far the budget boundary moved.
+
+    Output: q185's 8 accounting rows over the FULL corpus plus
+    delta_docs (batch survivors per stage) and old_flipped (base docs
+    whose stage membership changed: possible only at stages 5 and 7 —
+    0 elsewhere by the monotonicity proofs above). The DuckDB oracle
+    recomputes EVERYTHING from scratch over the full corpus (plus the
+    base-only selection chain for old_flipped), so the hash match is
+    the merge-equals-recompute differential for the entire cascade —
+    the q152/q178 incremental contract, composed.
+
+    Scale shape: ONE `documents` scan (pinned) feeds both the artifact
+    build and the delta path; every index probe joins on fixed-width
+    hashes (15/16-byte), text crosses only doc-keyed exchanges; the
+    merged selection pass is text-free metadata through the distributed
+    prefix-sum kernel (never a single-partition window). At 100 TB the
+    artifact phase is yesterday's already-paid run; only the delta
+    phase and the metadata-grain select/pack execute daily."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ntext = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    ntok = F.size(
+        F.filter(T.whitespace_tokens(F.col("ntext")), lambda x: x != "")
+    ).cast("long")
+    base_all = (
+        widen_if_narrow(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.length("text").cast("long").alias("chars_raw"),
+            ntext.alias("ntext"),
+            (F.col("doc_id") % 97 == 0).alias("is_bench"),
+        )
+        .withColumn("chars_norm", F.length("ntext").cast("long"))
+        .withColumn("n_tok_norm", ntok)
+        .transform(pin)  # the ONE documents scan
+    )
+    # O(1) driver scalar (the audited-collect contract): the split point.
+    max_id = base_all.agg(F.max("doc_id")).first()[0]
+    cut_id = (max_id * 9) // 10 if max_id is not None else -1
+    is_old = F.col("doc_id") <= F.lit(cut_id)
+    train = base_all.where(~F.col("is_bench"))
+    old_train = train.where(is_old)
+    new_train = train.where(~is_old)
+    old_bench = base_all.where(F.col("is_bench") & is_old)
+    new_bench = base_all.where(F.col("is_bench") & ~is_old)
+
+    # ---- yesterday's run: build the at-rest artifacts (base funnel) ----
+    w_h = Window.partitionBy("h").orderBy("doc_id")
+    hash_idx = _at_rest(  # A1
+        old_train.select(F.sha2(F.col("ntext"), 256).alias("h")).distinct()
+    )
+    old_dd = _at_rest(
+        old_train.withColumn("h", F.sha2(F.col("ntext"), 256))
+        .withColumn("rn", F.row_number().over(w_h))
+        .where(F.col("rn") == 1)
+        .drop("rn", "h")
+    )
+    gram_idx = _at_rest(  # A2
+        span_gram_index(old_dd, k=CUT_K, text_col="ntext")
+    )
+    old_cut = _at_rest(
+        cut_duplicated_spans(
+            old_dd.select(
+                "doc_id", "lang", "n_tok_norm", "chars_norm", "ntext"
+            ),
+            k=CUT_K,
+            min_count=2,
+            text_col="ntext",
+        )
+    )
+    bench_old_keys = _at_rest(  # A3
+        shingle_keys(
+            old_bench.select(F.col("ntext").alias("text")), k=DECON_K
+        )
+    )
+    doc_sh_idx = _at_rest(doc_shingle_keys(old_cut, k=DECON_K))  # A4
+    old_contam = _at_rest(
+        contaminated_ids(old_cut, benchmark_keys=bench_old_keys, k=DECON_K)
+    )
+
+    # ---- today's ingest: delta-only passes against the artifacts ----
+    new_dd = (
+        new_train.withColumn("h", F.sha2(F.col("ntext"), 256))
+        .join(hash_idx, "h", "left_anti")  # probe A1
+        .withColumn("rn", F.row_number().over(w_h))
+        .where(F.col("rn") == 1)
+        .drop("rn", "h")
+    )
+    new_cut = cut_duplicated_spans(
+        new_dd.select("doc_id", "lang", "n_tok_norm", "chars_norm", "ntext"),
+        k=CUT_K,
+        min_count=2,
+        text_col="ntext",
+        base_gram_index=gram_idx,  # probe A2
+    )
+    bench_new_keys = shingle_keys(
+        new_bench.select(F.col("ntext").alias("text")), k=DECON_K
+    )
+    new_contam = contaminated_ids(
+        new_cut,
+        benchmark_keys=bench_old_keys.unionByName(bench_new_keys),
+        k=DECON_K,
+    )
+    # the ONLY way base docs change: the new benchmark's shingles probe
+    # the at-rest doc-shingle index (O(new shingles), no base re-scan)
+    newly_old = pin(
+        doc_sh_idx.join(F.broadcast(bench_new_keys), "_g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .join(old_contam, "doc_id", "left_anti")
+    )
+
+    # ---- text-free doc-grain metadata (A5 for base; fresh for delta) ----
+    ctk = F.filter(T.whitespace_tokens(F.col("text")), lambda x: x != "")
+
+    def _meta(cut_df, contam_df, extra_contam=None, is_delta=False):
+        m = cut_df.join(
+            F.broadcast(contam_df.withColumn("_c1", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        contam_col = F.col("_c1").isNotNull()
+        if extra_contam is not None:
+            m = m.join(
+                F.broadcast(extra_contam.withColumn("_c2", F.lit(1))),
+                "doc_id",
+                "left",
+            )
+            contam_col = contam_col | F.col("_c2").isNotNull()
+        return m.select(
+            "doc_id",
+            "lang",
+            "n_tok_norm",
+            "chars_norm",
+            "tokens_after",
+            F.length("text").cast("long").alias("chars_cut"),
+            F.floor(T.quality_score(F.col("text")) * 1e9 + 0.5)
+            .cast("long")
+            .alias("q_i"),
+            F.when(
+                F.col("tokens_after") > 0,
+                F.floor(
+                    F.size(F.array_distinct(ctk)) * 1.0 / F.size(ctk) * 1e6
+                ).cast("long"),
+            ).alias("score_i"),
+            contam_col.alias("contam"),
+            F.col("_c1").isNotNull().alias("contam_yesterday"),
+            F.lit(is_delta).alias("is_delta"),
+        )
+
+    meta_old = _at_rest(  # A5 (text-free doc-grain metadata)
+        _meta(old_cut, old_contam, extra_contam=newly_old, is_delta=False)
+    )
+    meta_new = _meta(new_cut, new_contam, is_delta=True)
+    meta_all = pin(meta_old.unionByName(meta_new))
+
+    # ---- yesterday's keep-list (A6): base-only budget selection ----
+    def _select(meta, yesterday=False):
+        gate = (
+            ~F.col("contam_yesterday") if yesterday else ~F.col("contam")
+        )
+        elig = pin(
+            meta.where(
+                gate
+                & (F.col("q_i") >= QUALITY_MIN_I)
+                & (F.col("tokens_after") > 0)
+            ).select(
+                "doc_id",
+                "lang",
+                "tokens_after",
+                "chars_cut",
+                "is_delta",
+                (F.lit(1_000_000) - F.col("score_i"))
+                .cast("long")
+                .alias("sort_key"),
+            )
+        )
+        cum = global_prefix_sum(
+            elig, ["sort_key", "doc_id"], "tokens_after", out_col="cum"
+        )
+        b = elig.agg(
+            F.floor(BUDGET_FRAC * F.sum("tokens_after"))
+            .cast("long")
+            .alias("budget")
+        )
+        return pin(
+            cum.crossJoin(F.broadcast(b)).where(
+                F.col("cum") <= F.col("budget")
+            )
+        )
+
+    sel_base = _at_rest(  # A6 (yesterday's keep-list)
+        _select(meta_old, yesterday=True).select(
+            "doc_id", "lang", "tokens_after", "chars_cut", "is_delta"
+        )
+    )
+    sel = _select(meta_all)
+
+    # ---- merge certificates ----
+    flip5 = newly_old.agg(
+        F.count(F.lit(1)).cast("long").alias("old_flipped")
+    )
+    flip7 = (
+        sel_base.select("doc_id")
+        .unionAll(sel.where(~F.col("is_delta")).select("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("old_flipped"))
+    )
+
+    bins = (
+        pack_sequences(
+            sel,
+            F.col("tokens_after"),
+            budget=PACK_BUDGET,
+            shard_col="lang",
+            order_col="doc_id",
+        )
+        .groupBy("lang", "bin_id")
+        .agg(F.sum("tokens_after").cast("long").alias("bin_tokens"))
+    )
+
+    def srow(stage, label, df, tokens_col, chars_col, delta_cond, flipped=None):
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.coalesce(F.sum(tokens_col), F.lit(0))
+            .cast("long")
+            .alias("tokens"),
+            F.coalesce(F.sum(chars_col), F.lit(0))
+            .cast("long")
+            .alias("chars"),
+            F.coalesce(
+                F.sum(F.when(delta_cond, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("delta_docs"),
+        ).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(label).alias("label"),
+            "docs",
+            "tokens",
+            "chars",
+            "delta_docs",
+        )
+        if flipped is None:
+            return row.withColumn("old_flipped", F.lit(0).cast("long"))
+        return row.crossJoin(F.broadcast(flipped))
+
+    raw_delta = F.col("doc_id") > F.lit(cut_id)
+    d = F.col("is_delta")
+    funnel = (
+        srow(1, "input", train, "n_tok_norm", "chars_raw", raw_delta)
+        .unionByName(
+            srow(2, "normalize", train, "n_tok_norm", "chars_norm", raw_delta)
+        )
+        .unionByName(
+            srow(3, "exact_dedup", meta_all, "n_tok_norm", "chars_norm", d)
+        )
+        .unionByName(
+            srow(4, "span_cut", meta_all, "tokens_after", "chars_cut", d)
+        )
+        .unionByName(
+            srow(
+                5,
+                "decontaminate",
+                meta_all.where(~F.col("contam")),
+                "tokens_after",
+                "chars_cut",
+                d,
+                flipped=flip5,
+            )
+        )
+        .unionByName(
+            srow(
+                6,
+                "quality_filter",
+                meta_all.where(
+                    ~F.col("contam") & (F.col("q_i") >= QUALITY_MIN_I)
+                ),
+                "tokens_after",
+                "chars_cut",
+                d,
+            )
+        )
+        .unionByName(
+            srow(
+                7,
+                "budget_select",
+                sel,
+                "tokens_after",
+                "chars_cut",
+                d,
+                flipped=flip7,
+            )
+        )
+        .unionByName(
+            bins.agg(
+                F.count(F.lit(1)).cast("long").alias("docs"),
+                F.coalesce(F.sum("bin_tokens"), F.lit(0))
+                .cast("long")
+                .alias("tokens"),
+            ).select(
+                F.lit(8).cast("long").alias("stage"),
+                F.lit("pack").alias("label"),
+                "docs",
+                "tokens",
+                F.lit(0).cast("long").alias("chars"),
+                F.lit(0).cast("long").alias("delta_docs"),
+                F.lit(0).cast("long").alias("old_flipped"),
             )
         )
     )

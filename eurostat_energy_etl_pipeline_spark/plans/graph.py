@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
 from eurostat_energy_etl_pipeline_spark.functions import presentation_sort
+from eurostat_energy_etl_pipeline_spark import plans
 from eurostat_energy_etl_pipeline_spark.plans import query
 
 DAMPING = 0.85
@@ -144,6 +145,7 @@ def pagerank(
         # Materialize before dropping the pins: localCheckpoint executes
         # the plan and truncates lineage, so the returned DataFrame no
         # longer references nodes/base and the unpersist is safe.
+        plans.note_checkpoint_blocks()
         ranks = ranks.localCheckpoint()
         nodes.unpersist()
         base.unpersist()
@@ -560,6 +562,8 @@ def q189(spark, sf_dir):
         _PREPARED_GRAPHS[key] = prepared
     _nodes, base, _n = prepared
     edges = base.select("src", "dst")
+    # per-level frontier/visited checkpoints are plan-lifetime blocks
+    plans.note_checkpoint_blocks()
     seeds = (
         t["customer"]
         .where(F.col("c_nationkey") == 0)

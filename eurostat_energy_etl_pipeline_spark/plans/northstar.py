@@ -2921,9 +2921,10 @@ def q186(spark, sf_dir):
     # ONE signature-kernel pass + sha serves every consumer (both edge
     # tiers, the CC iteration's input, and the member-info join): the
     # kernel decodes every payload, so recomputing it per branch would
-    # multiply the scan 10+x (caught by the plan gate). Pinned, not in
-    # pin_users (CC's localCheckpoints make full release impossible —
-    # the q187 precedent); the harness still releases it per query.
+    # multiply the scan 10+x (caught by the plan gate). The CC kernel
+    # self-declares its plan-lifetime checkpoint blocks
+    # (plans.note_checkpoint_blocks), so the pin gate releases this pin
+    # and tolerates exactly those blocks.
     sigs = pin(
         media_signatures(media).join(
             media.select("media_id", F.sha2("payload", 256).alias("bh")),

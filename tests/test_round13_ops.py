@@ -1,0 +1,220 @@
+"""Round-13 operator tests: the incremental-curation kernels behind
+q192 (VERDICT r12 item 1). The load-bearing contracts are differential
+— incremental-against-at-rest-artifacts must HASH-EQUAL the scratch
+recompute — plus planted fixtures for the two ways base state can
+change (a new benchmark document contaminating an old doc; the budget
+boundary moving), which the stock fixtures exercise only thinly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+    contaminated_ids,
+    doc_shingle_keys,
+    shingle_keys,
+)
+from eurostat_energy_etl_pipeline_spark.operators.substrings import (
+    cut_duplicated_spans,
+    span_gram_index,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# 8-token spans for the k=8 cut; tokens chosen so no span repeats by
+# accident across the filler sentences.
+SPAN_A = "alpha beta gamma delta epsilon zeta eta theta"
+SPAN_B = "one two three four five six seven eight"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE_ROWS = [
+    (1, f"intro words here {SPAN_A} closing base remark number ten"),
+    (2, f"other leading text {SPAN_A} different tail follows here now"),
+    (3, "completely unique base document with plain filler content inside"),
+    (4, "another standalone base document nothing repeated anywhere at all"),
+]
+DELTA_ROWS = [
+    # repeats SPAN_A: only occurrence IN THE BATCH, so a batch-only cut
+    # would keep it — the at-rest gram index is what cuts it
+    (10, f"fresh batch prefix {SPAN_A} fresh batch suffix words"),
+    # SPAN_B repeats within the batch only: first kept, second cut
+    (11, f"batch doc start {SPAN_B} batch doc end marker"),
+    (12, f"later batch text {SPAN_B} entirely different ending tokens"),
+    (13, "untouched new document with its own vocabulary only"),
+]
+
+
+def test_incremental_span_cut_matches_full_recompute(spark):
+    """cut_duplicated_spans(base_gram_index=...) over the batch alone
+    must reproduce the full-corpus rewrite exactly: base docs are
+    provably invariant under append-only ingest (every earlier
+    occurrence is in the base), so full == base-cut UNION batch-cut."""
+    base = _docs(spark, BASE_ROWS)
+    delta = _docs(spark, DELTA_ROWS)
+    full = {
+        r["doc_id"]: (r["text"], r["tokens_after"], r["spans_cut"])
+        for r in cut_duplicated_spans(
+            base.unionByName(delta), k=8, min_count=2
+        ).collect()
+    }
+    idx = span_gram_index(base, k=8)
+    incr = {
+        r["doc_id"]: (r["text"], r["tokens_after"], r["spans_cut"])
+        for r in cut_duplicated_spans(base, k=8, min_count=2)
+        .unionByName(
+            cut_duplicated_spans(delta, k=8, min_count=2, base_gram_index=idx)
+        )
+        .collect()
+    }
+    assert incr == full
+    # the planted semantics actually fired: doc 10's span was cut via
+    # the INDEX (no second batch occurrence exists), doc 11 kept the
+    # batch-first SPAN_B occurrence, doc 12 lost it, doc 13 untouched
+    assert incr[10][2] == 1 and SPAN_A not in incr[10][0]
+    assert incr[11][2] == 0 and SPAN_B in incr[11][0]
+    assert incr[12][2] == 1 and SPAN_B not in incr[12][0]
+    assert incr[13][2] == 0
+
+
+def test_incremental_span_cut_min_count_3_uses_base_counts(spark):
+    """The gram index carries OCCURRENCE COUNTS, not bare existence, so
+    min_count > 2 stays exact: a gram seen once in the base and once in
+    the batch reaches corpus count 2 < 3 (kept), while a gram seen
+    twice in the base and once in the batch reaches 3 (batch copy cut —
+    its corpus rank is n_occ + 1 >= 2)."""
+    base = _docs(
+        spark,
+        [
+            (1, f"padding start words {SPAN_A} padding end words here"),
+            (2, f"more padding tokens {SPAN_A} other trailing words now"),
+            (3, f"single base copy {SPAN_B} never repeated in base"),
+        ],
+    )
+    delta = _docs(
+        spark,
+        [
+            (10, f"batch copy of {SPAN_A} should be cut here"),
+            (11, f"batch copy of {SPAN_B} must survive the cut"),
+        ],
+    )
+    full = {
+        r["doc_id"]: r["spans_cut"]
+        for r in cut_duplicated_spans(
+            base.unionByName(delta), k=8, min_count=3
+        ).collect()
+    }
+    incr = {
+        r["doc_id"]: r["spans_cut"]
+        for r in cut_duplicated_spans(
+            delta, k=8, min_count=3, base_gram_index=span_gram_index(base, k=8)
+        ).collect()
+    }
+    assert incr == {d: full[d] for d in (10, 11)}
+    assert incr[10] == 1  # SPAN_A corpus count 3 -> cut
+    assert incr[11] == 0  # SPAN_B corpus count 2 < 3 -> kept
+
+
+def test_contaminated_ids_keys_path_equals_text_path(spark):
+    """benchmark_keys= (the at-rest shingle index) must select exactly
+    the ids the benchmark-text path selects."""
+    corpus = _docs(spark, BASE_ROWS + DELTA_ROWS)
+    bench = _docs(
+        spark,
+        [
+            (100, f"exam question mentions {SPAN_A} verbatim"),
+            (101, "benchmark text sharing nothing with anything"),
+        ],
+    )
+    via_text = {
+        r["doc_id"]
+        for r in contaminated_ids(corpus, bench, k=4).collect()
+    }
+    via_keys = {
+        r["doc_id"]
+        for r in contaminated_ids(
+            corpus, benchmark_keys=shingle_keys(bench, k=4), k=4
+        ).collect()
+    }
+    assert via_keys == via_text
+    assert via_keys == {1, 2, 10}  # every doc carrying SPAN_A
+
+
+def test_contaminated_ids_requires_exactly_one_benchmark_side(spark):
+    corpus = _docs(spark, BASE_ROWS)
+    bench = _docs(spark, [(100, "whatever text")])
+    with pytest.raises(ValueError):
+        contaminated_ids(corpus)
+    with pytest.raises(ValueError):
+        contaminated_ids(
+            corpus, bench, benchmark_keys=shingle_keys(bench, k=4)
+        )
+
+
+def test_doc_shingle_index_reverse_probe_finds_new_contamination(spark):
+    """The q192 stage-5 mechanism: a NEW benchmark document's shingle
+    keys probe the at-rest doc-shingle index and surface exactly the
+    old docs it newly contaminates — no old-corpus re-scan."""
+    old_corpus = _docs(spark, BASE_ROWS)
+    idx = doc_shingle_keys(old_corpus, k=4)
+    new_bench = _docs(spark, [(200, f"new eval item quotes {SPAN_B} exactly")])
+    hit = {
+        r["doc_id"]
+        for r in idx.join(
+            F.broadcast(shingle_keys(new_bench, k=4)), "_g", "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert hit == set()  # SPAN_B absent from the base corpus
+    new_bench2 = _docs(
+        spark, [(201, f"new eval item quotes {SPAN_A} exactly")]
+    )
+    hit2 = {
+        r["doc_id"]
+        for r in idx.join(
+            F.broadcast(shingle_keys(new_bench2, k=4)), "_g", "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert hit2 == {1, 2}
+
+
+def test_span_gram_index_counts(spark):
+    """n_occ is the corpus occurrence count per gram hash — the rank
+    offset the incremental cut shifts by."""
+    docs = _docs(
+        spark,
+        [
+            (1, SPAN_A),  # exactly one 8-gram
+            (2, SPAN_A),  # same gram again
+            (3, SPAN_B),
+        ],
+    )
+    idx = {r["gh"]: r["n_occ"] for r in span_gram_index(docs, k=8).collect()}
+    assert sorted(idx.values()) == [1, 2]
+
+
+def test_q192_equals_q185_on_shared_stage_accounting(spark):
+    """The merge-equals-recompute differential, in-repo: the
+    incremental funnel's (docs, tokens, chars) per stage must equal the
+    batch funnel q185's — same corpus, same knobs, different
+    execution paths (q185 recomputes from scratch; q192 folds the top
+    10% of doc_ids into at-rest artifacts of the bottom 90%)."""
+    from eurostat_energy_etl_pipeline_spark.plans import QUERIES, load_all
+
+    load_all()
+    scratch = {
+        r["stage"]: (r["label"], r["docs"], r["tokens"], r["chars"])
+        for r in QUERIES["q185_curation_funnel"](spark, SF_DIR).collect()
+    }
+    incr = {
+        r["stage"]: (r["label"], r["docs"], r["tokens"], r["chars"])
+        for r in QUERIES["q192_incremental_funnel"](spark, SF_DIR).collect()
+    }
+    assert incr == scratch

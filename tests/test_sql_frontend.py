@@ -139,6 +139,7 @@ DUCKDB_ONLY = {
     "q183_budget_selection", # duckdb string_split_regex/list_* token idiom
     "q184_multi_touch",      # duckdb strftime + ts - INTERVAL arithmetic
     "q185_curation_funnel",  # duckdb list_*/string_split_regex/lateral unnest
+    "q192_incremental_funnel",  # q185 idioms + // int division + NOT IN CTE
 }
 
 
