@@ -2984,6 +2984,242 @@ def q186(spark, sf_dir):
     )
 
 
+_MEDIA_FUNNEL_TAIL = r""",
+    e AS MATERIALIZED (
+      SELECT media_id, entropy(v) AS ent FROM bytes GROUP BY media_id
+    ),
+    qual AS MATERIALIZED (
+      SELECT b.media_id, b.media_type, b.L, b.bh,
+             floor(coalesce(e.ent, 0) * 1e4 + 0.5) / 1e4 AS ent4
+      FROM b LEFT JOIN e ON b.media_id = e.media_id
+    ),
+    q2 AS MATERIALIZED (SELECT * FROM qual WHERE ent4 >= 4.0 AND L >= 64),
+    ddm AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY media_type, bh
+                                     ORDER BY media_id) AS rn
+        FROM q2) WHERE rn = 1
+    ),
+    sig3 AS MATERIALIZED (
+      SELECT d.media_id, d.media_type, d.L, s.ahash
+      FROM ddm d JOIN sig s ON d.media_id = s.media_id
+    ),
+    bands3 AS (
+      SELECT media_id, media_type, ahash, k, (ahash >> (k*15)) & 32767
+               AS key
+      FROM sig3 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    ),
+    npairs3 AS MATERIALIZED (
+      SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+      FROM bands3 x JOIN bands3 y
+        ON x.k = y.k AND x.key = y.key
+       AND x.media_type = y.media_type AND x.media_id < y.media_id
+      WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
+    ),
+    und3 AS (SELECT id_a AS s, id_b AS d FROM npairs3
+             UNION SELECT id_b, id_a FROM npairs3),
+    nodes3 AS (SELECT DISTINCT s AS id FROM und3),
+    walk3(id, reach) AS (
+      SELECT id, id FROM nodes3
+      UNION
+      SELECT w.id, u.d FROM walk3 w JOIN und3 u ON u.s = w.reach
+    ),
+    comp3 AS MATERIALIZED (SELECT id AS media_id, min(reach) AS cluster_id
+                           FROM walk3 GROUP BY id),
+    keepr AS MATERIALIZED (
+      SELECT s.media_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY s.L DESC, s.media_id) AS krn
+      FROM sig3 s JOIN comp3 c ON s.media_id = c.media_id
+    ),
+    nd AS MATERIALIZED (
+      SELECT d.* FROM ddm d LEFT JOIN keepr k
+        ON d.media_id = k.media_id AND k.krn >= 2
+      WHERE k.media_id IS NULL
+    ),
+    pk3 AS (
+      SELECT media_type,
+             CAST(floor(coalesce(sum(L) OVER (PARTITION BY media_type
+                    ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) / 65536.0) AS BIGINT) AS bin_id,
+             L
+      FROM nd
+    ),
+    bins3 AS (SELECT media_type, bin_id, CAST(sum(L) AS BIGINT) AS bin_bytes
+              FROM pk3 GROUP BY media_type, bin_id)
+    SELECT * FROM (
+      SELECT 1 AS stage, 'input' AS label,
+             CAST(count(*) AS BIGINT) AS items,
+             CAST(coalesce(sum(L), 0) AS BIGINT) AS bytes
+      FROM b
+      UNION ALL
+      SELECT 2, 'byte_quality', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(L), 0) AS BIGINT)
+      FROM q2
+      UNION ALL
+      SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(L), 0) AS BIGINT)
+      FROM ddm
+      UNION ALL
+      SELECT 4, 'near_dedup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(L), 0) AS BIGINT)
+      FROM nd
+      UNION ALL
+      SELECT 5, 'shard_pack', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(bin_bytes), 0) AS BIGINT)
+      FROM bins3
+    ) ORDER BY stage
+"""
+
+#: q193 stage-2 gate: payloads routed to decoders must look like real
+#: media — gridded byte entropy >= 4.0 bits and at least 64 bytes.
+#: Integer-exact cross-engine (the q161 1e-4 grid on both sides).
+MEDIA_MIN_ENT4 = 4.0
+MEDIA_MIN_BYTES = 64
+MEDIA_PACK_BYTES = 65536
+
+
+@query(
+    "q193_media_funnel",
+    oracle=_MEDIA_SIG_CTES.replace("WITH b AS", "WITH RECURSIVE b AS", 1)
+    + _MEDIA_FUNNEL_TAIL,
+)
+def q193(spark, sf_dir):
+    """MEDIA CURATION FUNNEL (VERDICT r12 item 3) — q185's recipe at
+    media grain, composing the family's certified kernels as ONE plan
+    with per-stage item/byte accounting:
+
+      1 input         every media item, payload bytes
+      2 byte_quality  route-to-decoder gate (q161 kernel): gridded byte
+                      entropy >= 4.0 bits AND >= 64 bytes — drops
+                      padding-like and truncated payloads
+      3 exact_dedup   keep-first per sha2(payload) within media_type
+                      (q159's exact tier)
+      4 near_dedup    hamming<=3 aHash pairs among stage-3 survivors ->
+                      connected components -> keep the largest payload
+                      per cluster, ties to smallest id (q186's policy)
+      5 shard_pack    greedy 64 KiB training shards per media_type
+                      (q49's packing kernel on bytes); items = shard
+                      count, bytes = packed bytes (must equal stage 4)
+
+    The q186 lesson is baked in: ONE pinned signature+quality+sha stats
+    table feeds every stage (the payload-decoding kernels run exactly
+    once; recomputing them per branch multiplied the scan 10+x). The
+    DuckDB oracle recomputes the full cascade from the payload's hex
+    rendering — the q158 bit-exact signature ladder, the q161 entropy
+    grid, a WITH RECURSIVE closure for the clusters — so the hash match
+    certifies the composition end to end. Stock sf0.01 has no media
+    dups (stages 3-4 pass-through, q159 precedent); sf0.1 carries real
+    clusters and the planted chain test pins the transitive-keep
+    accounting.
+
+    Scale shape: payload bytes never shuffle (kernels and sha are
+    scan-side over the pinned media table); every downstream stage
+    reads the narrow stats pin; the pair join is banded within
+    media_type; components shuffle 8-byte node keys; packing windows
+    per media_type (never SinglePartition)."""
+    from pyspark.sql.window import Window as W
+
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        PERCEPTUAL_HASH_BITS,
+        media_byte_quality,
+        media_signatures,
+    )
+    from eurostat_energy_etl_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    t = load_tables(spark, sf_dir)
+    # ONE documents scan; payloads cached for the two kernels + sha
+    media = pin(media_table(t["documents"]))
+    stats = pin(  # narrow per-item stats — feeds every stage below
+        media_signatures(media)
+        .select("media_id", "media_type", "n_bytes", "ahash")
+        .join(
+            media_byte_quality(media).select(
+                "media_id",
+                portable_round("byte_entropy", 4).alias("ent4"),
+            ),
+            "media_id",
+        )
+        .join(
+            media.select(
+                "media_id", F.sha2("payload", 256).alias("bh")
+            ),
+            "media_id",
+        )
+    )
+    q2 = stats.where(
+        (F.col("ent4") >= MEDIA_MIN_ENT4)
+        & (F.col("n_bytes") >= MEDIA_MIN_BYTES)
+    )
+    w_ex = W.partitionBy("media_type", "bh").orderBy("media_id")
+    dd = pin(
+        q2.withColumn("rn", F.row_number().over(w_ex))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pairs = D.hamming_band_pairs(
+        dd,
+        id_col="media_id",
+        sig_col="ahash",
+        sig_bits=PERCEPTUAL_HASH_BITS,
+        band_bits=15,
+        max_hamming=3,
+        key_cols=("media_type",),
+    ).select("id_a", "id_b")
+    cc = D.connected_components(pairs, "id_a", "id_b")
+    members = dd.select("media_id", "media_type", "n_bytes").join(
+        F.broadcast(
+            cc.select(
+                F.col("id").alias("media_id"),
+                F.col("component").alias("cluster_id"),
+            )
+        ),
+        "media_id",
+    )
+    wc = W.partitionBy("cluster_id").orderBy(F.desc("n_bytes"), "media_id")
+    drops = (
+        members.withColumn("krn", F.row_number().over(wc))
+        .where(F.col("krn") >= 2)
+        .select("media_id")
+    )
+    nd = pin(dd.join(F.broadcast(drops), "media_id", "left_anti"))
+    bins = (
+        pack_sequences(
+            nd,
+            F.col("n_bytes"),
+            budget=MEDIA_PACK_BYTES,
+            shard_col="media_type",
+            order_col="media_id",
+        )
+        .groupBy("media_type", "bin_id")
+        .agg(F.sum("n_bytes").cast("long").alias("bin_bytes"))
+    )
+
+    def mrow(stage, label, df, bytes_col="n_bytes"):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("items"),
+            F.coalesce(F.sum(bytes_col), F.lit(0))
+            .cast("long")
+            .alias("bytes"),
+        ).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(label).alias("label"),
+            "items",
+            "bytes",
+        )
+
+    funnel = (
+        mrow(1, "input", media)
+        .unionByName(mrow(2, "byte_quality", q2))
+        .unionByName(mrow(3, "exact_dedup", dd))
+        .unionByName(mrow(4, "near_dedup", nd))
+        .unionByName(mrow(5, "shard_pack", bins, bytes_col="bin_bytes"))
+    )
+    return funnel.transform(presentation_sort, "stage")
+
+
 # Maintained at-rest BM25 posting index memo per (session, sf_dir): base
 # index on ~2/3 of the documents, then ONE merge batch (adds + text
 # updates + tombstones) — q164 searches the POST-maintenance index, so

@@ -830,6 +830,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q187_leakage_safe_split",
         "q191_cf_backtest",
         "q192_incremental_funnel",
+        "q193_media_funnel",
     ]
     sc = spark.sparkContext
 
@@ -1037,6 +1038,26 @@ def test_q192_incremental_funnel_one_scan_artifact_leaves(spark, queries):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q193_media_funnel_one_kernel_pass(spark, queries):
+    """The media funnel's q186 lesson as a gate: ONE documents scan
+    feeds ONE pinned media table; the payload-decoding kernels build
+    ONE pinned narrow stats relation that every stage references (the
+    kernel nodes repeat in the printed plan because each pin reference
+    re-prints the cached relation's build subtree, but the
+    InMemoryRelation computes its partitions once per action — the q186
+    mechanics; the runtime sweeps pin the wall-clock). Cluster map and
+    drop list broadcast; the only SMJs allowed are the banded
+    self-join's (equal-sized sides — the honest at-scale shape)."""
+    plan = plan_of(queries["q193_media_funnel"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 1
+    assert "MapInPandas" in plan  # Arrow kernels, never row-wise UDFs
+    assert "InMemoryTableScan" in plan  # pinned media + stats
+    assert "BroadcastHashJoin" in plan  # cluster map / drop list
+    assert plan.count("SortMergeJoin") <= 3
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_q187_split_assignment_scan_side_and_bounded_joins(spark, queries):

@@ -200,6 +200,69 @@ def test_span_gram_index_counts(spark):
     assert sorted(idx.values()) == [1, 2]
 
 
+def test_q193_media_funnel_every_stage_acts(spark, tmp_path):
+    """Planted media corpus where EVERY funnel stage drops something
+    (the stock sf0.01 fixture has no media dups, so stages 3-4 are
+    pass-through there): a short payload and a zero-entropy padding
+    payload die at byte_quality, an exact byte-duplicate dies at
+    exact_dedup, and a STRICT near-dup chain A~B~C (A!~C — only
+    transitive clustering can merge it, the q186 fixture) collapses to
+    its smallest-id member at near_dedup. Both engines replay it."""
+    import duckdb
+
+    from eurostat_energy_etl_pipeline_spark.plans import ORACLE
+    from eurostat_energy_etl_pipeline_spark.plans.northstar import q193
+    from tests.test_round12_ops import _write_documents
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        * 8
+    )
+
+    def flip(s, positions):
+        bb = bytearray(s.encode())
+        for p in positions:
+            bb[p] = 33 + ((bb[p] + 40 - 33) % 94)
+        return bb.decode()
+
+    a_txt = base
+    b_txt = flip(base, [0, 9])          # hamming(A,B) == 2
+    c_txt = flip(base, [0, 9, 30, 39])  # hamming(B,C) == 2, (A,C) == 4
+    rows = [
+        # all doc_id % 3 == 0 -> 'image' (near pairs are within-type)
+        (0, a_txt, "en", "s1"),
+        (3, b_txt, "en", "s1"),
+        (6, c_txt, "en", "s1"),
+        (9, a_txt, "en", "s1"),      # exact byte dup of 0 -> stage 3
+        (12, "short payload under sixtyfour", "en", "s1"),  # stage 2 (L)
+        (15, "a" * 400, "en", "s1"),  # stage 2 (zero entropy)
+    ]
+    total = sum(len(r[1].encode()) for r in rows)
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r["stage"]: (r["label"], r["items"], r["bytes"])
+        for r in q193(spark, str(tmp_path)).collect()
+    }
+    L = len(base.encode())
+    assert got == {
+        1: ("input", 6, total),
+        2: ("byte_quality", 4, 4 * L),   # 12 and 15 dropped
+        3: ("exact_dedup", 3, 3 * L),    # 9 dropped
+        4: ("near_dedup", 1, L),         # chain keeps smallest id only
+        5: ("shard_pack", 1, L),         # one 64 KiB shard
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ora = con.execute(ORACLE["q193_media_funnel"]).fetch_df()
+    assert {
+        int(r.stage): (r.label, int(r.items), int(r.bytes))
+        for r in ora.itertuples()
+    } == got
+
+
 def test_q192_equals_q185_on_shared_stage_accounting(spark):
     """The merge-equals-recompute differential, in-repo: the
     incremental funnel's (docs, tokens, chars) per stage must equal the
