@@ -39,60 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
     # never driver-checked (new this round)
-    "q185_curation_funnel",
-    "q186_media_clusters",
-    "q187_leakage_safe_split",
-    "q188_decontamination_profile",
-    "q189_khop_reach",
-    "q190_zonemap_pruning",
-    "q191_cf_backtest",
-    "q_stream_scd2",
-    # pinned: oracle conversion never driver-certified (last visit r09)
-    "q80_ivf_sq8_ann",
-    # pinned: oracle conversion never driver-certified (last visit r09)
-    "q88_knn_join_lsh",
-    # last driver-checked in round 7
-    "q78_vocab_topk",
-    "q81_rolling_dau",
-    "q82_bigram_lm_score",
-    "q97_semantic_dedup",
-    "q98_bpe_encode",
-    "q99_pagerank",
-    "q_stream_sessionize",
-    "q_stream_tumbling",
+    "q192_incremental_funnel",
+    "q193_media_funnel",
     # last driver-checked in round 8
-    "q105_triangle_count",
-    "q106_pit_attribution",
-    "q107_prefix_jaccard_join",
-    "q108_linear_gd",
-    "q109_rank_distribution",
-    "q110_dedup_apply",
-    "q111_index_maintenance",
-    "q112_keyword_extract",
-    "q113_cms_audit",
-    "q114_edit_distance_join",
-    "q115_pipeline",
-    "q116_kmv_audit",
-    "q117_snapshot_diff",
-    "q118_path_mining",
-    "q119_quantile_normalize",
-    "q120_negative_sampling",
-    "q121_share_of_total",
-    "q28_lang_id",
-    "q29_token_stats",
-    "q30_quality_buckets",
-    "q34_media_meta",
-    "q38_set_ops",
-    "q39_frame_sample",
-    "q40_rollup",
-    "q41_approx_distinct",
-    "q42_stats_agg",
-    "q43_join_chain",
-    "q44_like_scan",
-    "q45_dedup_clusters",
-    "q46_range_join",
-    "q47_hash_sample",
-    "q48_stratified_cap",
     "q49_sequence_pack",
     "q50_doc_chunks",
     "q69_salted_join_agg",
@@ -262,6 +211,57 @@ _DRIVER_CHECK_PRIORITY = [
     "q75_bm25_search",
     "q76_length_histogram",
     "q_stream_hll",
+    # last driver-checked in round 12
+    "q105_triangle_count",
+    "q106_pit_attribution",
+    "q107_prefix_jaccard_join",
+    "q108_linear_gd",
+    "q109_rank_distribution",
+    "q110_dedup_apply",
+    "q111_index_maintenance",
+    "q112_keyword_extract",
+    "q113_cms_audit",
+    "q114_edit_distance_join",
+    "q115_pipeline",
+    "q116_kmv_audit",
+    "q117_snapshot_diff",
+    "q118_path_mining",
+    "q119_quantile_normalize",
+    "q120_negative_sampling",
+    "q121_share_of_total",
+    "q185_curation_funnel",
+    "q186_media_clusters",
+    "q187_leakage_safe_split",
+    "q188_decontamination_profile",
+    "q189_khop_reach",
+    "q190_zonemap_pruning",
+    "q191_cf_backtest",
+    "q28_lang_id",
+    "q29_token_stats",
+    "q30_quality_buckets",
+    "q34_media_meta",
+    "q38_set_ops",
+    "q39_frame_sample",
+    "q40_rollup",
+    "q41_approx_distinct",
+    "q42_stats_agg",
+    "q43_join_chain",
+    "q44_like_scan",
+    "q45_dedup_clusters",
+    "q46_range_join",
+    "q47_hash_sample",
+    "q48_stratified_cap",
+    "q78_vocab_topk",
+    "q80_ivf_sq8_ann",
+    "q81_rolling_dau",
+    "q82_bigram_lm_score",
+    "q88_knn_join_lsh",
+    "q97_semantic_dedup",
+    "q98_bpe_encode",
+    "q99_pagerank",
+    "q_stream_scd2",
+    "q_stream_sessionize",
+    "q_stream_tumbling",
 ]
 
 

@@ -4359,3 +4359,97 @@ def q188(spark, sf_dir):
         )
         .transform(presentation_sort, "doc_id")
     )
+
+
+_Q194_SQL = r"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT source, substr(md5(g), 1, 16) AS g
+      FROM (
+        SELECT source,
+               unnest(CASE WHEN len(tk) < 3
+                 THEN [array_to_string(tk, ' ')]
+                 ELSE list_transform(generate_series(1, len(tk) - 2),
+                      i -> array_to_string(tk[i:i+2], ' ')) END) AS g
+        FROM (SELECT source,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents)
+      )
+    ),
+    tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source <> b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(t.n AS BIGINT) AS a_shingles,
+           CAST(shared AS BIGINT) AS shared_shingles,
+           floor(shared * 1.0 / t.n * 1e6) / 1e6 AS containment
+    FROM pairs JOIN tot t ON t.source = src_a
+    ORDER BY src_a, src_b
+"""
+
+
+@query("q194_source_containment", oracle=_Q194_SQL)
+def q194(spark, sf_dir):
+    """CROSS-SOURCE CONTAINMENT MATRIX — the provenance analysis a
+    multi-crawl corpus runs before mixing sources (who syndicates whom,
+    which crawls are supersets): for every ORDERED source pair (a, b),
+    the fraction of a's distinct 3-token shingles that also appear
+    anywhere in b (directional containment C(a->b) = |A ∩ B| / |A|, the
+    asymmetric cousin of the per-document Jaccard the dedup family
+    uses). Broder's containment sketch made exact: source grain is tiny
+    (~dozens of crawls) so no MinHash approximation is needed even at
+    100 TB — only the shingle->source-set reduction is big, and it is
+    ONE map-side-combinable aggregate on the 16-hex shingle key.
+
+    Shape at scale: shingles hash scan-side (text never shuffles);
+    (source, shingle) pairs dedupe into the one content-keyed exchange;
+    a `collect_set(source)` per shingle is bounded by |sources| (never
+    by corpus size); the ordered-pair expansion is |sources|^2-bounded
+    per shingle and combiner-collapsed before the final (a, b)
+    aggregate; per-source totals broadcast into the ratio. The DuckDB
+    oracle replays the same matrix with an exact shingle self-join —
+    harder than the operator (it materializes |A ∩ B| pair rows), which
+    is the point: exact ground truth certifying the set-algebra path.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        doc_shingle_keys,
+    )
+
+    # pinned: the deduped (source, shingle) table feeds BOTH the
+    # per-source totals and the shingle->source-set aggregate — unpinned,
+    # each branch re-scans and re-shingles the corpus (two full passes)
+    sh = pin(
+        doc_shingle_keys(
+            widen_if_narrow(docs), k=3, id_col="source"
+        ).distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ss = sh.groupBy("_g").agg(F.collect_set("source").alias("ss"))
+    pairs = (
+        ss.where(F.size("ss") >= 2)
+        .select(F.explode("ss").alias("src_a"), "ss")
+        .select("src_a", F.explode("ss").alias("src_b"))
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(tot.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n").cast("long").alias("a_shingles"),
+            F.col("shared").cast("long").alias("shared_shingles"),
+            (
+                F.floor(F.col("shared") * 1.0 / F.col("n") * 1e6) / 1e6
+            ).alias("containment"),
+        )
+        .transform(presentation_sort, "src_a", "src_b")
+    )

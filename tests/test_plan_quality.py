@@ -831,6 +831,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q191_cf_backtest",
         "q192_incremental_funnel",
         "q193_media_funnel",
+        "q194_source_containment",
     ]
     sc = spark.sparkContext
 
@@ -1056,6 +1057,24 @@ def test_q193_media_funnel_one_kernel_pass(spark, queries):
     assert "InMemoryTableScan" in plan  # pinned media + stats
     assert "BroadcastHashJoin" in plan  # cluster map / drop list
     assert plan.count("SortMergeJoin") <= 3
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q194_containment_one_scan_bounded_pairs(spark, queries):
+    """The source-containment matrix reduces to ONE content-keyed
+    aggregate: shingles hash scan-side from one documents scan, the
+    per-shingle source set is |sources|-bounded, the ordered-pair
+    expansion is generated scan-side after that aggregate, and the
+    per-source totals broadcast — no sort-merge join, no cartesian,
+    no raw-text exchange; the deduped (source, shingle) table is pinned
+    so both consumers read it instead of re-shingling the corpus."""
+    plan = plan_of(queries["q194_source_containment"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 1
+    assert "InMemoryTableScan" in plan  # the pinned shingle table
+    assert "Generate" in plan  # scan-side shingle + pair expansion
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
 

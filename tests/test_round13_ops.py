@@ -263,6 +263,51 @@ def test_q193_media_funnel_every_stage_acts(spark, tmp_path):
     } == got
 
 
+def test_q194_containment_directional(spark, tmp_path):
+    """Planted asymmetry: source A has 2 distinct 3-shingles, source B
+    has 1, they share exactly 1 — so C(A->B) = 0.5 while C(B->A) = 1.0
+    (B is fully contained in A; the directionality is the point of the
+    operator). A third source shares nothing and must not pair."""
+    import duckdb
+
+    from eurostat_energy_etl_pipeline_spark.plans import ORACLE
+    from eurostat_energy_etl_pipeline_spark.plans.corpus import q194
+    from tests.test_round12_ops import _write_documents
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "srcA"),  # 2 shingles
+        (2, "beta gamma delta", "en", "srcB"),        # 1 shingle (shared)
+        (3, "totally different words here", "en", "srcC"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        (r["src_a"], r["src_b"]): (
+            r["a_shingles"],
+            r["shared_shingles"],
+            r["containment"],
+        )
+        for r in q194(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("srcA", "srcB"): (2, 1, 0.5),
+        ("srcB", "srcA"): (1, 1, 1.0),
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ora = con.execute(ORACLE["q194_source_containment"]).fetch_df()
+    assert {
+        (r.src_a, r.src_b): (
+            int(r.a_shingles),
+            int(r.shared_shingles),
+            float(r.containment),
+        )
+        for r in ora.itertuples()
+    } == got
+
+
 def test_q192_equals_q185_on_shared_stage_accounting(spark):
     """The merge-equals-recompute differential, in-repo: the
     incremental funnel's (docs, tokens, chars) per stage must equal the

@@ -141,6 +141,7 @@ DUCKDB_ONLY = {
     "q185_curation_funnel",  # duckdb list_*/string_split_regex/lateral unnest
     "q192_incremental_funnel",  # q185 idioms + // int division + NOT IN CTE
     "q193_media_funnel",     # duckdb entropy()/hex ladder + WITH RECURSIVE
+    "q194_source_containment",  # duckdb list_*/string_split_regex shingles
 }
 
 
