@@ -41,6 +41,8 @@ _DRIVER_CHECK_PRIORITY = [
     # never driver-checked (new this round)
     "q192_incremental_funnel",
     "q193_media_funnel",
+    "q194_source_containment",
+    "q195_incremental_media",
     # last driver-checked in round 8
     "q49_sequence_pack",
     "q50_doc_chunks",

@@ -794,6 +794,88 @@ def _simhash_table(
     return sigs
 
 
+def hamming_bands(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    sig_bits: int,
+    band_bits: int,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Banded signature table (*key_cols, id, sig, band_idx, band_key) —
+    one row per (item, band). THIS is the at-rest hamming LSH INDEX a
+    pipeline stores next to its perceptual signatures: tomorrow's batch
+    probes the stored bands (:func:`hamming_probe_pairs`) instead of
+    re-banding — or re-decoding — the corpus. Scan-side posexplode of
+    the shifted band keys; nothing shuffles here."""
+    n_bands = sig_bits // band_bits
+    return sigs.select(
+        *key_cols,
+        id_col,
+        F.col(sig_col).alias("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(sig_col), i * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1).cast("long")
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+
+def hamming_probe_pairs(
+    index_bands: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    sig_bits: int,
+    band_bits: int,
+    max_hamming: int | None = None,
+    key_cols: tuple[str, ...] = (),
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Hamming candidates of an incoming batch AGAINST a stored band
+    index (:func:`hamming_bands` at rest): the nightly-ingest shape —
+    the batch's bands broadcast against the big index table, so the
+    at-rest side streams through a broadcast-hash join with no shuffle,
+    no corpus re-banding, and no payload re-decode. Returns
+    (*key_cols, id_a=index id, id_b=batch id, hamming), deduplicated
+    and hamming-verified. The id sets must be disjoint (ingest ids are
+    new by construction). Bulk backfills pass broadcast_new=False and
+    AQE plans a regular shuffle join."""
+    keys = list(key_cols)
+    nb = hamming_bands(
+        new_sigs, id_col, sig_col, sig_bits, band_bits, key_cols=key_cols
+    ).select(
+        *keys, "band_idx", "band_key",
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    out = (
+        index_bands.select(
+            *keys, "band_idx", "band_key",
+            F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+        )
+        .join(nb, keys + ["band_idx", "band_key"])
+        .select(
+            *keys,
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(keys + ["id_a", "id_b"])
+    )
+    if max_hamming is not None:
+        out = out.where(F.col("hamming") <= max_hamming)
+    return out
+
+
 def hamming_band_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -816,22 +898,9 @@ def hamming_band_pairs(
     the self-join is keyed on (band_idx, band_key[, key_cols]) — never
     all-pairs; candidate volume is bounded by per-bucket collision
     counts, the standard LSH contract."""
-    n_bands = sig_bits // band_bits
     keys = list(key_cols)
-    banded = sigs.select(
-        *keys,
-        id_col,
-        F.col(sig_col).alias("sig"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col(sig_col), i * band_bits).bitwiseAND(
-                        F.lit((1 << band_bits) - 1).cast("long")
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
+    banded = hamming_bands(
+        sigs, id_col, sig_col, sig_bits, band_bits, key_cols=key_cols
     )
     a = banded.select(
         *keys, "band_idx", "band_key",

@@ -135,6 +135,22 @@ def note_checkpoint_blocks() -> None:
         _CHECKPOINT_USERS.add(name)
 
 
+def at_rest(df: DataFrame) -> DataFrame:
+    """Materialize an AT-REST ARTIFACT: eager localCheckpoint executes
+    the build once and truncates lineage, so every consumer references a
+    leaf RDD — the semantics of a stored table (incremental queries'
+    artifacts ARE yesterday's persisted outputs). Load-bearing for plan
+    size, not just fidelity: chaining artifact-on-artifact through lazy
+    pins re-embeds each build subtree at every reference (q192's first
+    cut produced a combinatorial ~24 MB logical plan that Catalyst
+    re-optimized on EVERY action); leaf RDDs keep the returned plan
+    proportional to the merge logic itself. Blocks are plan-lifetime
+    (released when the plan is dropped and GC'd) — self-declared via
+    the structural checkpoint registry."""
+    note_checkpoint_blocks()
+    return df.localCheckpoint(eager=True)
+
+
 def checkpoint_users() -> frozenset[str]:
     """Queries that self-declared plan-lifetime checkpoint blocks (only
     populated for plans BUILT in this session — build before asking)."""

@@ -31,30 +31,8 @@ from eurostat_energy_etl_pipeline_spark.operators.substrings import (
     cut_duplicated_spans,
     span_gram_index,
 )
-from eurostat_energy_etl_pipeline_spark.plans import (
-    note_checkpoint_blocks,
-    pin,
-    query,
-)
-
-
-def _at_rest(df):
-    """Materialize an AT-REST ARTIFACT: eager localCheckpoint executes
-    the build once and truncates lineage, so every consumer references
-    a leaf RDD — exactly the semantics of a stored table (q192's
-    artifacts ARE yesterday's persisted outputs). This is load-bearing
-    for plan size, not just fidelity: chaining the incremental funnel
-    through lazy pins re-embeds each artifact's build subtree at every
-    reference, and with artifacts built FROM other artifacts the
-    returned logical plan grew combinatorially (~24 MB, thousands of
-    duplicated join nodes) — Catalyst then re-optimized that tree on
-    EVERY action, minutes of driver CPU per execution. Leaf RDDs keep
-    the returned plan proportional to the merge logic itself. Blocks
-    are plan-lifetime (released when the plan is dropped and GC'd) —
-    declared via the structural checkpoint registry."""
-    note_checkpoint_blocks()
-    return df.localCheckpoint(eager=True)
-
+from eurostat_energy_etl_pipeline_spark.plans import at_rest as _at_rest
+from eurostat_energy_etl_pipeline_spark.plans import pin, query
 
 # Funnel knobs — fixed constants so the oracle is a closed form.
 # quality gate: integer-gridded composite score (q53's closed form) at

@@ -2984,7 +2984,7 @@ def q186(spark, sf_dir):
     )
 
 
-_MEDIA_FUNNEL_TAIL = r""",
+_MEDIA_FUNNEL_CTES = r""",
     e AS MATERIALIZED (
       SELECT media_id, entropy(v) AS ent FROM bytes GROUP BY media_id
     ),
@@ -2995,7 +2995,8 @@ _MEDIA_FUNNEL_TAIL = r""",
     ),
     q2 AS MATERIALIZED (SELECT * FROM qual WHERE ent4 >= 4.0 AND L >= 64),
     ddm AS MATERIALIZED (
-      SELECT * FROM (
+
+    SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY media_type, bh
                                      ORDER BY media_id) AS rn
         FROM q2) WHERE rn = 1
@@ -3047,6 +3048,9 @@ _MEDIA_FUNNEL_TAIL = r""",
     ),
     bins3 AS (SELECT media_type, bin_id, CAST(sum(L) AS BIGINT) AS bin_bytes
               FROM pk3 GROUP BY media_type, bin_id)
+"""
+
+_MEDIA_FUNNEL_SELECT = r"""
     SELECT * FROM (
       SELECT 1 AS stage, 'input' AS label,
              CAST(count(*) AS BIGINT) AS items,
@@ -3082,7 +3086,8 @@ MEDIA_PACK_BYTES = 65536
 @query(
     "q193_media_funnel",
     oracle=_MEDIA_SIG_CTES.replace("WITH b AS", "WITH RECURSIVE b AS", 1)
-    + _MEDIA_FUNNEL_TAIL,
+    + _MEDIA_FUNNEL_CTES
+    + _MEDIA_FUNNEL_SELECT,
 )
 def q193(spark, sf_dir):
     """MEDIA CURATION FUNNEL (VERDICT r12 item 3) — q185's recipe at
@@ -3530,3 +3535,343 @@ def q174(spark, sf_dir):
         )
         .transform(presentation_sort, "event_type")
     )
+
+
+_MEDIA_INCR_CTES = r""",
+    co AS (SELECT (max(doc_id) * 9) // 10 AS cut FROM documents),
+    sigb AS MATERIALIZED (
+      SELECT s.* FROM sig3 s, co WHERE s.media_id <= co.cut
+    ),
+    bandsb AS (
+      SELECT media_id, media_type, ahash, k, (ahash >> (k*15)) & 32767
+               AS key
+      FROM sigb CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    ),
+    npairsb AS MATERIALIZED (
+      SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+      FROM bandsb x JOIN bandsb y
+        ON x.k = y.k AND x.key = y.key
+       AND x.media_type = y.media_type AND x.media_id < y.media_id
+      WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
+    ),
+    undb AS (SELECT id_a AS s, id_b AS d FROM npairsb
+             UNION SELECT id_b, id_a FROM npairsb),
+    nodesb AS (SELECT DISTINCT s AS id FROM undb),
+    walkb(id, reach) AS (
+      SELECT id, id FROM nodesb
+      UNION
+      SELECT w.id, u.d FROM walkb w JOIN undb u ON u.s = w.reach
+    ),
+    compb AS MATERIALIZED (SELECT id AS media_id, min(reach) AS cluster_id
+                           FROM walkb GROUP BY id),
+    keeprb AS MATERIALIZED (
+      SELECT s.media_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY s.L DESC, s.media_id) AS krn
+      FROM sigb s JOIN compb c ON s.media_id = c.media_id
+    ),
+    ndb AS MATERIALIZED (
+      SELECT d.* FROM ddm d LEFT JOIN keeprb k
+        ON d.media_id = k.media_id AND k.krn >= 2
+      WHERE k.media_id IS NULL AND d.media_id <= (SELECT cut FROM co)
+    ),
+    flip4 AS (
+      SELECT count(*) AS n FROM (
+        SELECT media_id FROM (
+          SELECT media_id FROM ndb
+          UNION ALL
+          SELECT n.media_id FROM nd n, co WHERE n.media_id <= co.cut
+        ) GROUP BY media_id HAVING count(*) = 1)
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'input' AS label,
+             CAST(count(*) AS BIGINT) AS items,
+             CAST(coalesce(sum(L), 0) AS BIGINT) AS bytes,
+             CAST(coalesce(sum(CASE WHEN t.media_id > co.cut
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS delta_items,
+             CAST(0 AS BIGINT) AS old_flipped
+      FROM b t, co
+      UNION ALL
+      SELECT 2, 'byte_quality', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(L), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN t.media_id > co.cut
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM q2 t, co
+      UNION ALL
+      SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(L), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN t.media_id > co.cut
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM ddm t, co
+      UNION ALL
+      SELECT 4, 'near_dedup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(L), 0) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN t.media_id > co.cut
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST((SELECT n FROM flip4) AS BIGINT)
+      FROM nd t, co
+      UNION ALL
+      SELECT 5, 'shard_pack', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(bin_bytes), 0) AS BIGINT),
+             CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM bins3
+    ) ORDER BY stage
+"""
+
+
+@query(
+    "q195_incremental_media",
+    oracle=_MEDIA_SIG_CTES.replace("WITH b AS", "WITH RECURSIVE b AS", 1)
+    + _MEDIA_FUNNEL_CTES
+    + _MEDIA_INCR_CTES,
+)
+def q195(spark, sf_dir):
+    """INCREMENTAL MEDIA CURATION — q192's contract at media grain,
+    the delta twin of q193: yesterday's pipeline curated the base
+    corpus (media_id <= cutoff, bottom 90%) and left FOUR artifacts at
+    rest, each a materialized leaf standing in for a stored table:
+
+      M1 per-item stats      signatures + byte quality + sha for base
+                             payloads (the expensive decode, paid once)
+      M2 hamming band index  `hamming_bands` of the base deduped sigs —
+                             the at-rest LSH index (q88's shape for
+                             perceptual signatures)
+      M3 pair list           yesterday's confirmed hamming<=3 edges
+      M4 keep-list           yesterday's near-dedup survivors
+
+    Today's batch (top 10%) folds in WITHOUT re-decoding the base:
+    the delta kernels run on batch payloads only; batch sha probes the
+    base exact index; batch bands BROADCAST against M2 for cross pairs
+    (old-old edges are provably unchanged — an edge is pairwise — so
+    M3 is reused verbatim); connected components re-run over
+    M3 ∪ cross ∪ batch-self edges (edge grain, tiny next to payloads);
+    the keep rank and shard packing recompute at metadata grain.
+
+    Monotonicity at media grain: stages 2-3 never change base items
+    (per-item gate; keep-first with larger batch ids). Stage 4 CAN —
+    a bigger batch payload displaces an old keeper, and a batch item
+    can BRIDGE two old clusters — and flips are one-directional
+    (kept -> dropped: a merged cluster contains every member that
+    outranked an item before). `old_flipped` at stage 4 counts
+    |M4 Δ (today's survivors ∩ base)|; the planted test stages both a
+    displacement and a bridge.
+
+    The DuckDB oracle recomputes the ENTIRE funnel from scratch over
+    the full corpus plus the base-only cluster chain — the hash match
+    is the merge-equals-recompute differential (q152/q178/q192
+    contract). Scale shape: payloads never shuffle and the base
+    payloads are never re-read; every probe joins fixed-width keys;
+    both component runs shuffle 8-byte node ids."""
+    from pyspark.sql.window import Window as W
+
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        PERCEPTUAL_HASH_BITS,
+        media_byte_quality,
+        media_signatures,
+    )
+    from eurostat_energy_etl_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+    from eurostat_energy_etl_pipeline_spark.plans import at_rest
+
+    t = load_tables(spark, sf_dir)
+    media = pin(media_table(t["documents"]))  # the ONE documents scan
+    max_id = media.agg(F.max("media_id")).first()[0]
+    cut_id = (max_id * 9) // 10 if max_id is not None else -1
+    is_old = F.col("media_id") <= F.lit(cut_id)
+
+    def stats_of(m):
+        return (
+            media_signatures(m)
+            .select("media_id", "media_type", "n_bytes", "ahash")
+            .join(
+                media_byte_quality(m).select(
+                    "media_id",
+                    portable_round("byte_entropy", 4).alias("ent4"),
+                ),
+                "media_id",
+            )
+            .join(
+                m.select("media_id", F.sha2("payload", 256).alias("bh")),
+                "media_id",
+            )
+        )
+
+    def quality(s):
+        return s.where(
+            (F.col("ent4") >= MEDIA_MIN_ENT4)
+            & (F.col("n_bytes") >= MEDIA_MIN_BYTES)
+        )
+
+    # ---- yesterday's artifacts (base payloads decoded ONCE, here) ----
+    a_stats = at_rest(stats_of(media.where(is_old)))  # M1
+    w_ex = W.partitionBy("media_type", "bh").orderBy("media_id")
+    ddo = (
+        quality(a_stats)
+        .withColumn("rn", F.row_number().over(w_ex))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    a_bands = at_rest(  # M2
+        D.hamming_bands(
+            ddo,
+            id_col="media_id",
+            sig_col="ahash",
+            sig_bits=PERCEPTUAL_HASH_BITS,
+            band_bits=15,
+            key_cols=("media_type",),
+        )
+    )
+    a_pairs = at_rest(  # M3
+        D.hamming_band_pairs(
+            ddo,
+            id_col="media_id",
+            sig_col="ahash",
+            sig_bits=PERCEPTUAL_HASH_BITS,
+            band_bits=15,
+            max_hamming=3,
+            key_cols=("media_type",),
+        ).select("id_a", "id_b")
+    )
+    ccb = D.connected_components(a_pairs, "id_a", "id_b")
+    membersb = ddo.select("media_id", "n_bytes").join(
+        F.broadcast(
+            ccb.select(
+                F.col("id").alias("media_id"),
+                F.col("component").alias("cluster_id"),
+            )
+        ),
+        "media_id",
+    )
+    wc = W.partitionBy("cluster_id").orderBy(F.desc("n_bytes"), "media_id")
+    dropsb = (
+        membersb.withColumn("krn", F.row_number().over(wc))
+        .where(F.col("krn") >= 2)
+        .select("media_id")
+    )
+    a_keep = at_rest(  # M4
+        ddo.join(F.broadcast(dropsb), "media_id", "left_anti").select(
+            "media_id"
+        )
+    )
+
+    # ---- today's batch: decode + probe only ----
+    d_stats = stats_of(media.where(~is_old))
+    ddn = (
+        quality(d_stats)
+        .join(ddo.select("media_type", "bh"), ["media_type", "bh"], "left_anti")
+        .withColumn("rn", F.row_number().over(w_ex))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    cross = D.hamming_probe_pairs(
+        a_bands,
+        ddn,
+        id_col="media_id",
+        sig_col="ahash",
+        sig_bits=PERCEPTUAL_HASH_BITS,
+        band_bits=15,
+        max_hamming=3,
+        key_cols=("media_type",),
+    ).select("id_a", "id_b")
+    self_new = D.hamming_band_pairs(
+        ddn,
+        id_col="media_id",
+        sig_col="ahash",
+        sig_bits=PERCEPTUAL_HASH_BITS,
+        band_bits=15,
+        max_hamming=3,
+        key_cols=("media_type",),
+    ).select("id_a", "id_b")
+    edges = a_pairs.unionByName(cross).unionByName(self_new)
+    cc = D.connected_components(edges, "id_a", "id_b")
+    dd_full = pin(ddo.unionByName(ddn))
+    members = dd_full.select("media_id", "n_bytes").join(
+        F.broadcast(
+            cc.select(
+                F.col("id").alias("media_id"),
+                F.col("component").alias("cluster_id"),
+            )
+        ),
+        "media_id",
+    )
+    drops = (
+        members.withColumn("krn", F.row_number().over(wc))
+        .where(F.col("krn") >= 2)
+        .select("media_id")
+    )
+    nd = pin(dd_full.join(F.broadcast(drops), "media_id", "left_anti"))
+    flip4 = (
+        a_keep.unionAll(nd.where(is_old).select("media_id"))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("old_flipped"))
+    )
+    bins = (
+        pack_sequences(
+            nd,
+            F.col("n_bytes"),
+            budget=MEDIA_PACK_BYTES,
+            shard_col="media_type",
+            order_col="media_id",
+        )
+        .groupBy("media_type", "bin_id")
+        .agg(F.sum("n_bytes").cast("long").alias("bin_bytes"))
+    )
+
+    is_new = F.col("media_id") > F.lit(cut_id)
+
+    def mrow(stage, label, df, flipped=None, bytes_col="n_bytes",
+             delta_cond=None):
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("items"),
+            F.coalesce(F.sum(bytes_col), F.lit(0))
+            .cast("long")
+            .alias("bytes"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        delta_cond if delta_cond is not None else is_new,
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("delta_items"),
+        ).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(label).alias("label"),
+            "items",
+            "bytes",
+            "delta_items",
+        )
+        if flipped is None:
+            return row.withColumn("old_flipped", F.lit(0).cast("long"))
+        return row.crossJoin(F.broadcast(flipped))
+
+    funnel = (
+        mrow(1, "input", media)
+        .unionByName(
+            mrow(2, "byte_quality", quality(a_stats).unionByName(
+                quality(d_stats)
+            ))
+        )
+        .unionByName(mrow(3, "exact_dedup", dd_full))
+        .unionByName(mrow(4, "near_dedup", nd, flipped=flip4))
+        .unionByName(
+            mrow(
+                5,
+                "shard_pack",
+                bins,
+                bytes_col="bin_bytes",
+                delta_cond=F.lit(False),
+            )
+        )
+    )
+    return funnel.transform(presentation_sort, "stage")

@@ -832,6 +832,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q192_incremental_funnel",
         "q193_media_funnel",
         "q194_source_containment",
+        "q195_incremental_media",
     ]
     sc = spark.sparkContext
 
@@ -1075,6 +1076,24 @@ def test_q194_containment_one_scan_bounded_pairs(spark, queries):
     assert "Generate" in plan  # scan-side shingle + pair expansion
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q195_incremental_media_artifact_leaves(spark, queries):
+    """The incremental media funnel's O(delta) contract: ONE documents
+    scan feeds one pinned media table; yesterday's stats / band index /
+    pair list / keep-list are MATERIALIZED leaves (Scan ExistingRDD —
+    the base payloads are decoded during the artifact build, never
+    re-read by the returned plan); the cluster maps and drop lists
+    broadcast; no cartesian, no single-partition exchange. Leaf-table
+    probe joins may plan as SMJ statically (no stats on leaves; AQE
+    converts small sides at runtime)."""
+    plan = plan_of(queries["q195_incremental_media"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 1
+    assert "Scan ExistingRDD" in plan  # the at-rest artifacts
+    assert "InMemoryTableScan" in plan  # pinned media / merged tables
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
 

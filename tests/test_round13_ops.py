@@ -308,6 +308,96 @@ def test_q194_containment_directional(spark, tmp_path):
     } == got
 
 
+def test_q195_incremental_media_bridge_and_flip(spark, tmp_path):
+    """The two ways base media can change under append-only ingest,
+    staged on one fixture: a new item BRIDGES two old clusters ({A,B}
+    and {D,E} merge through F, so old keeper D flips kept->dropped —
+    old_flipped must count exactly it), and exact-dup probes drop one
+    old copy and one new copy of A. The fixture self-validates its
+    planted hamming topology via the signature kernel before asserting
+    funnel output, and the DuckDB scratch recompute must agree."""
+    import duckdb
+
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        media_signatures,
+        media_table,
+    )
+    from eurostat_energy_etl_pipeline_spark.plans import ORACLE
+    from eurostat_energy_etl_pipeline_spark.plans.northstar import q195
+    from tests.test_round12_ops import _write_documents
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        * 8
+    )
+
+    def flip(s, positions):
+        bb = bytearray(s.encode())
+        for p in positions:
+            bb[p] = 33 + ((bb[p] + 40 - 33) % 94)
+        return bb.decode()
+
+    a_txt = base
+    b_txt = flip(base, [0, 9])              # A~B (hamming 2)
+    d_txt = flip(base, [30, 39, 78, 112])   # D: 4 from A, 6 from B
+    e_txt = flip(d_txt, [130, 200])         # D~E (hamming 2); 6+ from A/B
+    f_txt = flip(base, [0, 30, 39])         # F: 3 from each of A, B, D
+    # byte-diverse so its entropy clears the 4.0-bit quality gate
+    un = (
+        "Unrelated payload #42: MIXED casing, digits 0123456789, symbols "
+        "&%$@!; plus Zebra, Quartz, Jukebox, VeXing glyphs? " * 4
+    )
+    # cut = (33 * 9) // 10 = 29 -> F(30) and H(33) are the ingest batch
+    rows = [
+        (0, a_txt, "en", "s1"),
+        (3, b_txt, "en", "s1"),
+        (6, d_txt, "en", "s1"),
+        (9, e_txt, "en", "s1"),
+        (12, un, "en", "s1"),
+        (15, a_txt, "en", "s1"),   # old exact dup of A
+        (30, f_txt, "en", "s1"),   # new: bridges {A,B} and {D,E}
+        (33, a_txt, "en", "s1"),   # new exact dup of A -> index probe
+    ]
+    _write_documents(spark, tmp_path, rows)
+    # fixture self-validation: the planted hamming topology must hold
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    sig = {
+        r["media_id"]: r["ahash"]
+        for r in media_signatures(media_table(docs)).collect()
+    }
+    ham = lambda x, y: bin(sig[x] ^ sig[y]).count("1")  # noqa: E731
+    assert ham(0, 3) <= 3 and ham(6, 9) <= 3            # old pairs
+    assert ham(30, 3) <= 3 and ham(30, 6) <= 3          # the bridge
+    assert ham(0, 6) > 3 and ham(3, 6) > 3              # no old A-D link
+    assert ham(0, 9) > 3 and ham(3, 9) > 3              # nor A/B-E
+    got = {
+        r["stage"]: (r["label"], r["items"], r["bytes"], r["delta_items"],
+                     r["old_flipped"])
+        for r in q195(spark, str(tmp_path)).collect()
+    }
+    L = len(base.encode())
+    U = len(un.encode())
+    assert got == {
+        1: ("input", 8, 7 * L + U, 2, 0),
+        2: ("byte_quality", 8, 7 * L + U, 2, 0),
+        3: ("exact_dedup", 6, 5 * L + U, 1, 0),   # 15 and 33 dropped
+        # {A,B,D,E,F} merge through F; equal sizes -> keep A; D flips
+        4: ("near_dedup", 2, L + U, 0, 1),
+        5: ("shard_pack", 1, L + U, 0, 0),        # one image shard
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ora = con.execute(ORACLE["q195_incremental_media"]).fetch_df()
+    assert {
+        int(r.stage): (r.label, int(r.items), int(r.bytes),
+                       int(r.delta_items), int(r.old_flipped))
+        for r in ora.itertuples()
+    } == got
+
+
 def test_q192_equals_q185_on_shared_stage_accounting(spark):
     """The merge-equals-recompute differential, in-repo: the
     incremental funnel's (docs, tokens, chars) per stage must equal the

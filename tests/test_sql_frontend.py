@@ -142,6 +142,7 @@ DUCKDB_ONLY = {
     "q192_incremental_funnel",  # q185 idioms + // int division + NOT IN CTE
     "q193_media_funnel",     # duckdb entropy()/hex ladder + WITH RECURSIVE
     "q194_source_containment",  # duckdb list_*/string_split_regex shingles
+    "q195_incremental_media",   # q193 idioms + // int division
 }
 
 
