@@ -398,6 +398,57 @@ def test_q195_incremental_media_bridge_and_flip(spark, tmp_path):
     } == got
 
 
+def test_hamming_probe_pairs_equals_batch_slice_of_full_join(spark):
+    """The at-rest band-index probe must produce exactly the
+    cross-partition slice of the full self-join: pairs(old ∪ new)
+    restricted to (old, new) == probe(bands(old), new)."""
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        hamming_band_pairs,
+        hamming_bands,
+        hamming_probe_pairs,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 0b1111), (2, 0b1100), (3, 0b0011_0000_0000_0000_0000)],
+        "id long, sig long",
+    )
+    new = spark.createDataFrame(
+        [(10, 0b1110), (11, 0b0011_0000_0000_0000_0001)],
+        "id long, sig long",
+    )
+    kw = dict(id_col="id", sig_col="sig", sig_bits=60, band_bits=15)
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_band_pairs(old.unionByName(new), **kw).collect()
+        if r["id_a"] < 10 and r["id_b"] >= 10
+    }
+    probed = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_probe_pairs(
+            hamming_bands(old, **kw), new, **kw
+        ).collect()
+    }
+    assert probed == full and probed  # non-empty and identical
+
+
+def test_q195_equals_q193_on_shared_stage_accounting(spark):
+    """Merge-equals-recompute, in-repo: the incremental media funnel's
+    (items, bytes) per stage must equal the batch funnel q193's on the
+    same corpus — different execution paths, same answer."""
+    from eurostat_energy_etl_pipeline_spark.plans import QUERIES, load_all
+
+    load_all()
+    scratch = {
+        r["stage"]: (r["label"], r["items"], r["bytes"])
+        for r in QUERIES["q193_media_funnel"](spark, SF_DIR).collect()
+    }
+    incr = {
+        r["stage"]: (r["label"], r["items"], r["bytes"])
+        for r in QUERIES["q195_incremental_media"](spark, SF_DIR).collect()
+    }
+    assert incr == scratch
+
+
 def test_q192_equals_q185_on_shared_stage_accounting(spark):
     """The merge-equals-recompute differential, in-repo: the
     incremental funnel's (docs, tokens, chars) per stage must equal the
