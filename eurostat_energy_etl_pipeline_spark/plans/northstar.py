@@ -3760,7 +3760,9 @@ def q195(spark, sf_dir):
     )
 
     # ---- today's batch: decode + probe only ----
-    d_stats = stats_of(media.where(~is_old))
+    # today's stats table — decoded once, read by ddn AND the stage-2
+    # census (lazy, the delta kernels would re-run per execution)
+    d_stats = at_rest(stats_of(media.where(~is_old)))
     ddn = (
         quality(d_stats)
         .join(ddo.select("media_type", "bh"), ["media_type", "bh"], "left_anti")
@@ -3789,7 +3791,13 @@ def q195(spark, sf_dir):
     ).select("id_a", "id_b")
     edges = a_pairs.unionByName(cross).unionByName(self_new)
     cc = D.connected_components(edges, "id_a", "id_b")
-    dd_full = pin(ddo.unionByName(ddn))
+    # leaves, not pins (the q192 lesson): the merged tables feed the
+    # stage aggregates, the member join, the flip census and the pack —
+    # as lazy pins their chains re-execute under cache-eviction
+    # pressure; they are also tomorrow's at-rest tables.
+    from eurostat_energy_etl_pipeline_spark.plans import at_rest as _ar
+
+    dd_full = _ar(ddo.unionByName(ddn))
     members = dd_full.select("media_id", "n_bytes").join(
         F.broadcast(
             cc.select(
@@ -3804,7 +3812,7 @@ def q195(spark, sf_dir):
         .where(F.col("krn") >= 2)
         .select("media_id")
     )
-    nd = pin(dd_full.join(F.broadcast(drops), "media_id", "left_anti"))
+    nd = _ar(dd_full.join(F.broadcast(drops), "media_id", "left_anti"))
     flip4 = (
         a_keep.unionAll(nd.where(is_old).select("media_id"))
         .groupBy("media_id")

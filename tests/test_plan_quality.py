@@ -1092,8 +1092,10 @@ def test_q195_incremental_media_artifact_leaves(spark, queries):
     plan = plan_of(queries["q195_incremental_media"](spark, SF_DIR))
     assert plan.count("documents.parquet") == 1
     assert "Scan ExistingRDD" in plan  # the at-rest artifacts
-    assert "InMemoryTableScan" in plan  # pinned media / merged tables
-    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # the pinned media scan
+    # the broadcast probe/drop joins run during artifact materialization
+    # (build time), so the RETURNED plan is leaf censuses — nothing
+    # quadratic may survive into it
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
 
