@@ -1030,12 +1030,11 @@ def connected_components(
     # declare them so lifetime gates don't read them as pin leaks
     from eurostat_energy_etl_pipeline_spark import plans as _plans
 
-    _plans.note_checkpoint_blocks()
-    edges = edges.localCheckpoint(eager=True)
+    edges = _plans.plan_checkpoint(edges)
     prev = _checksum(edges)
     converged = False
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _plans.plan_checkpoint(_small_star(_large_star(edges)))
         cur = _checksum(edges)
         if cur == prev:
             converged = True

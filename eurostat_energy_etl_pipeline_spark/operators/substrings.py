@@ -428,8 +428,11 @@ def span_gram_index(
     span-cut corpus so tomorrow's batch can be cut against the full
     history WITHOUT re-scanning it: pass the stored table to
     :func:`cut_duplicated_spans` as ``base_gram_index``. Carrying the
-    count (not bare existence) keeps the incremental cut exact for any
-    ``min_count``, and gives rank information for free — every base
+    count (not bare existence) keeps the BATCH-side incremental cut
+    exact for any ``min_count`` (base docs stay valid without re-cutting
+    only at ``min_count <= 2`` — see the caveat on
+    :func:`cut_duplicated_spans`), and gives rank information for free
+    — every base
     occurrence precedes every batch occurrence under the (doc_id, pos)
     total order when batch ids are larger, so ``n_occ`` IS the batch
     occurrence's rank offset.
@@ -494,8 +497,14 @@ def cut_duplicated_spans(
     precedes every batch occurrence under the (doc_id, pos) order), so
     the cut predicate ``cnt >= min_count AND rk >= 2`` evaluates exactly.
     Base documents themselves never need re-cutting under append-only
-    ingest: a base occurrence is cut iff an EARLIER occurrence exists,
-    and all of those are in the base — the q192 monotonicity contract.
+    ingest when ``min_count <= 2``: a base occurrence is cut iff an
+    EARLIER occurrence exists, and all of those are in the base — the
+    q192 monotonicity contract. With ``min_count > 2`` the claim does
+    NOT hold for the base side: batch occurrences raise a gram's corpus
+    count, which can flip an uncut base occurrence (rk >= 2 but
+    cnt < min_count within the base) to cut under a full recompute —
+    a caller folding appends into a stored corpus at min_count > 2 must
+    re-cut base docs holding grams whose count crossed the threshold.
 
     Scale shape: the gram stream is hashed scan-side (15-byte 60-bit md5
     prefixes — text never crosses the content-keyed exchange); corpus

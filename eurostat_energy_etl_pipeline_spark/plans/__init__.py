@@ -76,6 +76,11 @@ def drop_plan(name: str) -> int:
         keys = [k for k in _PLAN_CACHE if k[2] == name]
         for k in keys:
             del _PLAN_CACHE[k]
+    # the plan is gone, so its plan-lifetime checkpoint declaration no
+    # longer describes anything live (ADVICE r13: don't let stale entries
+    # keep the lifetime gate lenient forever)
+    with _PINNED_LOCK:
+        _CHECKPOINT_USERS.pop(name, None)
     return len(keys)
 
 
@@ -116,23 +121,53 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
-_CHECKPOINT_USERS: set[str] = set()
+# name -> checkpointed RDD ids for the query's CURRENT build, or None
+# when a kernel declared plan-lifetime blocks without capturing ids
+# (legacy note_checkpoint_blocks() path). Reset per build (the `query`
+# wrapper pops the entry on every plan-cache miss) so the registry
+# reflects the plan as built NOW, not historical builds (ADVICE r13).
+_CHECKPOINT_USERS: dict[str, set[int] | None] = {}
+
+
+def _register_checkpoint(ids: set[int] | None) -> None:
+    stack = _BUILDING.stack
+    name = stack[-1] if stack else "__anon__"
+    with _PINNED_LOCK:
+        cur = _CHECKPOINT_USERS.get(name, set())
+        if ids is None or cur is None:
+            _CHECKPOINT_USERS[name] = None
+        else:
+            _CHECKPOINT_USERS[name] = cur | ids
 
 
 def note_checkpoint_blocks() -> None:
     """Structural checkpoint-lifetime declaration (VERDICT r12 item 4):
     kernels that ``localCheckpoint`` intermediates whose blocks live as
-    long as the RETURNED plan (connected_components' star fixpoint,
-    PageRank's materialized ranks, BFS's per-level frontiers) call this
-    while the plan is being built. Lifetime gates then KNOW a query's
-    post-release leftovers are plan-managed checkpoint blocks — released
-    only when the plan itself is dropped and GC'd — instead of carrying
-    a hand-maintained per-query exclusion list. Idempotent; attribution
-    uses the same thread-local build stack as :func:`pin`."""
-    stack = _BUILDING.stack
-    name = stack[-1] if stack else "__anon__"
-    with _PINNED_LOCK:
-        _CHECKPOINT_USERS.add(name)
+    long as the RETURNED plan call this while the plan is being built.
+    Lifetime gates then KNOW a query's post-release leftovers are
+    plan-managed checkpoint blocks — released only when the plan itself
+    is dropped and GC'd. Prefer :func:`plan_checkpoint`, which also
+    captures WHICH block ids are plan-managed so the gate can still
+    flag a genuine pin() leak in checkpoint-using queries (ADVICE r13);
+    this bare form marks the query's block set as unknown (gate goes
+    lenient). Attribution uses the thread-local build stack."""
+    _register_checkpoint(None)
+
+
+def plan_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` an intermediate AND register the resulting
+    block ids as plan-lifetime under the query being built. The id
+    capture diffs the session's persistent-RDD set around the
+    checkpoint — exact in a single-threaded build; a concurrent build on
+    another thread can at worst attribute its own fresh blocks here too,
+    which only widens the gate's tolerated set (never hides a leak in
+    the single-threaded gate run)."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=eager)
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    _register_checkpoint(after - before)
+    return out
 
 
 def at_rest(df: DataFrame) -> DataFrame:
@@ -145,10 +180,9 @@ def at_rest(df: DataFrame) -> DataFrame:
     cut produced a combinatorial ~24 MB logical plan that Catalyst
     re-optimized on EVERY action); leaf RDDs keep the returned plan
     proportional to the merge logic itself. Blocks are plan-lifetime
-    (released when the plan is dropped and GC'd) — self-declared via
-    the structural checkpoint registry."""
-    note_checkpoint_blocks()
-    return df.localCheckpoint(eager=True)
+    (released when the plan is dropped and GC'd) — self-declared with
+    their ids via the structural checkpoint registry."""
+    return plan_checkpoint(df, eager=True)
 
 
 def checkpoint_users() -> frozenset[str]:
@@ -156,6 +190,14 @@ def checkpoint_users() -> frozenset[str]:
     populated for plans BUILT in this session — build before asking)."""
     with _PINNED_LOCK:
         return frozenset(_CHECKPOINT_USERS)
+
+
+def checkpoint_ids(name: str) -> frozenset[int] | None:
+    """The plan-lifetime block ids `name`'s current build declared, or
+    None when any declaration came through the id-less legacy path."""
+    with _PINNED_LOCK:
+        ids = _CHECKPOINT_USERS.get(name)
+        return None if ids is None else frozenset(ids)
 
 
 def release_pins(name: str | None = None, blocking: bool = False) -> int:
@@ -190,6 +232,11 @@ def query(name: str, oracle: str | None = None):
                 if df is not None:
                     _PLAN_CACHE.move_to_end(key)
                     return df
+            # fresh build: reset the query's checkpoint declaration so the
+            # registry reflects THIS plan (a refactor that drops checkpoint
+            # usage stops being grandfathered in — ADVICE r13)
+            with _PINNED_LOCK:
+                _CHECKPOINT_USERS.pop(name, None)
             _BUILDING.stack.append(name)
             try:
                 df = fn(spark, sf_dir)

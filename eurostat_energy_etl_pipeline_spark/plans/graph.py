@@ -145,8 +145,7 @@ def pagerank(
         # Materialize before dropping the pins: localCheckpoint executes
         # the plan and truncates lineage, so the returned DataFrame no
         # longer references nodes/base and the unpersist is safe.
-        plans.note_checkpoint_blocks()
-        ranks = ranks.localCheckpoint()
+        ranks = plans.plan_checkpoint(ranks)
         nodes.unpersist()
         base.unpersist()
     return ranks
@@ -563,26 +562,23 @@ def q189(spark, sf_dir):
     _nodes, base, _n = prepared
     edges = base.select("src", "dst")
     # per-level frontier/visited checkpoints are plan-lifetime blocks
-    plans.note_checkpoint_blocks()
-    seeds = (
+    seeds = plans.plan_checkpoint(
         t["customer"]
         .where(F.col("c_nationkey") == 0)
         .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     counts = [seeds.agg(F.count(F.lit(1)).cast("long").alias("n"))]
     visited, frontier = seeds, seeds
     for _hop in range(1, 4):
-        nxt = (
+        nxt = plans.plan_checkpoint(
             edges.join(frontier, edges["src"] == frontier["node"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
         )
         counts.append(nxt.agg(F.count(F.lit(1)).cast("long").alias("n")))
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = plans.plan_checkpoint(visited.unionByName(nxt))
         frontier = nxt
     out = None
     for hop, c in enumerate(counts):

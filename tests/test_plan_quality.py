@@ -866,9 +866,22 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         if name in P.checkpoint_users():
             # self-declared plan-lifetime checkpoint blocks: leftovers
             # are checkpointed intermediates the LIVE plan still
-            # references. Drop every reference (local + plan cache) so
-            # ContextCleaner can GC-release them — full release while
-            # the plan lives is impossible by construction.
+            # references — but ONLY those. plan_checkpoint captured the
+            # declared block ids, so a genuine pin() leak in a
+            # checkpoint-using query still fails here (ADVICE r13);
+            # ids=None (legacy bare declaration) stays lenient.
+            declared = P.checkpoint_ids(name)
+            if declared is not None:
+                stray = leftover - declared
+                assert not stray, (
+                    f"{name}: release_pins left cached blocks {stray} that "
+                    "are NOT declared plan-lifetime checkpoint blocks "
+                    f"(declared: {sorted(declared)})"
+                )
+            # Drop every reference (local + plan cache) so
+            # ContextCleaner can GC-release the checkpoint blocks —
+            # full release while the plan lives is impossible by
+            # construction.
             del df
             P.clear_plan_cache()
         else:
