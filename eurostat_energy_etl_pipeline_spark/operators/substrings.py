@@ -548,6 +548,17 @@ def cut_duplicated_spans(
         .select("doc_id", "pos")
         # distinct is unnecessary (one row per (doc,pos) by construction)
     )
+    return rewrite_cut_positions(tok, cutpos, k, passthrough)
+
+
+def rewrite_cut_positions(tok, cutpos, k, passthrough):
+    """Apply a (doc_id, pos) CUT-POSITION set to a token table — the
+    island-merge + rewrite tail of :func:`cut_duplicated_spans`, exposed
+    so index-driven paths (the q197 deletion fold recomputes cut
+    positions for AFFECTED docs from the stored occurrence index) reuse
+    the exact same interval semantics. ``tok`` carries (doc_id,
+    *passthrough, _orig, tk); returns the cut_duplicated_spans output
+    schema. Docs with no cut positions pass through with ``_orig``."""
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -605,4 +616,54 @@ def cut_duplicated_spans(
         F.when(F.col("ivs").isNull(), F.col("_orig"))
         .otherwise(F.array_join(kept, " "))
         .alias("text"),
+    )
+
+
+def span_occurrence_index(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The at-rest OCCURRENCE-GRAIN ExactSubstr index: (gh, doc_id, pos,
+    cut) for every k-gram occurrence whose gram occurs >= min_count
+    times corpus-wide — `cut` is the :func:`cut_duplicated_spans`
+    predicate (non-first occurrence under the (doc_id, pos) total
+    order). This is what :func:`span_gram_index`'s count table cannot
+    give a DELETION fold: removing documents decrements counts AND
+    shifts first-occurrence ranks, both of which can UN-cut surviving
+    occurrences — recomputing that exactly needs the surviving
+    occurrences of every touched gram, which this index stores.
+
+    The storage contract mirrors Lee et al.'s suffix array: O(corpus
+    tokens) rows, but text-free (15-byte gram hash + two integers + a
+    flag), partitionable by gh for the touched-gram probe and by doc_id
+    for the per-doc rewrite. Grams below min_count are excluded — a
+    deletion only ever LOWERS counts, so an excluded gram can never
+    become cut, and a resurrected duplicate's re-derived occurrences
+    are unioned in before the touched-gram recompute (q197).
+
+    Scale shape: identical to the cut itself — one scan-side gram
+    expansion, one gh-keyed exchange reused by the count and rank
+    windows, no text past the projection."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(whitespace_tokens(F.col(text_col)), lambda x: x != "").alias(
+            "tk"
+        ),
+    )
+    g = _gram_stream(tok, k)
+    w_cnt = Window.partitionBy("gh")
+    w_first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    return (
+        g.withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rk", F.row_number().over(w_first))
+        .where(F.col("cnt") >= min_count)
+        .select(
+            "gh",
+            "doc_id",
+            "pos",
+            (F.col("rk") >= 2).alias("cut"),
+        )
     )

@@ -830,6 +830,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q187_leakage_safe_split",
         "q191_cf_backtest",
         "q192_incremental_funnel",
+        "q196_multitick_funnel",
         "q193_media_funnel",
         "q194_source_containment",
         "q195_incremental_media",
@@ -1047,6 +1048,23 @@ def test_q192_incremental_funnel_one_scan_artifact_leaves(spark, queries):
     shuffle join IS the honest scale shape; AQE converts genuinely
     small sides at runtime), so no SMJ assertion here."""
     plan = plan_of(queries["q192_incremental_funnel"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 1
+    assert "Scan ExistingRDD" in plan  # the at-rest artifacts
+    assert "InMemoryTableScan" in plan  # the pinned shared scan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q196_multitick_funnel_one_scan_artifact_leaves(spark, queries):
+    """q192's O(delta) contract must survive the second fold: still ONE
+    parquet scan of documents (every tick slices the same pinned scan),
+    all tick-1 AND tick-2 artifacts are materialized leaves, no
+    cartesian, and both budget selections run the distributed
+    prefix-sum kernel (no single-partition exchange, no range
+    partitioning) — a second tick that re-derived tick-1 state from
+    the raw scan would show a second file scan here."""
+    plan = plan_of(queries["q196_multitick_funnel"](spark, SF_DIR))
     assert plan.count("documents.parquet") == 1
     assert "Scan ExistingRDD" in plan  # the at-rest artifacts
     assert "InMemoryTableScan" in plan  # the pinned shared scan

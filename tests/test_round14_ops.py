@@ -1,0 +1,204 @@
+"""Round-14 tests: multi-tick closure for the incremental curation
+funnel (VERDICT r13 item 1) and restart-safety of the fold from at-rest
+parquet storage (VERDICT r13 item 6).
+
+The load-bearing contracts are differential: folding two batches one at
+a time through `fold_funnel_batch` must land on EXACTLY the state a
+scratch `build_funnel_state` over the union produces — with planted
+rows that force every cross-tick artifact path to act (a b2 doc deduped
+against a b1 hash, a b2 span cut by a gram b1 introduced, a b2
+benchmark doc contaminating a b1 doc) — and the fold must behave
+identically whether its input state is warm localCheckpoint leaves or
+tables re-loaded from parquet (a restarted pipeline has only the
+latter)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eurostat_energy_etl_pipeline_spark.operators.text import (
+    whitespace_tokens,
+)
+from eurostat_energy_etl_pipeline_spark.plans.funnel import (
+    build_funnel_state,
+    fold_funnel_batch,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# 8-token spans for the k=8 cut (no accidental repeats in filler text)
+SPAN_A = "alpha beta gamma delta epsilon zeta eta theta"
+SPAN_B = "one two three four five six seven eight"
+
+META_COLS = [
+    "doc_id",
+    "lang",
+    "n_tok_norm",
+    "chars_norm",
+    "tokens_after",
+    "chars_cut",
+    "q_i",
+    "score_i",
+    "contam",
+]
+
+
+def _slice(spark, rows):
+    """(doc_id, text) rows -> the `_FUNNEL_INPUT_COLS` contract the
+    funnel-state builders consume (mirrors `_funnel_input`)."""
+    df = spark.createDataFrame(rows or [], "doc_id long, text string")
+    ntok = F.size(
+        F.filter(whitespace_tokens(F.col("ntext")), lambda x: x != "")
+    ).cast("long")
+    return (
+        df.select(
+            "doc_id",
+            F.lit("en").alias("lang"),
+            F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias(
+                "ntext"
+            ),
+        )
+        .withColumn("chars_norm", F.length("ntext").cast("long"))
+        .withColumn("n_tok_norm", ntok)
+    )
+
+
+def _meta_rows(state, drop_delta=True):
+    cols = META_COLS if drop_delta else META_COLS + ["is_delta"]
+    return sorted(
+        tuple(r[c] for c in cols)
+        for r in state["meta"].select(*cols, "is_delta").collect()
+    )
+
+
+BASE_TRAIN = [
+    (1, f"intro words here {SPAN_A} closing base remark number ten"),
+    (2, "completely unique base document with plain filler content inside"),
+    (3, "shared duplicate body text that reappears verbatim much later"),
+]
+BASE_BENCH = [(97, "benchmark paragraph about solar capacity factors")]
+B1_TRAIN = [
+    # same hash as base doc 3: dropped by the A1 probe in tick 1
+    (10, "shared duplicate body text that reappears verbatim much later"),
+    # introduces SPAN_B (corpus-first occurrence, kept in tick 1)
+    (11, f"batch one opens {SPAN_B} batch one closes here"),
+    # carries the 4-token shingle the TICK-2 benchmark will quote
+    (12, "the quarterly wind generation report shows steady growth"),
+]
+B1_BENCH = []
+B2_TRAIN = [
+    # same hash as b1 doc 11: dedup must consult tick 1's MERGED A1
+    (20, f"batch one opens {SPAN_B} batch one closes here"),
+    # repeats SPAN_B: corpus count 2 only via tick 1's MERGED gram index
+    (21, f"batch two text {SPAN_B} with a different ending"),
+    # repeats SPAN_A from the BASE: the original index carried forward
+    (22, f"batch two prefix {SPAN_A} batch two suffix words"),
+    (23, "entirely novel final document with unique closing vocabulary"),
+]
+B2_BENCH = [
+    # quotes doc 12's shingle: must flip doc 12 via tick 1's MERGED A4
+    (294, "analysts cite the quarterly wind generation report findings")
+]
+
+
+def _two_tick(spark):
+    s0 = build_funnel_state(
+        _slice(spark, BASE_TRAIN), _slice(spark, BASE_BENCH)
+    )
+    s1, flips1 = fold_funnel_batch(
+        s0, _slice(spark, B1_TRAIN), _slice(spark, B1_BENCH)
+    )
+    s2, flips2 = fold_funnel_batch(
+        s1, _slice(spark, B2_TRAIN), _slice(spark, B2_BENCH)
+    )
+    return s1, s2, flips1, flips2
+
+
+def test_two_tick_fold_equals_scratch_state(spark):
+    """fold(fold(base, b1), b2) == scratch over base ∪ b1 ∪ b2, on the
+    full artifact state: metadata (the determinant of every downstream
+    stage), the gram index, the exact-hash index, and the doc-shingle
+    index. The planted rows force each cross-tick path: doc 20 dedups
+    against a TICK-1 hash, doc 21's span is cut only because tick 1's
+    gram merge carried SPAN_B's count, doc 22's span is cut via the
+    base index carried through two merges, and bench 294 contaminates
+    tick-1 doc 12 through the merged doc-shingle index."""
+    _s1, s2, _f1, flips2 = _two_tick(spark)
+    scratch = build_funnel_state(
+        _slice(spark, BASE_TRAIN + B1_TRAIN + B2_TRAIN),
+        _slice(spark, BASE_BENCH + B1_BENCH + B2_BENCH),
+    )
+    assert _meta_rows(s2) == _meta_rows(scratch)
+    for key in ("hash_idx", "gram_idx", "doc_sh_idx", "bench_keys"):
+        assert sorted(map(tuple, s2[key].collect())) == sorted(
+            map(tuple, scratch[key].collect())
+        ), key
+
+    meta = {r["doc_id"]: r for r in s2["meta"].collect()}
+    assert 10 not in meta and 20 not in meta  # cross-tick hash dedup
+    assert meta[21]["tokens_after"] == meta[21]["n_tok_norm"] - 8  # b1 gram
+    assert meta[22]["tokens_after"] == meta[22]["n_tok_norm"] - 8  # base gram
+    assert meta[11]["tokens_after"] == meta[11]["n_tok_norm"]  # first copy
+    assert meta[12]["contam"]  # flipped by the tick-2 benchmark
+    assert [r["doc_id"] for r in flips2.collect()] == [12]
+
+
+def test_fold_with_empty_batch_is_identity_on_state(spark):
+    """Folding an empty tick (no new docs, no new benchmark) must leave
+    every artifact semantically unchanged — the no-op day."""
+    s0 = build_funnel_state(
+        _slice(spark, BASE_TRAIN), _slice(spark, BASE_BENCH)
+    )
+    s1, flips = fold_funnel_batch(s0, _slice(spark, []), _slice(spark, []))
+    assert flips.count() == 0
+    assert _meta_rows(s1) == _meta_rows(s0)
+    for key in ("hash_idx", "gram_idx", "doc_sh_idx", "bench_keys"):
+        assert sorted(map(tuple, s1[key].collect())) == sorted(
+            map(tuple, s0[key].collect())
+        ), key
+
+
+def test_fold_from_parquet_reload_matches_warm_fold(spark, tmp_path):
+    """Restart safety (VERDICT r13 item 6): the in-session artifacts are
+    localCheckpoint leaves, which a driver restart LOSES — a real
+    pipeline reloads them from storage. Write every tick-1 artifact to
+    parquet, reload, fold tick 2 from the reloaded tables, and require
+    the result to match the warm-leaf fold exactly (state AND flip
+    certificate)."""
+    s1, s2, _f1, flips2 = _two_tick(spark)
+    reloaded = {}
+    for key, df in s1.items():
+        path = str(tmp_path / key)
+        df.write.mode("overwrite").parquet(path)
+        reloaded[key] = spark.read.parquet(path)
+    r2, rflips2 = fold_funnel_batch(
+        reloaded, _slice(spark, B2_TRAIN), _slice(spark, B2_BENCH)
+    )
+    assert _meta_rows(r2, drop_delta=False) == _meta_rows(
+        s2, drop_delta=False
+    )
+    for key in ("hash_idx", "gram_idx", "doc_sh_idx", "bench_keys"):
+        assert sorted(map(tuple, r2[key].collect())) == sorted(
+            map(tuple, s2[key].collect())
+        ), key
+    assert sorted(r["doc_id"] for r in rflips2.collect()) == sorted(
+        r["doc_id"] for r in flips2.collect()
+    )
+
+
+def test_q196_equals_q192_row_for_row(spark):
+    """fold(fold(base, b1), b2) == fold(base, b1 ∪ b2) on the REGISTERED
+    queries: q196's two-tick report must equal q192's one-shot fold on
+    every column — same stage accounting, same delta_docs (both count
+    the top-10% batch), same old_flipped certificates (both measure
+    flips against the 90%-cutoff state). Together with each query's own
+    scratch-recompute oracle this closes the composition triangle."""
+    from eurostat_energy_etl_pipeline_spark.plans import QUERIES, load_all
+
+    load_all()
+    one_shot = sorted(
+        map(tuple, QUERIES["q192_incremental_funnel"](spark, SF_DIR).collect())
+    )
+    two_tick = sorted(
+        map(tuple, QUERIES["q196_multitick_funnel"](spark, SF_DIR).collect())
+    )
+    assert two_tick == one_shot

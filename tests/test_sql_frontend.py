@@ -143,6 +143,7 @@ DUCKDB_ONLY = {
     "q193_media_funnel",     # duckdb entropy()/hex ladder + WITH RECURSIVE
     "q194_source_containment",  # duckdb list_*/string_split_regex shingles
     "q195_incremental_media",   # q193 idioms + // int division
+    "q196_multitick_funnel",    # q192's oracle verbatim (same idioms)
 }
 
 
