@@ -619,6 +619,25 @@ def rewrite_cut_positions(tok, cutpos, k, passthrough):
     )
 
 
+def gram_occurrences(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Raw (gh, doc_id, pos) k-gram occurrence stream with NO frequency
+    filter — the q197 deletion fold re-derives a resurrected duplicate's
+    occurrences with this before the touched-gram recompute (grams below
+    the index's min_count are absent from storage by design)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(whitespace_tokens(F.col(text_col)), lambda x: x != "").alias(
+            "tk"
+        ),
+    )
+    return _gram_stream(tok, k)
+
+
 def span_occurrence_index(
     docs: DataFrame,
     k: int = 8,

@@ -4453,3 +4453,121 @@ def q194(spark, sf_dir):
         )
         .transform(presentation_sort, "src_a", "src_b")
     )
+
+
+@query("q198_incremental_containment", oracle=_Q194_SQL)
+def q198(spark, sf_dir):
+    """INCREMENTAL cross-source containment (VERDICT r13 item 4) — the
+    delta twin of q194. A new crawl should not recompute the whole
+    provenance matrix: the pipeline keeps three at-rest artifacts —
+    the deduped (source, shingle) membership table, the pairwise
+    intersection counts, and the per-source totals — and folds a new
+    batch in O(new shingles). Split: docs with doc_id <= 90% of max
+    are yesterday's corpus; the top 10% are today's crawl.
+
+    The fold is exact set algebra (disjoint-union decomposition of
+    |A' ∩ B'| with A' = A ∪ newA, newA ∩ A = ∅):
+        |A' ∩ B'| = |A ∩ B| + |newA ∩ B| + |A ∩ newB| + |newA ∩ newB|
+    so the delta terms are: truly-new memberships (the batch's
+    (source, shingle) pairs anti-joined against the stored table), one
+    g-keyed join of new memberships against the stored table (covering
+    both |newA ∩ B| and |A ∩ newB| via the mirror), and the new-new
+    term from the batch's own per-shingle source sets. Totals fold
+    additively. Output == q194's full-corpus matrix, and the oracle IS
+    q194's scratch-recompute SQL verbatim — the hash match is the
+    merge-equals-recompute differential for the provenance artifact.
+
+    Scale shape: shingles hash scan-side (text never shuffles); the
+    anti-join and the delta join carry 16-hex keys; per-shingle source
+    sets stay |sources|-bounded; the pair tables are |sources|^2 rows
+    (broadcastable); only the batch is re-shingled — yesterday's
+    corpus is never re-scanned."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        doc_shingle_keys,
+    )
+    from eurostat_energy_etl_pipeline_spark.plans import at_rest
+
+    wide = pin(
+        widen_if_narrow(docs).select("doc_id", "source", "text")
+    )
+    max_id = wide.agg(F.max("doc_id")).first()[0]
+    cut = ((max_id or 0) * 9) // 10
+    old = wide.where(F.col("doc_id") <= F.lit(cut))
+    delta = wide.where(F.col("doc_id") > F.lit(cut))
+
+    # ---- yesterday's at-rest artifacts ----
+    sh_old = at_rest(doc_shingle_keys(old, k=3, id_col="source").distinct())
+    tot_old = at_rest(
+        sh_old.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_old = at_rest(
+        sh_old.groupBy("_g")
+        .agg(F.collect_set("source").alias("ss"))
+        .where(F.size("ss") >= 2)
+        .select(F.explode("ss").alias("src_a"), "ss")
+        .select("src_a", F.explode("ss").alias("src_b"))
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+    # ---- today's fold: O(new shingles) ----
+    new_g = at_rest(
+        doc_shingle_keys(delta, k=3, id_col="source")
+        .distinct()
+        .join(sh_old, ["source", "_g"], "left_anti")
+    )
+    t_no = (
+        new_g.select(F.col("source").alias("src_a"), "_g")
+        .join(sh_old.select(F.col("source").alias("src_b"), "_g"), "_g")
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    t_nn = (
+        new_g.groupBy("_g")
+        .agg(F.collect_set("source").alias("ss"))
+        .where(F.size("ss") >= 2)
+        .select(F.explode("ss").alias("src_a"), "ss")
+        .select("src_a", F.explode("ss").alias("src_b"))
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pair_new = at_rest(  # tomorrow's pair artifact
+        pair_old.unionByName(t_no)
+        .unionByName(
+            t_no.select(
+                F.col("src_b").alias("src_a"),
+                F.col("src_a").alias("src_b"),
+                "shared",
+            )
+        )
+        .unionByName(t_nn)
+        .groupBy("src_a", "src_b")
+        .agg(F.sum("shared").alias("shared"))
+    )
+    tot_new = at_rest(  # tomorrow's totals artifact
+        tot_old.unionByName(
+            new_g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("n"))
+    )
+    return (
+        pair_new.join(
+            F.broadcast(tot_new.withColumnRenamed("source", "src_a")),
+            "src_a",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n").cast("long").alias("a_shingles"),
+            F.col("shared").cast("long").alias("shared_shingles"),
+            (
+                F.floor(F.col("shared") * 1.0 / F.col("n") * 1e6) / 1e6
+            ).alias("containment"),
+        )
+        .transform(presentation_sort, "src_a", "src_b")
+    )

@@ -29,7 +29,10 @@ from eurostat_energy_etl_pipeline_spark.operators.packing import pack_sequences
 from eurostat_energy_etl_pipeline_spark.operators.ranking import global_prefix_sum
 from eurostat_energy_etl_pipeline_spark.operators.substrings import (
     cut_duplicated_spans,
+    gram_occurrences,
+    rewrite_cut_positions,
     span_gram_index,
+    span_occurrence_index,
 )
 from eurostat_energy_etl_pipeline_spark.plans import at_rest as _at_rest
 from eurostat_energy_etl_pipeline_spark.plans import pin, query
@@ -1249,3 +1252,678 @@ def q196(spark, sf_dir):
         state1, train.where(in_b2), bench.where(in_b2)
     )
     return _incremental_report(train, cut90, state1, state2, newly_old)
+
+
+# ---------------------------------------------------------------------------
+# q197 — DELETION folding (VERDICT r13 item 2): fold a right-to-be-
+# forgotten tombstone batch through the funnel artifacts WITHOUT
+# re-running the funnel over the surviving corpus. Deletion is the
+# NON-MONOTONE direction append-only artifacts cannot express:
+#   - exact dedup can RESURRECT a shadowed duplicate (the group's
+#     keeper is deleted, the next-smallest doc_id must re-enter);
+#   - the ExactSubstr cut can UN-cut spans (removing occurrences lowers
+#     a gram's corpus count below min_count, and removing EARLIER
+#     occurrences shifts first-occurrence ranks), so surviving docs'
+#     text can GROW BACK;
+#   - grown-back text can newly CONTAMINATE (restored shingles), and
+#     quality / selection can flip either way.
+# The at-rest artifacts that make the fold O(touched): the (h, doc_id)
+# hash map (q63's dedup-index shape) and the occurrence-grain
+# span_occurrence_index (gh, doc_id, pos, cut). The DuckDB oracle runs
+# the funnel from scratch TWICE (full corpus; corpus minus tombstones)
+# and derives every certificate from the two per-doc tables — so the
+# hash match proves incremental-delete == delete-then-recompute.
+# ---------------------------------------------------------------------------
+
+
+def _del_cascade(s: str, pred: str) -> str:
+    """One suffixed scratch funnel cascade (train -> dedup -> span cut ->
+    decontaminate -> quality -> selection) ending in the per-doc table
+    docd_{s} — generated twice so the q197 oracle can diff the
+    pre-delete and post-delete cascades row by row."""
+    return rf"""
+    train_{s} AS MATERIALIZED (
+      SELECT * FROM basen WHERE NOT is_bench{pred}),
+    dd_{s} AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY ntext
+                                     ORDER BY doc_id) AS rn
+        FROM train_{s}) WHERE rn = 1
+    ),
+    g_{s} AS (
+      SELECT doc_id, pos,
+             substr(md5(array_to_string(tk[pos:pos+7], ' ')), 1, 15) AS gh
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - 7)) AS pos
+            FROM dd_{s} WHERE len(tk) >= 8)
+    ),
+    occ_{s} AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gh) AS cnt,
+             row_number() OVER (PARTITION BY gh
+                                ORDER BY doc_id, pos) AS rk
+      FROM g_{s}
+    ),
+    cutp_{s} AS (SELECT doc_id, pos FROM occ_{s} WHERE cnt >= 2 AND rk >= 2),
+    brk_{s} AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS brk
+      FROM cutp_{s}
+    ),
+    isl_{s} AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM brk_{s}
+    ),
+    ivs_{s} AS MATERIALIZED (
+      SELECT doc_id, island, min(pos) AS st, max(pos) + 7 AS en
+      FROM isl_{s} GROUP BY doc_id, island),
+    nsp_{s} AS (SELECT doc_id, sum(en - st + 1) AS cut_toks
+            FROM ivs_{s} GROUP BY doc_id),
+    toksx_{s} AS (
+      SELECT doc_id, i, tk[i] AS tok
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+            FROM dd_{s} WHERE len(tk) >= 1)
+    ),
+    keptt_{s} AS (
+      SELECT x.doc_id, x.i, x.tok
+      FROM toksx_{s} x LEFT JOIN ivs_{s} v
+        ON x.doc_id = v.doc_id AND x.i BETWEEN v.st AND v.en
+      WHERE v.doc_id IS NULL
+    ),
+    rew_{s} AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS rtext
+      FROM keptt_{s} GROUP BY doc_id
+    ),
+    cutc_{s} AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, d.chars_norm,
+             CAST(len(d.tk) AS BIGINT) AS n_tok_norm,
+             CASE WHEN n.doc_id IS NULL THEN d.ntext
+                  ELSE coalesce(r.rtext, '') END AS ctext,
+             CAST(len(d.tk) - coalesce(n.cut_toks, 0) AS BIGINT) AS n_tok
+      FROM dd_{s} d
+      LEFT JOIN nsp_{s} n ON d.doc_id = n.doc_id
+      LEFT JOIN rew_{s} r ON d.doc_id = r.doc_id
+    ),
+    cutn_{s} AS MATERIALIZED (
+      SELECT *, CAST(len(ctext) AS BIGINT) AS chars_cut,
+             list_filter(string_split_regex(trim(lower(ctext)), '\s+'),
+                         x -> x <> '') AS ctk
+      FROM cutc_{s}
+    ),
+    cutq_{s} AS MATERIALIZED (
+      SELECT *, {_QI_SQL} AS q_i
+      FROM cutn_{s}
+    ),
+    cgr_{s} AS MATERIALIZED (
+      SELECT doc_id, substr(md5(g), 1, 16) AS g
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(xtk) < 4
+                 THEN [array_to_string(xtk, ' ')]
+                 ELSE list_transform(generate_series(1, len(xtk) - 3),
+                      i -> array_to_string(xtk[i:i+3], ' ')) END) AS g
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(ctext)), '\s+') AS xtk
+              FROM cutn_{s}))
+    ),
+    contam_{s} AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM cgr_{s} WHERE g IN (SELECT g FROM bgr)
+    ),
+    qf_{s} AS MATERIALIZED (
+      SELECT c.* FROM cutq_{s} c LEFT JOIN contam_{s} x
+        ON c.doc_id = x.doc_id
+      WHERE x.doc_id IS NULL AND c.q_i >= 350000000
+    ),
+    selt_{s} AS MATERIALIZED (
+      SELECT doc_id, lang, n_tok, chars_cut,
+             CAST(floor(len(list_distinct(ctk)) * 1.0 / len(ctk) * 1e6)
+                  AS BIGINT) AS score_i
+      FROM qf_{s} WHERE len(ctk) > 0
+    ),
+    bud_{s} AS (SELECT CAST(floor(0.6 * sum(n_tok)) AS BIGINT) AS budget
+            FROM selt_{s}),
+    ord_{s} AS (
+      SELECT *, sum(n_tok) OVER (ORDER BY 1000000 - score_i, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM selt_{s}
+    ),
+    sel_{s} AS MATERIALIZED (
+      SELECT o.* FROM ord_{s} o CROSS JOIN bud_{s} b
+      WHERE o.cum <= b.budget),
+    docd_{s} AS MATERIALIZED (
+      SELECT c.doc_id, c.n_tok_norm, c.chars_norm, c.n_tok, c.chars_cut,
+             c.q_i,
+             (x.doc_id IS NOT NULL) AS contam,
+             (sl.doc_id IS NOT NULL) AS insel
+      FROM cutq_{s} c
+      LEFT JOIN contam_{s} x ON c.doc_id = x.doc_id
+      LEFT JOIN sel_{s} sl ON c.doc_id = sl.doc_id
+    )"""
+
+
+_DELETE_SQL = (
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             CAST(len(text) AS BIGINT) AS chars_raw,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS ntext,
+             doc_id % 97 = 0 AS is_bench
+      FROM documents
+    ),
+    basen AS MATERIALIZED (
+      SELECT *, CAST(len(ntext) AS BIGINT) AS chars_norm,
+             list_filter(string_split_regex(trim(lower(ntext)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM base
+    ),
+    bgr AS MATERIALIZED (
+      SELECT DISTINCT substr(md5(g), 1, 16) AS g
+      FROM (
+        SELECT unnest(CASE WHEN len(btk) < 4
+                 THEN [array_to_string(btk, ' ')]
+                 ELSE list_transform(generate_series(1, len(btk) - 3),
+                      i -> array_to_string(btk[i:i+3], ' ')) END) AS g
+        FROM (SELECT string_split_regex(trim(lower(ntext)), '\s+') AS btk
+              FROM basen WHERE is_bench))
+    ),"""
+    + _del_cascade("o", "")
+    + ","
+    + _del_cascade("n", " AND doc_id % 7 <> 3")
+    + r""",
+    cmp AS MATERIALIZED (
+      SELECT o.doc_id AS od, n.doc_id AS nd,
+             o.n_tok_norm AS o_ntok, o.chars_norm AS o_nchr,
+             o.n_tok AS o_tok, o.chars_cut AS o_chr,
+             o.q_i AS o_q, o.contam AS o_con, o.insel AS o_sel,
+             n.n_tok_norm AS n_ntok, n.chars_norm AS n_nchr,
+             n.n_tok AS n_tok2, n.chars_cut AS n_chr,
+             n.q_i AS n_q, n.contam AS n_con, n.insel AS n_sel
+      FROM docd_o o FULL JOIN docd_n n ON o.doc_id = n.doc_id
+    ),
+    certs AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN od IS NOT NULL AND nd IS NULL
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS r34,
+        CAST(coalesce(sum(CASE WHEN nd IS NOT NULL AND od IS NULL
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS a34,
+        CAST(coalesce(sum(CASE WHEN od IS NOT NULL AND nd IS NOT NULL
+                  AND (o_ntok <> n_ntok OR o_nchr <> n_nchr)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS c3,
+        CAST(coalesce(sum(CASE WHEN od IS NOT NULL AND nd IS NOT NULL
+                  AND (o_tok <> n_tok2 OR o_chr <> n_chr)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4,
+        CAST(coalesce(sum(CASE WHEN (od IS NOT NULL AND NOT o_con)
+                  AND NOT (nd IS NOT NULL AND NOT n_con)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS r5,
+        CAST(coalesce(sum(CASE WHEN (nd IS NOT NULL AND NOT n_con)
+                  AND NOT (od IS NOT NULL AND NOT o_con)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS a5,
+        CAST(coalesce(sum(CASE WHEN (od IS NOT NULL AND NOT o_con)
+                  AND (nd IS NOT NULL AND NOT n_con)
+                  AND (o_tok <> n_tok2 OR o_chr <> n_chr)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS c5,
+        CAST(coalesce(sum(CASE WHEN
+                  (od IS NOT NULL AND NOT o_con AND o_q >= 350000000)
+                  AND NOT (nd IS NOT NULL AND NOT n_con
+                           AND n_q >= 350000000)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS r6,
+        CAST(coalesce(sum(CASE WHEN
+                  (nd IS NOT NULL AND NOT n_con AND n_q >= 350000000)
+                  AND NOT (od IS NOT NULL AND NOT o_con
+                           AND o_q >= 350000000)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS a6,
+        CAST(coalesce(sum(CASE WHEN
+                  (od IS NOT NULL AND NOT o_con AND o_q >= 350000000)
+                  AND (nd IS NOT NULL AND NOT n_con AND n_q >= 350000000)
+                  AND (o_tok <> n_tok2 OR o_chr <> n_chr)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS r6c,
+        CAST(coalesce(sum(CASE WHEN coalesce(o_sel, FALSE)
+                  AND NOT coalesce(n_sel, FALSE)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS r7,
+        CAST(coalesce(sum(CASE WHEN coalesce(n_sel, FALSE)
+                  AND NOT coalesce(o_sel, FALSE)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS a7,
+        CAST(coalesce(sum(CASE WHEN coalesce(o_sel, FALSE)
+                  AND coalesce(n_sel, FALSE)
+                  AND (o_tok <> n_tok2 OR o_chr <> n_chr)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS c7
+      FROM cmp
+    ),
+    r12 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train_o
+            WHERE doc_id % 7 = 3),
+    pk AS (
+      SELECT lang,
+             CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin_id,
+             n_tok
+      FROM sel_n
+    ),
+    bins AS (SELECT lang, bin_id, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+             FROM pk GROUP BY lang, bin_id)
+    SELECT * FROM (
+      SELECT 1 AS stage, 'input' AS label,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(coalesce(sum(len(tk)), 0) AS BIGINT) AS tokens,
+             CAST(coalesce(sum(chars_raw), 0) AS BIGINT) AS chars,
+             (SELECT n FROM r12) AS removed_docs,
+             CAST(0 AS BIGINT) AS added_docs,
+             CAST(0 AS BIGINT) AS changed_docs
+      FROM train_n
+      UNION ALL
+      SELECT 2, 'normalize', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(tk)), 0) AS BIGINT),
+             CAST(coalesce(sum(chars_norm), 0) AS BIGINT),
+             (SELECT n FROM r12), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM train_n
+      UNION ALL
+      SELECT 3, 'exact_dedup', a.docs, a.tokens, a.chars,
+             c.r34, c.a34, c.c3
+      FROM (SELECT CAST(count(*) AS BIGINT) AS docs,
+                   CAST(coalesce(sum(n_tok_norm), 0) AS BIGINT) AS tokens,
+                   CAST(coalesce(sum(chars_norm), 0) AS BIGINT) AS chars
+            FROM docd_n) a, certs c
+      UNION ALL
+      SELECT 4, 'span_cut', a.docs, a.tokens, a.chars,
+             c.r34, c.a34, c.c4
+      FROM (SELECT CAST(count(*) AS BIGINT) AS docs,
+                   CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tokens,
+                   CAST(coalesce(sum(chars_cut), 0) AS BIGINT) AS chars
+            FROM docd_n) a, certs c
+      UNION ALL
+      SELECT 5, 'decontaminate', a.docs, a.tokens, a.chars,
+             c.r5, c.a5, c.c5
+      FROM (SELECT CAST(count(*) AS BIGINT) AS docs,
+                   CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tokens,
+                   CAST(coalesce(sum(chars_cut), 0) AS BIGINT) AS chars
+            FROM docd_n WHERE NOT contam) a, certs c
+      UNION ALL
+      SELECT 6, 'quality_filter', a.docs, a.tokens, a.chars,
+             c.r6, c.a6, c.r6c
+      FROM (SELECT CAST(count(*) AS BIGINT) AS docs,
+                   CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tokens,
+                   CAST(coalesce(sum(chars_cut), 0) AS BIGINT) AS chars
+            FROM docd_n WHERE NOT contam AND q_i >= 350000000) a, certs c
+      UNION ALL
+      SELECT 7, 'budget_select', a.docs, a.tokens, a.chars,
+             c.r7, c.a7, c.c7
+      FROM (SELECT CAST(count(*) AS BIGINT) AS docs,
+                   CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tokens,
+                   CAST(coalesce(sum(chars_cut), 0) AS BIGINT) AS chars
+            FROM docd_n WHERE insel) a, certs c
+      UNION ALL
+      SELECT 8, 'pack', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(bin_tokens), 0) AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM bins
+    ) ORDER BY stage
+"""
+)
+
+
+def build_deletion_state(train_slim, bench_keys):
+    """Scratch-build the artifact state the DELETION fold maintains:
+    the (h, doc_id) hash map over every train doc (bare distinct hashes
+    cannot resurrect a shadowed duplicate), the occurrence-grain
+    `span_occurrence_index`, and the text-free doc-grain metadata.
+    `train_slim` carries `_FUNNEL_INPUT_COLS`; `bench_keys` is the
+    stored benchmark shingle index."""
+    hash_map = _at_rest(
+        train_slim.select("doc_id", F.sha2(F.col("ntext"), 256).alias("h"))
+    )
+    dd0 = _at_rest(
+        train_slim.withColumn("h", F.sha2(F.col("ntext"), 256))
+        .withColumn("rn", F.row_number().over(_w_hash()))
+        .where(F.col("rn") == 1)
+        .drop("rn", "h")
+    )
+    occ_idx = _at_rest(
+        span_occurrence_index(dd0, k=CUT_K, min_count=2, text_col="ntext")
+    )
+    cut0 = _at_rest(
+        cut_duplicated_spans(dd0, k=CUT_K, min_count=2, text_col="ntext")
+    )
+    contam0 = contaminated_ids(cut0, benchmark_keys=bench_keys, k=DECON_K)
+    meta0 = _at_rest(_doc_meta(cut0, contam0, is_delta=False))
+    return {"hash_map": hash_map, "occ_idx": occ_idx, "meta": meta0}
+
+
+def fold_deletion(state, train_slim, bench_keys, del_ids):
+    """Fold a tombstone batch through the deletion-fold artifacts —
+    O(touched) work, never a corpus re-scan (`train_slim` is only
+    probed by doc_id for the affected/resurrected slices, a pruned
+    read of the corpus at rest). Returns ``(new_state, extras)`` with
+    extras = {"res": resurrected doc_ids, "aff": re-written doc_ids}.
+    Mechanics documented on q197; correctness certified by the planted
+    differentials in tests/test_round14_ops.py and q197's
+    delete-then-recompute oracle."""
+    # 1. resurrection: re-run keep-first ONLY over hash groups that
+    #    contain a tombstoned doc (O(touched groups))
+    hash_map = state["hash_map"]
+    del_h = (
+        hash_map.join(del_ids, "doc_id", "left_semi").select("h").distinct()
+    )
+    grp = hash_map.join(del_h, "h", "left_semi")
+    keeper_deleted_h = (
+        grp.withColumn("rn", F.row_number().over(_w_hash()))
+        .where(F.col("rn") == 1)
+        .join(del_ids, "doc_id", "left_semi")
+        .select("h")
+    )
+    res = _at_rest(
+        grp.join(del_ids, "doc_id", "left_anti")
+        .join(keeper_deleted_h, "h", "left_semi")
+        .withColumn("rn", F.row_number().over(_w_hash()))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    res_docs = _at_rest(train_slim.join(res, "doc_id", "left_semi"))
+
+    # 2. occurrence-index delta: every occurrence of a TOUCHED gram
+    #    recomputes (cnt, rk) over the merged survivor set; untouched
+    #    rows provably keep their stored cut flags
+    occ_idx = state["occ_idx"]
+    occ_del = occ_idx.join(del_ids, "doc_id", "left_semi")
+    res_occ = gram_occurrences(res_docs, k=CUT_K, text_col="ntext")
+    touched = _at_rest(
+        occ_del.select("gh").unionByName(res_occ.select("gh")).distinct()
+    )
+    keep_occ = occ_idx.join(del_ids, "doc_id", "left_anti")
+    t_all = (
+        keep_occ.join(touched, "gh", "left_semi")
+        .select("gh", "doc_id", "pos")
+        .unionByName(res_occ.select("gh", "doc_id", "pos"))
+    )
+    w_cnt = Window.partitionBy("gh")
+    w_first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    new_t = _at_rest(
+        t_all.withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rk", F.row_number().over(w_first))
+        .where(F.col("cnt") >= 2)
+        .select("gh", "doc_id", "pos", (F.col("rk") >= 2).alias("cut"))
+    )
+    keep_untouched = keep_occ.join(touched, "gh", "left_anti")
+    occ_idx_new = _at_rest(keep_untouched.unionByName(new_t))
+
+    # 3. rewrite ONLY affected docs (touched-gram holders + resurrected)
+    aff = _at_rest(
+        keep_occ.join(touched, "gh", "left_semi")
+        .select("doc_id")
+        .unionByName(res.select("doc_id"))
+        .distinct()
+    )
+    cutpos_aff = (
+        new_t.where(F.col("cut"))
+        .select("doc_id", "pos")
+        .unionByName(
+            keep_untouched.where(F.col("cut"))
+            .join(aff, "doc_id", "left_semi")
+            .select("doc_id", "pos")
+        )
+    )
+    aff_tok = train_slim.join(aff, "doc_id", "left_semi").select(
+        "doc_id",
+        "lang",
+        "n_tok_norm",
+        "chars_norm",
+        F.col("ntext").alias("_orig"),
+        F.filter(
+            T.whitespace_tokens(F.col("ntext")), lambda x: x != ""
+        ).alias("tk"),
+    )
+    cut_aff = _at_rest(
+        rewrite_cut_positions(
+            aff_tok, cutpos_aff, CUT_K, ["lang", "n_tok_norm", "chars_norm"]
+        )
+    )
+    contam_aff = contaminated_ids(
+        cut_aff, benchmark_keys=bench_keys, k=DECON_K
+    )
+    meta_aff = _doc_meta(cut_aff, contam_aff, is_delta=True)
+
+    # 4. metadata-grain merge (selection/pack recompute globally on it)
+    meta_new = _at_rest(
+        state["meta"]
+        .join(del_ids, "doc_id", "left_anti")
+        .join(aff, "doc_id", "left_anti")
+        .unionByName(meta_aff)
+    )
+    new_state = {
+        "hash_map": _at_rest(hash_map.join(del_ids, "doc_id", "left_anti")),
+        "occ_idx": occ_idx_new,
+        "meta": meta_new,
+    }
+    return new_state, {"res": res, "aff": aff}
+
+
+@query("q197_deletion_fold", oracle=_DELETE_SQL)
+def q197(spark, sf_dir):
+    """DELETION folding through the curation artifacts (VERDICT r13
+    item 2) — the right-to-be-forgotten pass a 100 TB pipeline runs
+    daily, and the one operation an append-only design cannot express.
+    Tombstones: train docs with doc_id % 7 == 3. Yesterday's artifacts
+    (full-corpus funnel state, each a materialized leaf): the
+    (h, doc_id) HASH MAP (q63's dedup-index shape — bare distinct
+    hashes cannot resurrect), the occurrence-grain
+    `span_occurrence_index` (gh, doc_id, pos, cut), the benchmark
+    shingle index, and the text-free doc-grain metadata.
+
+    The fold, each step O(touched), never a corpus re-scan:
+      1. RESURRECTION — hash groups whose keeper was deleted re-run
+         keep-first over the surviving (h, doc_id) rows only;
+      2. UN-CUT — deleted keepers' occurrence rows leave the index,
+         resurrected duplicates' occurrences (re-derived from their own
+         text, O(resurrected)) enter; every occurrence of a TOUCHED
+         gram recomputes (cnt, rk) over the merged survivor set —
+         deletions lower counts below min_count and shift
+         first-occurrence ranks, both flipping cut -> uncut (and a
+         resurrected copy with a larger doc_id can flip a third doc's
+         occurrence either way through rank order). Untouched grams
+         keep their stored cut flags: no occurrence of theirs was
+         added or removed, so (cnt, rk) are provably unchanged;
+      3. REWRITE — only AFFECTED docs (holders of a touched gram, plus
+         resurrections) re-derive text via `rewrite_cut_positions` from
+         (recomputed touched flags) ∪ (stored untouched flags); their
+         quality/diversity/contamination recompute from the new text
+         (grown-back spans can newly contaminate — restored shingles);
+      4. RE-SELECT/RE-PACK at metadata grain over (kept metadata minus
+         deleted minus affected) ∪ (fresh affected rows).
+
+    Output: the 8 stage rows over the SURVIVING corpus plus per-stage
+    certificates — removed_docs (in the stage before, gone now),
+    added_docs (absent before: resurrections at 3+, boundary moves at
+    7), changed_docs (in both, with different token/char values: the
+    un-cut propagation). The DuckDB oracle recomputes the funnel from
+    scratch TWICE (with and without the tombstones) and derives every
+    certificate from the two per-doc cascades — a hash match IS the
+    incremental-delete == delete-then-recompute differential.
+
+    Scale shape: the occurrence index is O(corpus tokens) but text-free
+    (15-byte hash + two ints + a flag — the same at-rest budget as Lee
+    et al.'s suffix array); the daily fold shuffles only deleted/
+    resurrected/touched rows; the global re-select is the usual
+    ~40 bytes/doc metadata pass through the distributed prefix-sum
+    kernel."""
+    base_all, _max_id = _funnel_input(spark, sf_dir)
+    train = base_all.where(~F.col("is_bench"))
+    bench = base_all.where(F.col("is_bench"))
+    slim = train.select(*_FUNNEL_INPUT_COLS)
+    del_ids = train.where(F.col("doc_id") % 7 == 3).select("doc_id")
+
+    bench_keys = _at_rest(
+        shingle_keys(bench.select(F.col("ntext").alias("text")), k=DECON_K)
+    )
+    # yesterday's artifacts over the FULL corpus, then the delete fold
+    state = build_deletion_state(slim, bench_keys)
+    meta0 = state["meta"]
+    sel0 = _budget_select(meta0)
+    new_state, _extras = fold_deletion(state, slim, bench_keys, del_ids)
+    meta_new = new_state["meta"]
+    sel_new = _budget_select(meta_new)
+
+    # ---- certificates: one doc-grain full-outer diff ----
+    def _side(meta, sel, p):
+        return meta.select(
+            "doc_id",
+            F.col("n_tok_norm").alias(f"{p}_ntok"),
+            F.col("chars_norm").alias(f"{p}_nchr"),
+            F.col("tokens_after").alias(f"{p}_tok"),
+            F.col("chars_cut").alias(f"{p}_chr"),
+            F.col("q_i").alias(f"{p}_q"),
+            F.col("contam").alias(f"{p}_con"),
+        ).join(
+            sel.select("doc_id").withColumn(f"{p}_sel", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+
+    cmp = _side(meta0, sel0, "o").join(
+        _side(meta_new, sel_new, "n"), "doc_id", "full_outer"
+    )
+    o_in = F.col("o_ntok").isNotNull()
+    n_in = F.col("n_ntok").isNotNull()
+    o5 = o_in & ~F.col("o_con")
+    n5 = n_in & ~F.col("n_con")
+    o6 = o5 & (F.col("o_q") >= QUALITY_MIN_I)
+    n6 = n5 & (F.col("n_q") >= QUALITY_MIN_I)
+    o7 = F.coalesce(F.col("o_sel"), F.lit(False))
+    n7 = F.coalesce(F.col("n_sel"), F.lit(False))
+    vdiff = (F.col("o_tok") != F.col("n_tok")) | (
+        F.col("o_chr") != F.col("n_chr")
+    )
+    ndiff = (F.col("o_ntok") != F.col("n_ntok")) | (
+        F.col("o_nchr") != F.col("n_nchr")
+    )
+
+    def _cnt(cond, name):
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias(name)
+
+    certs = cmp.agg(
+        _cnt(o_in & ~n_in, "r34"),
+        _cnt(n_in & ~o_in, "a34"),
+        _cnt(o_in & n_in & ndiff, "c3"),
+        _cnt(o_in & n_in & vdiff, "c4"),
+        _cnt(o5 & ~n5, "r5"),
+        _cnt(n5 & ~o5, "a5"),
+        _cnt(o5 & n5 & vdiff, "c5"),
+        _cnt(o6 & ~n6, "r6"),
+        _cnt(n6 & ~o6, "a6"),
+        _cnt(o6 & n6 & vdiff, "c6"),
+        _cnt(o7 & ~n7, "r7"),
+        _cnt(n7 & ~o7, "a7"),
+        _cnt(o7 & n7 & vdiff, "c7"),
+    )
+    n_del = del_ids.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    certs = _at_rest(certs.crossJoin(n_del))
+
+    train_new = train.where(F.col("doc_id") % 7 != 3)
+
+    def srow(stage, label, df, tokens_col, chars_col, rc, ac, cc):
+        def col_of(x):
+            return F.col(x) if isinstance(x, str) else x
+
+        return (
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("docs"),
+                F.coalesce(F.sum(tokens_col), F.lit(0))
+                .cast("long")
+                .alias("tokens"),
+                F.coalesce(F.sum(chars_col), F.lit(0))
+                .cast("long")
+                .alias("chars"),
+            )
+            .crossJoin(F.broadcast(certs))
+            .select(
+                F.lit(stage).cast("long").alias("stage"),
+                F.lit(label).alias("label"),
+                "docs",
+                "tokens",
+                "chars",
+                col_of(rc).cast("long").alias("removed_docs"),
+                col_of(ac).cast("long").alias("added_docs"),
+                col_of(cc).cast("long").alias("changed_docs"),
+            )
+        )
+
+    zero = F.lit(0)
+    m5 = meta_new.where(~F.col("contam"))
+    m6 = m5.where(F.col("q_i") >= QUALITY_MIN_I)
+    bins = (
+        pack_sequences(
+            sel_new,
+            F.col("tokens_after"),
+            budget=PACK_BUDGET,
+            shard_col="lang",
+            order_col="doc_id",
+        )
+        .groupBy("lang", "bin_id")
+        .agg(F.sum("tokens_after").cast("long").alias("bin_tokens"))
+    )
+    funnel = (
+        srow(1, "input", train_new, "n_tok_norm", "chars_raw", "n", zero, zero)
+        .unionByName(
+            srow(
+                2, "normalize", train_new, "n_tok_norm", "chars_norm",
+                "n", zero, zero,
+            )
+        )
+        .unionByName(
+            srow(
+                3, "exact_dedup", meta_new, "n_tok_norm", "chars_norm",
+                "r34", F.col("a34"), F.col("c3"),
+            )
+        )
+        .unionByName(
+            srow(
+                4, "span_cut", meta_new, "tokens_after", "chars_cut",
+                "r34", F.col("a34"), F.col("c4"),
+            )
+        )
+        .unionByName(
+            srow(
+                5, "decontaminate", m5, "tokens_after", "chars_cut",
+                "r5", F.col("a5"), F.col("c5"),
+            )
+        )
+        .unionByName(
+            srow(
+                6, "quality_filter", m6, "tokens_after", "chars_cut",
+                "r6", F.col("a6"), F.col("c6"),
+            )
+        )
+        .unionByName(
+            srow(
+                7, "budget_select", sel_new, "tokens_after", "chars_cut",
+                "r7", F.col("a7"), F.col("c7"),
+            )
+        )
+        .unionByName(
+            bins.agg(
+                F.count(F.lit(1)).cast("long").alias("docs"),
+                F.coalesce(F.sum("bin_tokens"), F.lit(0))
+                .cast("long")
+                .alias("tokens"),
+            ).select(
+                F.lit(8).cast("long").alias("stage"),
+                F.lit("pack").alias("label"),
+                "docs",
+                "tokens",
+                F.lit(0).cast("long").alias("chars"),
+                F.lit(0).cast("long").alias("removed_docs"),
+                F.lit(0).cast("long").alias("added_docs"),
+                F.lit(0).cast("long").alias("changed_docs"),
+            )
+        )
+    )
+    return funnel.transform(presentation_sort, "stage")

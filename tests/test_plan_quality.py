@@ -831,9 +831,11 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q191_cf_backtest",
         "q192_incremental_funnel",
         "q196_multitick_funnel",
+        "q197_deletion_fold",
         "q193_media_funnel",
         "q194_source_containment",
         "q195_incremental_media",
+        "q198_incremental_containment",
     ]
     sc = spark.sparkContext
 
@@ -1073,6 +1075,24 @@ def test_q196_multitick_funnel_one_scan_artifact_leaves(spark, queries):
     assert "rangepartitioning" not in plan.lower()
 
 
+def test_q197_deletion_fold_one_scan_touched_grain(spark, queries):
+    """The deletion fold's O(touched) contract: ONE documents scan
+    (artifact build AND the affected/resurrected re-reads all slice the
+    same pinned scan), at-rest artifacts are materialized leaves, no
+    cartesian, and the re-selections run the distributed prefix-sum
+    kernel (no single-partition exchange, no range partitioning). The
+    touched-gram recompute and affected-doc rewrite join leaf tables on
+    fixed-width keys — SMJ allowed there (leaf RDDs carry no stats and
+    corpus-sized indexes don't broadcast at 100 TB)."""
+    plan = plan_of(queries["q197_deletion_fold"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 1
+    assert "Scan ExistingRDD" in plan  # the at-rest artifacts
+    assert "InMemoryTableScan" in plan  # the pinned shared scan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_q193_media_funnel_one_kernel_pass(spark, queries):
     """The media funnel's q186 lesson as a gate: ONE documents scan
     feeds ONE pinned media table; the payload-decoding kernels build
@@ -1107,6 +1127,21 @@ def test_q194_containment_one_scan_bounded_pairs(spark, queries):
     assert "Generate" in plan  # scan-side shingle + pair expansion
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q198_incremental_containment_one_scan_delta_grain(spark, queries):
+    """The containment fold's O(new shingles) contract, sharpest of the
+    incremental gates: the RETURNED plan reads NO parquet at all — the
+    one pinned documents scan is consumed entirely during the eager
+    artifact build/fold, and the report is a broadcast join of two
+    at-rest leaves (pair counts x totals). Any documents scan here
+    would mean the matrix re-derives from raw text per action."""
+    plan = plan_of(queries["q198_incremental_containment"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 0  # everything at rest
+    assert "Scan ExistingRDD" in plan  # the at-rest artifacts
+    assert "BroadcastHashJoin" in plan  # totals into the ratio
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
 

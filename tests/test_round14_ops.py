@@ -185,6 +185,130 @@ def test_fold_from_parquet_reload_matches_warm_fold(spark, tmp_path):
     )
 
 
+# ---------------------------------------------------------------------------
+# q197 deletion fold — planted fixtures forcing every non-monotone path
+# ---------------------------------------------------------------------------
+
+TX = f"copy body text {SPAN_A} end marker"  # SPAN_A at token 4, 13 tokens
+
+DEL_TRAIN = [
+    # SPAN_B's corpus-FIRST occurrence; deleting doc 2 drops the gram's
+    # count to 1, so doc 3's cut occurrence must UN-cut (count drop)
+    (2, f"early doc holds {SPAN_B} and some filler words"),
+    (3, f"later doc repeats {SPAN_B} trailing tokens differ"),
+    # exact-dup group {5, 9, 12}: deleting keeper 5 must resurrect 9
+    # (and ONLY 9 — 12 stays shadowed)
+    (5, TX),
+    # shares SPAN_A with the group: doc 5 held rank 1, so doc 7 was
+    # cut; after the delete doc 7 takes rank 1 (UN-cut via rank shift)
+    # and the resurrected doc 9 (larger id) takes rank 2 (cut)
+    (7, f"middle document quotes {SPAN_A} more words after"),
+    (9, TX),
+    (12, TX),
+    (14, "standalone untouched document with plain words only here"),
+]
+DEL_BENCH = [
+    # 4-token shingle inside SPAN_A: doc 7's grown-back text must
+    # become NEWLY contaminated after the delete
+    (100, "benchmark cites alpha beta gamma delta verbatim today")
+]
+DEL_IDS = [2, 5]
+
+
+def _del_setup(spark):
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        shingle_keys,
+    )
+    from eurostat_energy_etl_pipeline_spark.plans import at_rest
+    from eurostat_energy_etl_pipeline_spark.plans.funnel import (
+        build_deletion_state,
+        fold_deletion,
+    )
+
+    bench_keys = at_rest(
+        shingle_keys(
+            _slice(spark, DEL_BENCH).select(F.col("ntext").alias("text")),
+            k=4,
+        )
+    )
+    train = _slice(spark, DEL_TRAIN)
+    del_ids = spark.createDataFrame(
+        [(i,) for i in DEL_IDS], "doc_id long"
+    )
+    state = build_deletion_state(train, bench_keys)
+    new_state, extras = fold_deletion(state, train, bench_keys, del_ids)
+    return state, new_state, extras, bench_keys
+
+
+def test_deletion_fold_equals_scratch_on_survivors(spark):
+    """Incremental delete == delete-then-recompute, on the full
+    artifact state: metadata, the occurrence index (per-occurrence cut
+    flags included), and the hash map — with planted rows forcing
+    resurrection, count-drop un-cut, rank-shift un-cut, and grown-back
+    contamination simultaneously."""
+    from eurostat_energy_etl_pipeline_spark.plans.funnel import (
+        build_deletion_state,
+    )
+
+    state, new_state, extras, bench_keys = _del_setup(spark)
+    survivors = [r for r in DEL_TRAIN if r[0] not in DEL_IDS]
+    scratch = build_deletion_state(_slice(spark, survivors), bench_keys)
+    assert _meta_rows(new_state) == _meta_rows(scratch)
+    for key in ("hash_map", "occ_idx"):
+        assert sorted(map(tuple, new_state[key].collect())) == sorted(
+            map(tuple, scratch[key].collect())
+        ), key
+
+
+def test_deletion_fold_planted_non_monotone_effects(spark):
+    """The specific planted semantics all fired: doc 9 resurrected
+    (doc 12 still shadowed), doc 3 un-cut by the count drop, doc 7
+    un-cut by the rank shift AND newly contaminated by the restored
+    shingle, the resurrected doc 9 cut at rank 2."""
+    state, new_state, extras, _bench = _del_setup(spark)
+    m0 = {r["doc_id"]: r for r in state["meta"].collect()}
+    m1 = {r["doc_id"]: r for r in new_state["meta"].collect()}
+
+    # before: keeper 5 kept SPAN_A (rank 1) and was contaminated;
+    # doc 7 lost its 8-token span (rank 2) and was clean
+    assert set(m0) == {2, 3, 5, 7, 14}
+    assert m0[5]["tokens_after"] == m0[5]["n_tok_norm"] and m0[5]["contam"]
+    assert m0[7]["tokens_after"] == m0[7]["n_tok_norm"] - 8
+    assert not m0[7]["contam"]
+    assert m0[3]["tokens_after"] == m0[3]["n_tok_norm"] - 8
+
+    # after the fold
+    assert set(m1) == {3, 7, 9, 14}  # 2,5 deleted; 9 resurrected; 12 shadowed
+    assert [r["doc_id"] for r in extras["res"].collect()] == [9]
+    assert m1[3]["tokens_after"] == m1[3]["n_tok_norm"]  # count-drop un-cut
+    assert m1[7]["tokens_after"] == m1[7]["n_tok_norm"]  # rank-shift un-cut
+    assert m1[7]["contam"]  # grown-back text newly contaminates
+    assert m1[9]["tokens_after"] == m1[9]["n_tok_norm"] - 8  # rank-2 cut
+    assert m1[14]["tokens_after"] == m1[14]["n_tok_norm"]  # untouched
+    assert not m1[14]["is_delta"]  # carried over, not re-written
+
+
+def test_q198_equals_q194_row_for_row(spark):
+    """The containment fold lands on the batch recompute exactly:
+    q198 (at-rest memberships + pair counts + totals, delta folded via
+    the disjoint-union decomposition) must equal q194 (full-corpus
+    scratch matrix) on every row — both run the same sf0.001 corpus,
+    q198 splitting it 90/10 by doc_id."""
+    from eurostat_energy_etl_pipeline_spark.plans import QUERIES, load_all
+
+    load_all()
+    scratch = sorted(
+        map(tuple, QUERIES["q194_source_containment"](spark, SF_DIR).collect())
+    )
+    folded = sorted(
+        map(
+            tuple,
+            QUERIES["q198_incremental_containment"](spark, SF_DIR).collect(),
+        )
+    )
+    assert folded == scratch
+
+
 def test_q196_equals_q192_row_for_row(spark):
     """fold(fold(base, b1), b2) == fold(base, b1 ∪ b2) on the REGISTERED
     queries: q196's two-tick report must equal q192's one-shot fold on

@@ -144,6 +144,8 @@ DUCKDB_ONLY = {
     "q194_source_containment",  # duckdb list_*/string_split_regex shingles
     "q195_incremental_media",   # q193 idioms + // int division
     "q196_multitick_funnel",    # q192's oracle verbatim (same idioms)
+    "q197_deletion_fold",       # q185 idioms + FULL JOIN cert diff
+    "q198_incremental_containment",  # q194's oracle verbatim
 }
 
 
