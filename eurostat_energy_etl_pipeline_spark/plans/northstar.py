@@ -3623,6 +3623,240 @@ _MEDIA_INCR_CTES = r""",
 """
 
 
+def _media_stats(m):
+    """M1: per-item stats — signatures + byte quality + sha — the
+    expensive payload decode, paid exactly once per ingest tick."""
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        media_byte_quality,
+        media_signatures,
+    )
+
+    return (
+        media_signatures(m)
+        .select("media_id", "media_type", "n_bytes", "ahash")
+        .join(
+            media_byte_quality(m).select(
+                "media_id",
+                portable_round("byte_entropy", 4).alias("ent4"),
+            ),
+            "media_id",
+        )
+        .join(
+            m.select("media_id", F.sha2("payload", 256).alias("bh")),
+            "media_id",
+        )
+    )
+
+
+def _media_quality(s):
+    return s.where(
+        (F.col("ent4") >= MEDIA_MIN_ENT4)
+        & (F.col("n_bytes") >= MEDIA_MIN_BYTES)
+    )
+
+
+_W_MEDIA_EXACT = None  # built lazily (Window needs an active session)
+
+
+def _w_media_exact():
+    from pyspark.sql.window import Window as W
+
+    return W.partitionBy("media_type", "bh").orderBy("media_id")
+
+
+def build_media_state(media_slice):
+    """Scratch-build the media curation pipeline's at-rest artifact
+    state: M1 per-item stats, the deduped keeper table, M2 hamming band
+    index, M3 confirmed pair list — each a materialized leaf standing
+    in for a stored table. The keep-list (M4) is derived per state by
+    :func:`media_keep`."""
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        PERCEPTUAL_HASH_BITS,
+    )
+    from eurostat_energy_etl_pipeline_spark.plans import at_rest
+
+    stats = at_rest(_media_stats(media_slice))  # M1
+    dd = at_rest(
+        _media_quality(stats)
+        .withColumn("rn", F.row_number().over(_w_media_exact()))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bands = at_rest(  # M2
+        D.hamming_bands(
+            dd,
+            id_col="media_id",
+            sig_col="ahash",
+            sig_bits=PERCEPTUAL_HASH_BITS,
+            band_bits=15,
+            key_cols=("media_type",),
+        )
+    )
+    pairs = at_rest(  # M3
+        D.hamming_band_pairs(
+            dd,
+            id_col="media_id",
+            sig_col="ahash",
+            sig_bits=PERCEPTUAL_HASH_BITS,
+            band_bits=15,
+            max_hamming=3,
+            key_cols=("media_type",),
+        ).select("id_a", "id_b")
+    )
+    return {"stats": stats, "dd": dd, "bands": bands, "pairs": pairs}
+
+
+def fold_media_batch(state, media_batch):
+    """Fold one ingest tick into the media artifact state: decode ONLY
+    the batch payloads, probe the stored exact/band indexes, reuse
+    old-old edges verbatim (an edge is pairwise — provably unchanged by
+    appends), and materialize the merged artifacts as leaves (they ARE
+    tomorrow's stored tables — the r13 steady-state lesson)."""
+    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
+        PERCEPTUAL_HASH_BITS,
+    )
+    from eurostat_energy_etl_pipeline_spark.plans import at_rest
+
+    d_stats = at_rest(_media_stats(media_batch))
+    ddn = at_rest(
+        _media_quality(d_stats)
+        .join(
+            state["dd"].select("media_type", "bh"),
+            ["media_type", "bh"],
+            "left_anti",
+        )
+        .withColumn("rn", F.row_number().over(_w_media_exact()))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kw = dict(
+        id_col="media_id",
+        sig_col="ahash",
+        sig_bits=PERCEPTUAL_HASH_BITS,
+        band_bits=15,
+        key_cols=("media_type",),
+    )
+    cross = D.hamming_probe_pairs(
+        state["bands"], ddn, max_hamming=3, **kw
+    ).select("id_a", "id_b")
+    self_new = D.hamming_band_pairs(ddn, max_hamming=3, **kw).select(
+        "id_a", "id_b"
+    )
+    return {
+        "stats": at_rest(state["stats"].unionByName(d_stats)),
+        "dd": at_rest(state["dd"].unionByName(ddn)),
+        "bands": at_rest(state["bands"].unionByName(D.hamming_bands(ddn, **kw))),
+        "pairs": at_rest(
+            state["pairs"].unionByName(cross).unionByName(self_new)
+        ),
+    }
+
+
+def media_keep(state):
+    """M4 for a state: near-dup survivors — components over the stored
+    pair list (edge grain, 8-byte ids), biggest-payload keeper per
+    cluster (media_id tiebreak), isolated items kept."""
+    from pyspark.sql.window import Window as W
+
+    cc = D.connected_components(state["pairs"], "id_a", "id_b")
+    members = state["dd"].select("media_id", "n_bytes").join(
+        F.broadcast(
+            cc.select(
+                F.col("id").alias("media_id"),
+                F.col("component").alias("cluster_id"),
+            )
+        ),
+        "media_id",
+    )
+    wc = W.partitionBy("cluster_id").orderBy(F.desc("n_bytes"), "media_id")
+    drops = (
+        members.withColumn("krn", F.row_number().over(wc))
+        .where(F.col("krn") >= 2)
+        .select("media_id")
+    )
+    return state["dd"].join(F.broadcast(drops), "media_id", "left_anti")
+
+
+def _media_report(media, cut_id, state_prev, state_cur):
+    """q193's 5 accounting rows over the corpus as folded into
+    `state_cur`, plus delta_items (latest-tick survivors) and
+    old_flipped at stage 4 (|prev keep-list Δ (current keep ∩ old)| —
+    the displacement/bridge census)."""
+    from eurostat_energy_etl_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+    from eurostat_energy_etl_pipeline_spark.plans import at_rest
+
+    is_old = F.col("media_id") <= F.lit(cut_id)
+    is_new = F.col("media_id") > F.lit(cut_id)
+    a_keep = at_rest(media_keep(state_prev).select("media_id"))  # M4
+    nd = at_rest(media_keep(state_cur))
+    flip4 = (
+        a_keep.unionAll(nd.where(is_old).select("media_id"))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("old_flipped"))
+    )
+    bins = (
+        pack_sequences(
+            nd,
+            F.col("n_bytes"),
+            budget=MEDIA_PACK_BYTES,
+            shard_col="media_type",
+            order_col="media_id",
+        )
+        .groupBy("media_type", "bin_id")
+        .agg(F.sum("n_bytes").cast("long").alias("bin_bytes"))
+    )
+
+    def mrow(stage, label, df, flipped=None, bytes_col="n_bytes",
+             delta_cond=None):
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("items"),
+            F.coalesce(F.sum(bytes_col), F.lit(0))
+            .cast("long")
+            .alias("bytes"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        delta_cond if delta_cond is not None else is_new,
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("delta_items"),
+        ).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(label).alias("label"),
+            "items",
+            "bytes",
+            "delta_items",
+        )
+        if flipped is None:
+            return row.withColumn("old_flipped", F.lit(0).cast("long"))
+        return row.crossJoin(F.broadcast(flipped))
+
+    funnel = (
+        mrow(1, "input", media)
+        .unionByName(mrow(2, "byte_quality", _media_quality(state_cur["stats"])))
+        .unionByName(mrow(3, "exact_dedup", state_cur["dd"]))
+        .unionByName(mrow(4, "near_dedup", nd, flipped=flip4))
+        .unionByName(
+            mrow(
+                5,
+                "shard_pack",
+                bins,
+                bytes_col="bin_bytes",
+                delta_cond=F.lit(False),
+            )
+        )
+    )
+    return funnel.transform(presentation_sort, "stage")
+
+
 @query(
     "q195_incremental_media",
     oracle=_MEDIA_SIG_CTES.replace("WITH b AS", "WITH RECURSIVE b AS", 1)
@@ -3666,220 +3900,59 @@ def q195(spark, sf_dir):
     contract). Scale shape: payloads never shuffle and the base
     payloads are never re-read; every probe joins fixed-width keys;
     both component runs shuffle 8-byte node ids."""
-    from pyspark.sql.window import Window as W
-
-    from eurostat_energy_etl_pipeline_spark.operators.multimodal import (
-        PERCEPTUAL_HASH_BITS,
-        media_byte_quality,
-        media_signatures,
-    )
-    from eurostat_energy_etl_pipeline_spark.operators.packing import (
-        pack_sequences,
-    )
-    from eurostat_energy_etl_pipeline_spark.plans import at_rest
-
     t = load_tables(spark, sf_dir)
     media = pin(media_table(t["documents"]))  # the ONE documents scan
     max_id = media.agg(F.max("media_id")).first()[0]
     cut_id = (max_id * 9) // 10 if max_id is not None else -1
     is_old = F.col("media_id") <= F.lit(cut_id)
+    state0 = build_media_state(media.where(is_old))
+    state1 = fold_media_batch(state0, media.where(~is_old))
+    return _media_report(media, cut_id, state0, state1)
 
-    def stats_of(m):
-        return (
-            media_signatures(m)
-            .select("media_id", "media_type", "n_bytes", "ahash")
-            .join(
-                media_byte_quality(m).select(
-                    "media_id",
-                    portable_round("byte_entropy", 4).alias("ent4"),
-                ),
-                "media_id",
-            )
-            .join(
-                m.select("media_id", F.sha2("payload", 256).alias("bh")),
-                "media_id",
-            )
-        )
 
-    def quality(s):
-        return s.where(
-            (F.col("ent4") >= MEDIA_MIN_ENT4)
-            & (F.col("n_bytes") >= MEDIA_MIN_BYTES)
-        )
+@query(
+    "q199_multitick_media",
+    oracle=_MEDIA_SIG_CTES.replace("WITH b AS", "WITH RECURSIVE b AS", 1)
+    + _MEDIA_FUNNEL_CTES
+    + _MEDIA_INCR_CTES,
+)
+def q199(spark, sf_dir):
+    """MULTI-TICK CLOSURE at MEDIA grain (VERDICT r13 item 1, "same
+    question for q195"): certify fold(fold(base, b1), b2) == scratch
+    for the media curation fold. The corpus splits 80/10/10 by
+    media_id: `build_media_state` on the bottom 80%, `fold_media_batch`
+    for (80%, 90%], the SAME fold again for (90%, max] — tick 2 decodes
+    only its own payloads and consumes ONLY tick 1's merged leaves
+    (stats, keeper table, band index, pair list), exactly as tomorrow's
+    pipeline consumes today's stored tables. The closure risk this
+    kills at media grain: a tick-2 item whose bands probe the MERGED
+    index must find tick-1 neighbors (a band-merge bug silently loses
+    cross-tick near-dups), and old-old edges reused across two merges
+    must still produce the exact component set.
 
-    # ---- yesterday's artifacts (base payloads decoded ONCE, here) ----
-    a_stats = at_rest(stats_of(media.where(is_old)))  # M1
-    w_ex = W.partitionBy("media_type", "bh").orderBy("media_id")
-    ddo = (
-        quality(a_stats)
-        .withColumn("rn", F.row_number().over(w_ex))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    a_bands = at_rest(  # M2
-        D.hamming_bands(
-            ddo,
-            id_col="media_id",
-            sig_col="ahash",
-            sig_bits=PERCEPTUAL_HASH_BITS,
-            band_bits=15,
-            key_cols=("media_type",),
-        )
-    )
-    a_pairs = at_rest(  # M3
-        D.hamming_band_pairs(
-            ddo,
-            id_col="media_id",
-            sig_col="ahash",
-            sig_bits=PERCEPTUAL_HASH_BITS,
-            band_bits=15,
-            max_hamming=3,
-            key_cols=("media_type",),
-        ).select("id_a", "id_b")
-    )
-    ccb = D.connected_components(a_pairs, "id_a", "id_b")
-    membersb = ddo.select("media_id", "n_bytes").join(
-        F.broadcast(
-            ccb.select(
-                F.col("id").alias("media_id"),
-                F.col("component").alias("cluster_id"),
-            )
+    Output contract == q195's (the shared `_media_report` with cut =
+    the 90% boundary) and the oracle is q195's scratch-recompute SQL
+    VERBATIM, so the driver hash match proves the two-tick path lands
+    bit-identically on the same ground truth — with q195's own check,
+    fold(fold(base, b1), b2) == fold(base, b1 ∪ b2) == scratch
+    (tests/test_round14_ops.py also asserts the first equality
+    DataFrame-to-DataFrame). Induction then gives day-N correctness.
+
+    Scale shape: per tick identical to q195 — payloads never shuffle,
+    base payloads never re-decode, probes join fixed-width keys,
+    components run at edge grain."""
+    t = load_tables(spark, sf_dir)
+    media = pin(media_table(t["documents"]))  # the ONE documents scan
+    max_id = media.agg(F.max("media_id")).first()[0]
+    mx = max_id if max_id is not None else 0
+    cut80 = (mx * 8) // 10
+    cut90 = (mx * 9) // 10
+    state0 = build_media_state(media.where(F.col("media_id") <= cut80))
+    state1 = fold_media_batch(
+        state0,
+        media.where(
+            (F.col("media_id") > cut80) & (F.col("media_id") <= cut90)
         ),
-        "media_id",
     )
-    wc = W.partitionBy("cluster_id").orderBy(F.desc("n_bytes"), "media_id")
-    dropsb = (
-        membersb.withColumn("krn", F.row_number().over(wc))
-        .where(F.col("krn") >= 2)
-        .select("media_id")
-    )
-    a_keep = at_rest(  # M4
-        ddo.join(F.broadcast(dropsb), "media_id", "left_anti").select(
-            "media_id"
-        )
-    )
-
-    # ---- today's batch: decode + probe only ----
-    # today's stats table — decoded once, read by ddn AND the stage-2
-    # census (lazy, the delta kernels would re-run per execution)
-    d_stats = at_rest(stats_of(media.where(~is_old)))
-    ddn = (
-        quality(d_stats)
-        .join(ddo.select("media_type", "bh"), ["media_type", "bh"], "left_anti")
-        .withColumn("rn", F.row_number().over(w_ex))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    cross = D.hamming_probe_pairs(
-        a_bands,
-        ddn,
-        id_col="media_id",
-        sig_col="ahash",
-        sig_bits=PERCEPTUAL_HASH_BITS,
-        band_bits=15,
-        max_hamming=3,
-        key_cols=("media_type",),
-    ).select("id_a", "id_b")
-    self_new = D.hamming_band_pairs(
-        ddn,
-        id_col="media_id",
-        sig_col="ahash",
-        sig_bits=PERCEPTUAL_HASH_BITS,
-        band_bits=15,
-        max_hamming=3,
-        key_cols=("media_type",),
-    ).select("id_a", "id_b")
-    edges = a_pairs.unionByName(cross).unionByName(self_new)
-    cc = D.connected_components(edges, "id_a", "id_b")
-    # leaves, not pins (the q192 lesson): the merged tables feed the
-    # stage aggregates, the member join, the flip census and the pack —
-    # as lazy pins their chains re-execute under cache-eviction
-    # pressure; they are also tomorrow's at-rest tables.
-    from eurostat_energy_etl_pipeline_spark.plans import at_rest as _ar
-
-    dd_full = _ar(ddo.unionByName(ddn))
-    members = dd_full.select("media_id", "n_bytes").join(
-        F.broadcast(
-            cc.select(
-                F.col("id").alias("media_id"),
-                F.col("component").alias("cluster_id"),
-            )
-        ),
-        "media_id",
-    )
-    drops = (
-        members.withColumn("krn", F.row_number().over(wc))
-        .where(F.col("krn") >= 2)
-        .select("media_id")
-    )
-    nd = _ar(dd_full.join(F.broadcast(drops), "media_id", "left_anti"))
-    flip4 = (
-        a_keep.unionAll(nd.where(is_old).select("media_id"))
-        .groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") == 1)
-        .agg(F.count(F.lit(1)).cast("long").alias("old_flipped"))
-    )
-    bins = (
-        pack_sequences(
-            nd,
-            F.col("n_bytes"),
-            budget=MEDIA_PACK_BYTES,
-            shard_col="media_type",
-            order_col="media_id",
-        )
-        .groupBy("media_type", "bin_id")
-        .agg(F.sum("n_bytes").cast("long").alias("bin_bytes"))
-    )
-
-    is_new = F.col("media_id") > F.lit(cut_id)
-
-    def mrow(stage, label, df, flipped=None, bytes_col="n_bytes",
-             delta_cond=None):
-        row = df.agg(
-            F.count(F.lit(1)).cast("long").alias("items"),
-            F.coalesce(F.sum(bytes_col), F.lit(0))
-            .cast("long")
-            .alias("bytes"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        delta_cond if delta_cond is not None else is_new,
-                        1,
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("delta_items"),
-        ).select(
-            F.lit(stage).cast("long").alias("stage"),
-            F.lit(label).alias("label"),
-            "items",
-            "bytes",
-            "delta_items",
-        )
-        if flipped is None:
-            return row.withColumn("old_flipped", F.lit(0).cast("long"))
-        return row.crossJoin(F.broadcast(flipped))
-
-    funnel = (
-        mrow(1, "input", media)
-        .unionByName(
-            mrow(2, "byte_quality", quality(a_stats).unionByName(
-                quality(d_stats)
-            ))
-        )
-        .unionByName(mrow(3, "exact_dedup", dd_full))
-        .unionByName(mrow(4, "near_dedup", nd, flipped=flip4))
-        .unionByName(
-            mrow(
-                5,
-                "shard_pack",
-                bins,
-                bytes_col="bin_bytes",
-                delta_cond=F.lit(False),
-            )
-        )
-    )
-    return funnel.transform(presentation_sort, "stage")
+    state2 = fold_media_batch(state1, media.where(F.col("media_id") > cut90))
+    return _media_report(media, cut90, state1, state2)

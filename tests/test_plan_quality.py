@@ -836,6 +836,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q194_source_containment",
         "q195_incremental_media",
         "q198_incremental_containment",
+        "q199_multitick_media",
     ]
     sc = spark.sparkContext
 
@@ -1162,6 +1163,19 @@ def test_q195_incremental_media_artifact_leaves(spark, queries):
     # the broadcast probe/drop joins run during artifact materialization
     # (build time), so the RETURNED plan is leaf censuses — nothing
     # quadratic may survive into it
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q199_multitick_media_artifact_leaves(spark, queries):
+    """q195's O(delta) contract must survive the second media fold:
+    still ONE documents scan (both ticks slice the same pinned media
+    table), all tick-1 AND tick-2 artifacts are leaves, and nothing
+    quadratic or single-partition survives into the returned plan."""
+    plan = plan_of(queries["q199_multitick_media"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 1
+    assert "Scan ExistingRDD" in plan  # the at-rest artifacts
+    assert "InMemoryTableScan" in plan  # the pinned media scan
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
 

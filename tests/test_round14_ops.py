@@ -309,6 +309,24 @@ def test_q198_equals_q194_row_for_row(spark):
     assert folded == scratch
 
 
+def test_q199_equals_q195_row_for_row(spark):
+    """Media-grain closure: q199's two-tick fold must equal q195's
+    one-shot fold on every column (stage accounting, delta_items,
+    old_flipped vs the 90% state) — fold(fold(base, b1), b2) ==
+    fold(base, b1 ∪ b2), which with each query's scratch oracle closes
+    the composition triangle at media grain."""
+    from eurostat_energy_etl_pipeline_spark.plans import QUERIES, load_all
+
+    load_all()
+    one_shot = sorted(
+        map(tuple, QUERIES["q195_incremental_media"](spark, SF_DIR).collect())
+    )
+    two_tick = sorted(
+        map(tuple, QUERIES["q199_multitick_media"](spark, SF_DIR).collect())
+    )
+    assert two_tick == one_shot
+
+
 def test_q196_equals_q192_row_for_row(spark):
     """fold(fold(base, b1), b2) == fold(base, b1 ∪ b2) on the REGISTERED
     queries: q196's two-tick report must equal q192's one-shot fold on
