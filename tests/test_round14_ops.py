@@ -288,6 +288,40 @@ def test_deletion_fold_planted_non_monotone_effects(spark):
     assert not m1[14]["is_delta"]  # carried over, not re-written
 
 
+def test_media_fold_from_parquet_reload_matches_warm_fold(spark, tmp_path):
+    """Restart safety at media grain: write every tick-1 media artifact
+    (stats, keeper table, band index, pair list) to parquet, reload,
+    fold tick 2 from the reloaded tables, and require the merged state
+    AND the derived keep-list to match the warm-leaf fold exactly."""
+    from eurostat_energy_etl_pipeline_spark.catalog import load_tables
+    from eurostat_energy_etl_pipeline_spark.plans.northstar import (
+        build_media_state,
+        fold_media_batch,
+        media_keep,
+        media_table,
+    )
+
+    media = media_table(load_tables(spark, SF_DIR)["documents"])
+    max_id = media.agg(F.max("media_id")).first()[0]
+    cut = (max_id * 9) // 10
+    s0 = build_media_state(media.where(F.col("media_id") <= cut))
+    batch = media.where(F.col("media_id") > cut)
+    warm = fold_media_batch(s0, batch)
+    reloaded = {}
+    for key, df in s0.items():
+        path = str(tmp_path / key)
+        df.write.mode("overwrite").parquet(path)
+        reloaded[key] = spark.read.parquet(path)
+    cold = fold_media_batch(reloaded, batch)
+    for key in ("stats", "dd", "bands", "pairs"):
+        assert sorted(map(tuple, cold[key].collect())) == sorted(
+            map(tuple, warm[key].collect())
+        ), key
+    assert sorted(
+        r["media_id"] for r in media_keep(cold).collect()
+    ) == sorted(r["media_id"] for r in media_keep(warm).collect())
+
+
 def test_q198_equals_q194_row_for_row(spark):
     """The containment fold lands on the batch recompute exactly:
     q198 (at-rest memberships + pair counts + totals, delta folded via
