@@ -39,58 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
     # never driver-checked (new this round)
-    "q192_incremental_funnel",
-    "q193_media_funnel",
-    "q194_source_containment",
-    "q195_incremental_media",
-    # last driver-checked in round 8
-    "q49_sequence_pack",
-    "q50_doc_chunks",
-    "q69_salted_join_agg",
-    "q77_anomaly_zscore",
-    "q84_shipping_revenue",
-    "q86_join_skew_profile",
-    "q_dash_between_top10",
-    "q_dash_country_series",
-    "q_dash_domains",
-    "q_dash_heatmap",
-    "q_dash_pivot_types",
-    "q_dash_top10_latest",
-    "q_dash_year_range",
-    "q_dq_probes",
-    "q_stream_attribution",
-    "q_stream_dedup",
-    "q_stream_running_totals",
-    "q_stream_screen",
+    "q196_multitick_funnel",
+    "q197_deletion_fold",
+    "q198_incremental_containment",
+    "q199_multitick_media",
     # last driver-checked in round 9
-    "q122_pmi_collocations",
-    "q123_benford_audit",
-    "q124_interarrival_stats",
-    "q125_novelty_rate",
-    "q126_centroid_similarity",
-    "q127_pca_power",
-    "q128_kmv_set_ops",
-    "q129_mad_outliers",
-    "q130_ks_drift",
-    "q131_gini_concentration",
-    "q132_sorted_neighborhood",
-    "q133_basket_pairs",
-    "q134_twap",
-    "q135_weighted_quantiles",
-    "q136_hll_audit",
-    "q137_truncation_audit",
-    "q138_bloom_join",
-    "q139_table_checksum",
-    "q140_chi_square",
-    "q51_pii_scan",
-    "q52_decontaminate",
-    "q53_quality_deciles",
-    "q54_token_percentiles",
-    "q55_label_cohesion",
-    "q56_tombstone_delete",
-    "q57_mixture_weights",
-    "q58_repetition_ratio",
-    "q59_cross_source_overlap",
     "q60_global_ids",
     "q61_canonical_docs",
     "q62_json_props",
@@ -264,6 +217,57 @@ _DRIVER_CHECK_PRIORITY = [
     "q_stream_scd2",
     "q_stream_sessionize",
     "q_stream_tumbling",
+    # last driver-checked in round 13
+    "q122_pmi_collocations",
+    "q123_benford_audit",
+    "q124_interarrival_stats",
+    "q125_novelty_rate",
+    "q126_centroid_similarity",
+    "q127_pca_power",
+    "q128_kmv_set_ops",
+    "q129_mad_outliers",
+    "q130_ks_drift",
+    "q131_gini_concentration",
+    "q132_sorted_neighborhood",
+    "q133_basket_pairs",
+    "q134_twap",
+    "q135_weighted_quantiles",
+    "q136_hll_audit",
+    "q137_truncation_audit",
+    "q138_bloom_join",
+    "q139_table_checksum",
+    "q140_chi_square",
+    "q192_incremental_funnel",
+    "q193_media_funnel",
+    "q194_source_containment",
+    "q195_incremental_media",
+    "q49_sequence_pack",
+    "q50_doc_chunks",
+    "q51_pii_scan",
+    "q52_decontaminate",
+    "q53_quality_deciles",
+    "q54_token_percentiles",
+    "q55_label_cohesion",
+    "q56_tombstone_delete",
+    "q57_mixture_weights",
+    "q58_repetition_ratio",
+    "q59_cross_source_overlap",
+    "q69_salted_join_agg",
+    "q77_anomaly_zscore",
+    "q84_shipping_revenue",
+    "q86_join_skew_profile",
+    "q_dash_between_top10",
+    "q_dash_country_series",
+    "q_dash_domains",
+    "q_dash_heatmap",
+    "q_dash_pivot_types",
+    "q_dash_top10_latest",
+    "q_dash_year_range",
+    "q_dq_probes",
+    "q_stream_attribution",
+    "q_stream_dedup",
+    "q_stream_running_totals",
+    "q_stream_screen",
 ]
 
 
