@@ -1586,8 +1586,15 @@ def build_deletion_state(train_slim, bench_keys):
         .where(F.col("rn") == 1)
         .drop("rn", "h")
     )
+    # min_count=1 STORAGE (every occurrence, the suffix-array-at-rest
+    # contract): cut == (rk >= 2) stays exact — a rank-2 occurrence
+    # implies count >= 2 — and unlike the cnt>=2-filtered form the index
+    # is APPEND-maintainable: a batch occurrence of a gram the corpus
+    # held once must cut (corpus count reaches 2), which requires the
+    # surviving rank-1 occurrence to already be stored (fold_append
+    # never re-reads base docs). Deletion folding is unchanged.
     occ_idx = _at_rest(
-        span_occurrence_index(dd0, k=CUT_K, min_count=2, text_col="ntext")
+        span_occurrence_index(dd0, k=CUT_K, min_count=1, text_col="ntext")
     )
     cut0 = _at_rest(
         cut_duplicated_spans(dd0, k=CUT_K, min_count=2, text_col="ntext")
@@ -1643,12 +1650,11 @@ def fold_deletion(state, train_slim, bench_keys, del_ids):
         .select("gh", "doc_id", "pos")
         .unionByName(res_occ.select("gh", "doc_id", "pos"))
     )
-    w_cnt = Window.partitionBy("gh")
     w_first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    # every surviving occurrence is stored back (min_count=1 storage);
+    # cut == rk >= 2 (rank 2 implies count 2 — no cnt column needed)
     new_t = _at_rest(
-        t_all.withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
-        .withColumn("rk", F.row_number().over(w_first))
-        .where(F.col("cnt") >= 2)
+        t_all.withColumn("rk", F.row_number().over(w_first))
         .select("gh", "doc_id", "pos", (F.col("rk") >= 2).alias("cut"))
     )
     keep_untouched = keep_occ.join(touched, "gh", "left_anti")
@@ -1705,71 +1711,97 @@ def fold_deletion(state, train_slim, bench_keys, del_ids):
     return new_state, {"res": res, "aff": aff}
 
 
-@query("q197_deletion_fold", oracle=_DELETE_SQL)
-def q197(spark, sf_dir):
-    """DELETION folding through the curation artifacts (VERDICT r13
-    item 2) — the right-to-be-forgotten pass a 100 TB pipeline runs
-    daily, and the one operation an append-only design cannot express.
-    Tombstones: train docs with doc_id % 7 == 3. Yesterday's artifacts
-    (full-corpus funnel state, each a materialized leaf): the
-    (h, doc_id) HASH MAP (q63's dedup-index shape — bare distinct
-    hashes cannot resurrect), the occurrence-grain
-    `span_occurrence_index` (gh, doc_id, pos, cut), the benchmark
-    shingle index, and the text-free doc-grain metadata.
+def fold_deletion_append(state, new_train, bench_keys):
+    """APPEND fold for the deletion-artifact family — the missing
+    direction that makes {build, append, delete} a closed lifecycle
+    over ONE artifact set (q200). O(batch) against the at-rest tables:
 
-    The fold, each step O(touched), never a corpus re-scan:
-      1. RESURRECTION — hash groups whose keeper was deleted re-run
-         keep-first over the surviving (h, doc_id) rows only;
-      2. UN-CUT — deleted keepers' occurrence rows leave the index,
-         resurrected duplicates' occurrences (re-derived from their own
-         text, O(resurrected)) enter; every occurrence of a TOUCHED
-         gram recomputes (cnt, rk) over the merged survivor set —
-         deletions lower counts below min_count and shift
-         first-occurrence ranks, both flipping cut -> uncut (and a
-         resurrected copy with a larger doc_id can flip a third doc's
-         occurrence either way through rank order). Untouched grams
-         keep their stored cut flags: no occurrence of theirs was
-         added or removed, so (cnt, rk) are provably unchanged;
-      3. REWRITE — only AFFECTED docs (holders of a touched gram, plus
-         resurrections) re-derive text via `rewrite_cut_positions` from
-         (recomputed touched flags) ∪ (stored untouched flags); their
-         quality/diversity/contamination recompute from the new text
-         (grown-back spans can newly contaminate — restored shingles);
-      4. RE-SELECT/RE-PACK at metadata grain over (kept metadata minus
-         deleted minus affected) ∪ (fresh affected rows).
-
-    Output: the 8 stage rows over the SURVIVING corpus plus per-stage
-    certificates — removed_docs (in the stage before, gone now),
-    added_docs (absent before: resurrections at 3+, boundary moves at
-    7), changed_docs (in both, with different token/char values: the
-    un-cut propagation). The DuckDB oracle recomputes the funnel from
-    scratch TWICE (with and without the tombstones) and derives every
-    certificate from the two per-doc cascades — a hash match IS the
-    incremental-delete == delete-then-recompute differential.
-
-    Scale shape: the occurrence index is O(corpus tokens) but text-free
-    (15-byte hash + two ints + a flag — the same at-rest budget as Lee
-    et al.'s suffix array); the daily fold shuffles only deleted/
-    resurrected/touched rows; the global re-select is the usual
-    ~40 bytes/doc metadata pass through the distributed prefix-sum
-    kernel."""
-    base_all, _max_id = _funnel_input(spark, sf_dir)
-    train = base_all.where(~F.col("is_bench"))
-    bench = base_all.where(F.col("is_bench"))
-    slim = train.select(*_FUNNEL_INPUT_COLS)
-    del_ids = train.where(F.col("doc_id") % 7 == 3).select("doc_id")
-
-    bench_keys = _at_rest(
-        shingle_keys(bench.select(F.col("ntext").alias("text")), k=DECON_K)
+    - hash map: batch rows union in; batch dedup anti-joins the stored
+      hashes (keepers have the smallest ids, so any stored hash
+      shadows a batch duplicate), keep-first within the batch;
+    - occurrence index: append NEVER changes a stored row — an old
+      occurrence's rank among its gram's occurrences is invariant
+      under additions with larger doc_ids, and cut == (rk >= 2)
+      doesn't read the count — so the fold only computes the BATCH
+      rows' global ranks: rank-within-batch plus the stored occurrence
+      count of the gram (an O(touched-grams) probe aggregate). This is
+      exactly why the index stores min_count=1: a gram the corpus held
+      once must cut its second (batch) occurrence, which needs the
+      stored rank-1 row to exist without re-reading the base doc;
+    - metadata: base rows carry over verbatim (base text provably
+      un-re-cut at min_count=2; the benchmark is fixed across the
+      lifecycle, so base contamination is unchanged too); batch rows
+      rewrite via the same `rewrite_cut_positions` kernel from the
+      batch rows' cut flags and probe the stored benchmark keys."""
+    batch = new_train.select(*_FUNNEL_INPUT_COLS)
+    hashed = batch.withColumn("h", F.sha2(F.col("ntext"), 256))
+    new_dd = _at_rest(
+        hashed.join(
+            state["hash_map"].select("h").distinct(), "h", "left_anti"
+        )
+        .withColumn("rn", F.row_number().over(_w_hash()))
+        .where(F.col("rn") == 1)
+        .drop("rn", "h")
     )
-    # yesterday's artifacts over the FULL corpus, then the delete fold
-    state = build_deletion_state(slim, bench_keys)
-    meta0 = state["meta"]
-    sel0 = _budget_select(meta0)
-    new_state, _extras = fold_deletion(state, slim, bench_keys, del_ids)
-    meta_new = new_state["meta"]
-    sel_new = _budget_select(meta_new)
+    new_occ = gram_occurrences(new_dd, k=CUT_K, text_col="ntext")
+    # stored occurrence count per TOUCHED gram (O(touched) aggregate)
+    old_cnt = (
+        state["occ_idx"]
+        .join(new_occ.select("gh").distinct(), "gh", "left_semi")
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("base_occ"))
+    )
+    w_first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    new_rows = _at_rest(
+        new_occ.join(old_cnt, "gh", "left")
+        .withColumn("rkb", F.row_number().over(w_first))
+        .select(
+            "gh",
+            "doc_id",
+            "pos",
+            (F.coalesce(F.col("base_occ"), F.lit(0)) + F.col("rkb") >= 2)
+            .alias("cut"),
+        )
+    )
+    batch_tok = new_dd.select(
+        "doc_id",
+        "lang",
+        "n_tok_norm",
+        "chars_norm",
+        F.col("ntext").alias("_orig"),
+        F.filter(
+            T.whitespace_tokens(F.col("ntext")), lambda x: x != ""
+        ).alias("tk"),
+    )
+    cut_b = _at_rest(
+        rewrite_cut_positions(
+            batch_tok,
+            new_rows.where(F.col("cut")).select("doc_id", "pos"),
+            CUT_K,
+            ["lang", "n_tok_norm", "chars_norm"],
+        )
+    )
+    contam_b = contaminated_ids(cut_b, benchmark_keys=bench_keys, k=DECON_K)
+    return {
+        "hash_map": _at_rest(
+            state["hash_map"].unionByName(hashed.select("doc_id", "h"))
+        ),
+        "occ_idx": _at_rest(state["occ_idx"].unionByName(new_rows)),
+        "meta": _at_rest(
+            state["meta"].unionByName(
+                _doc_meta(cut_b, contam_b, is_delta=True)
+            )
+        ),
+    }
 
+
+def _deletion_report(train, keep_pred, del_ids, meta0, sel0,
+                     meta_new, sel_new):
+    """The q197 certificate + accounting tail, shared with q200:
+    one doc-grain full-outer diff of (pre-delete, post-delete)
+    metadata/selection derives every removed/added/changed
+    certificate; the 8 stage rows aggregate the post-delete
+    state."""
     # ---- certificates: one doc-grain full-outer diff ----
     def _side(meta, sel, p):
         return meta.select(
@@ -1827,7 +1859,7 @@ def q197(spark, sf_dir):
     n_del = del_ids.agg(F.count(F.lit(1)).cast("long").alias("n"))
     certs = _at_rest(certs.crossJoin(n_del))
 
-    train_new = train.where(F.col("doc_id") % 7 != 3)
+    train_new = train.where(keep_pred)
 
     def srow(stage, label, df, tokens_col, chars_col, rc, ac, cc):
         def col_of(x):
@@ -1927,3 +1959,136 @@ def q197(spark, sf_dir):
         )
     )
     return funnel.transform(presentation_sort, "stage")
+
+
+@query("q197_deletion_fold", oracle=_DELETE_SQL)
+def q197(spark, sf_dir):
+    """DELETION folding through the curation artifacts (VERDICT r13
+    item 2) — the right-to-be-forgotten pass a 100 TB pipeline runs
+    daily, and the one operation an append-only design cannot express.
+    Tombstones: train docs with doc_id % 7 == 3. Yesterday's artifacts
+    (full-corpus funnel state, each a materialized leaf): the
+    (h, doc_id) HASH MAP (q63's dedup-index shape — bare distinct
+    hashes cannot resurrect), the occurrence-grain
+    `span_occurrence_index` (gh, doc_id, pos, cut), the benchmark
+    shingle index, and the text-free doc-grain metadata.
+
+    The fold, each step O(touched), never a corpus re-scan:
+      1. RESURRECTION — hash groups whose keeper was deleted re-run
+         keep-first over the surviving (h, doc_id) rows only;
+      2. UN-CUT — deleted keepers' occurrence rows leave the index,
+         resurrected duplicates' occurrences (re-derived from their own
+         text, O(resurrected)) enter; every occurrence of a TOUCHED
+         gram recomputes (cnt, rk) over the merged survivor set —
+         deletions lower counts below min_count and shift
+         first-occurrence ranks, both flipping cut -> uncut (and a
+         resurrected copy with a larger doc_id can flip a third doc's
+         occurrence either way through rank order). Untouched grams
+         keep their stored cut flags: no occurrence of theirs was
+         added or removed, so (cnt, rk) are provably unchanged;
+      3. REWRITE — only AFFECTED docs (holders of a touched gram, plus
+         resurrections) re-derive text via `rewrite_cut_positions` from
+         (recomputed touched flags) ∪ (stored untouched flags); their
+         quality/diversity/contamination recompute from the new text
+         (grown-back spans can newly contaminate — restored shingles);
+      4. RE-SELECT/RE-PACK at metadata grain over (kept metadata minus
+         deleted minus affected) ∪ (fresh affected rows).
+
+    Output: the 8 stage rows over the SURVIVING corpus plus per-stage
+    certificates — removed_docs (in the stage before, gone now),
+    added_docs (absent before: resurrections at 3+, boundary moves at
+    7), changed_docs (in both, with different token/char values: the
+    un-cut propagation). The DuckDB oracle recomputes the funnel from
+    scratch TWICE (with and without the tombstones) and derives every
+    certificate from the two per-doc cascades — a hash match IS the
+    incremental-delete == delete-then-recompute differential.
+
+    Scale shape: the occurrence index is O(corpus tokens) but text-free
+    (15-byte hash + two ints + a flag — the same at-rest budget as Lee
+    et al.'s suffix array); the daily fold shuffles only deleted/
+    resurrected/touched rows; the global re-select is the usual
+    ~40 bytes/doc metadata pass through the distributed prefix-sum
+    kernel."""
+    base_all, _max_id = _funnel_input(spark, sf_dir)
+    train = base_all.where(~F.col("is_bench"))
+    bench = base_all.where(F.col("is_bench"))
+    slim = train.select(*_FUNNEL_INPUT_COLS)
+    del_ids = train.where(F.col("doc_id") % 7 == 3).select("doc_id")
+
+    bench_keys = _at_rest(
+        shingle_keys(bench.select(F.col("ntext").alias("text")), k=DECON_K)
+    )
+    # yesterday's artifacts over the FULL corpus, then the delete fold
+    state = build_deletion_state(slim, bench_keys)
+    meta0 = state["meta"]
+    sel0 = _budget_select(meta0)
+    new_state, _extras = fold_deletion(state, slim, bench_keys, del_ids)
+    meta_new = new_state["meta"]
+    sel_new = _budget_select(meta_new)
+
+    return _deletion_report(
+        train, F.col("doc_id") % 7 != 3, del_ids, meta0, sel0,
+        meta_new, sel_new,
+    )
+
+
+@query("q200_lifecycle_fold", oracle=_DELETE_SQL)
+def q200(spark, sf_dir):
+    """ARTIFACT LIFECYCLE closure — build, APPEND, then DELETE, all
+    through ONE at-rest artifact family, against one scratch oracle.
+    q197 certifies the delete fold from scratch-built artifacts; a
+    real pipeline deletes from artifacts that accumulated through
+    APPENDS. If the append fold leaves the occurrence index, hash map,
+    or metadata in a subtly different shape than a scratch build
+    (missing rank-1 occurrences, wrong batch ranks, stale flags), the
+    NEXT delete silently diverges — exactly the q196/q199 closure bug
+    class, now across operation TYPES rather than ticks.
+
+    Path: `build_deletion_state` on the bottom 90% of doc_ids →
+    `fold_deletion_append` for the top 10% (the state now claims to
+    equal a scratch build over the FULL corpus) → `fold_deletion` of
+    the tombstones (train doc_id % 7 == 3) → q197's report. The
+    oracle is q197's delete-then-recompute SQL VERBATIM: its
+    pre-delete cascade is the full corpus — which the Spark side only
+    reaches THROUGH the append fold — and its post-delete cascade is
+    the survivors, reached through append-then-delete. A hash match
+    therefore proves fold_delete(fold_append(build(base), b)) ==
+    scratch(full ∖ tombstones) with every certificate intact.
+    tests/test_round14_ops.py adds q200 == q197 row-for-row and a
+    planted append-then-delete differential exercising both
+    cross-operation paths: deleting a BASE doc resurrects its BATCH
+    duplicate, and un-cuts a BATCH row whose cut had been caused by
+    the base doc's stored rank-1 occurrence.
+
+    Scale shape: identical per fold to q197/q192 — the append is
+    O(batch) probes (the occurrence-index append touches only the
+    batch's grams: stored rows are rank-invariant under larger-id
+    additions), the delete is O(touched), and base text is read only
+    for affected/resurrected doc_ids."""
+    base_all, max_id = _funnel_input(spark, sf_dir)
+    cut_id = (max_id * 9) // 10
+    train = base_all.where(~F.col("is_bench"))
+    bench = base_all.where(F.col("is_bench"))
+    slim = train.select(*_FUNNEL_INPUT_COLS)
+    del_ids = train.where(F.col("doc_id") % 7 == 3).select("doc_id")
+
+    # the benchmark is FIXED across the lifecycle (q197's oracle shape:
+    # bgr is the full bench split; deletes target train docs only)
+    bench_keys = _at_rest(
+        shingle_keys(bench.select(F.col("ntext").alias("text")), k=DECON_K)
+    )
+    state0 = build_deletion_state(
+        slim.where(F.col("doc_id") <= F.lit(cut_id)), bench_keys
+    )
+    state1 = fold_deletion_append(
+        state0, slim.where(F.col("doc_id") > F.lit(cut_id)), bench_keys
+    )
+    meta0 = state1["meta"]  # the pre-delete FULL-corpus state
+    sel0 = _budget_select(meta0)
+    state2, _extras = fold_deletion(state1, slim, bench_keys, del_ids)
+    meta_new = state2["meta"]
+    sel_new = _budget_select(meta_new)
+    return _deletion_report(
+        train, F.col("doc_id") % 7 != 3, del_ids, meta0, sel0,
+        meta_new, sel_new,
+    )

@@ -832,6 +832,7 @@ def test_pinned_intermediates_release_to_baseline(spark, queries):
         "q192_incremental_funnel",
         "q196_multitick_funnel",
         "q197_deletion_fold",
+        "q200_lifecycle_fold",
         "q193_media_funnel",
         "q194_source_containment",
         "q195_incremental_media",
@@ -1086,6 +1087,21 @@ def test_q197_deletion_fold_one_scan_touched_grain(spark, queries):
     fixed-width keys — SMJ allowed there (leaf RDDs carry no stats and
     corpus-sized indexes don't broadcast at 100 TB)."""
     plan = plan_of(queries["q197_deletion_fold"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 1
+    assert "Scan ExistingRDD" in plan  # the at-rest artifacts
+    assert "InMemoryTableScan" in plan  # the pinned shared scan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q200_lifecycle_fold_one_scan_touched_grain(spark, queries):
+    """q197's O(touched) contract must survive the preceding append
+    fold: still ONE documents scan (build, append, and delete all
+    slice the same pinned scan), every artifact generation is a
+    materialized leaf, no cartesian, no single-partition exchange, no
+    range partitioning."""
+    plan = plan_of(queries["q200_lifecycle_fold"](spark, SF_DIR))
     assert plan.count("documents.parquet") == 1
     assert "Scan ExistingRDD" in plan  # the at-rest artifacts
     assert "InMemoryTableScan" in plan  # the pinned shared scan

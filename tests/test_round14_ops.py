@@ -288,6 +288,120 @@ def test_deletion_fold_planted_non_monotone_effects(spark):
     assert not m1[14]["is_delta"]  # carried over, not re-written
 
 
+# ---------------------------------------------------------------------------
+# q200 lifecycle — append fold then delete fold over one artifact set
+# ---------------------------------------------------------------------------
+
+DUPTXT = "plain duplicate content shared across the append boundary here"
+LC_BASE = [
+    (1, DUPTXT),
+    (3, f"base document carries {SPAN_B} before the append happens"),
+    (5, "independent base document with nothing repeated anywhere at all"),
+]
+LC_BATCH = [
+    # duplicates BASE doc 1: shadowed by the append's hash probe; the
+    # later DELETE of doc 1 must resurrect it (cross-operation path 1)
+    (21, DUPTXT),
+    # repeats BASE doc 3's span: the append must cut it using the STORED
+    # rank-1 occurrence (min_count=1 storage); the later DELETE of doc 3
+    # must UN-cut it (cross-operation path 2)
+    (23, f"appended document repeats {SPAN_B} after the append happens"),
+    (25, "freshly appended document with its own unique vocabulary only"),
+]
+LC_DEL = [1, 3]
+
+
+def _lc_setup(spark):
+    from eurostat_energy_etl_pipeline_spark.operators.dedup import (
+        shingle_keys,
+    )
+    from eurostat_energy_etl_pipeline_spark.plans import at_rest
+    from eurostat_energy_etl_pipeline_spark.plans.funnel import (
+        build_deletion_state,
+        fold_deletion,
+        fold_deletion_append,
+    )
+
+    bench_keys = at_rest(
+        shingle_keys(
+            _slice(spark, DEL_BENCH).select(F.col("ntext").alias("text")),
+            k=4,
+        )
+    )
+    s0 = build_deletion_state(_slice(spark, LC_BASE), bench_keys)
+    s1 = fold_deletion_append(s0, _slice(spark, LC_BATCH), bench_keys)
+    full = _slice(spark, LC_BASE + LC_BATCH)
+    del_ids = spark.createDataFrame([(i,) for i in LC_DEL], "doc_id long")
+    s2, extras = fold_deletion(s1, full, bench_keys, del_ids)
+    return s1, s2, extras, bench_keys
+
+
+def test_append_fold_equals_scratch_state(spark):
+    """fold_deletion_append(build(base), batch) == build(base ∪ batch)
+    on every artifact — hash map, occurrence index (cut flags
+    included), metadata. The planted rows force the stored-rank path
+    (doc 23 cut via base doc 3's stored rank-1 occurrence) and the
+    cross-boundary hash shadow (doc 21)."""
+    from eurostat_energy_etl_pipeline_spark.plans.funnel import (
+        build_deletion_state,
+    )
+
+    s1, _s2, _ex, bench_keys = _lc_setup(spark)
+    scratch = build_deletion_state(
+        _slice(spark, LC_BASE + LC_BATCH), bench_keys
+    )
+    assert _meta_rows(s1) == _meta_rows(scratch)
+    for key in ("hash_map", "occ_idx"):
+        assert sorted(map(tuple, s1[key].collect())) == sorted(
+            map(tuple, scratch[key].collect())
+        ), key
+    m1 = {r["doc_id"]: r for r in s1["meta"].collect()}
+    assert 21 not in m1  # shadowed across the append boundary
+    assert m1[23]["tokens_after"] == m1[23]["n_tok_norm"] - 8  # stored rank
+    assert m1[3]["tokens_after"] == m1[3]["n_tok_norm"]  # base rank-1 kept
+
+
+def test_delete_after_append_equals_scratch_on_survivors(spark):
+    """The full lifecycle: fold_delete(fold_append(build(base), b)) ==
+    build((base ∪ b) ∖ tombstones) — deleting base docs must resurrect
+    a BATCH duplicate (doc 21) and UN-cut a BATCH row whose cut was
+    caused by a base occurrence (doc 23), i.e. the two folds' artifact
+    shapes compose exactly."""
+    from eurostat_energy_etl_pipeline_spark.plans.funnel import (
+        build_deletion_state,
+    )
+
+    _s1, s2, extras, bench_keys = _lc_setup(spark)
+    survivors = [r for r in LC_BASE + LC_BATCH if r[0] not in LC_DEL]
+    scratch = build_deletion_state(_slice(spark, survivors), bench_keys)
+    assert _meta_rows(s2) == _meta_rows(scratch)
+    for key in ("hash_map", "occ_idx"):
+        assert sorted(map(tuple, s2[key].collect())) == sorted(
+            map(tuple, scratch[key].collect())
+        ), key
+    m2 = {r["doc_id"]: r for r in s2["meta"].collect()}
+    assert set(m2) == {5, 21, 23, 25}
+    assert [r["doc_id"] for r in extras["res"].collect()] == [21]
+    assert m2[23]["tokens_after"] == m2[23]["n_tok_norm"]  # un-cut
+    assert m2[21]["tokens_after"] == m2[21]["n_tok_norm"]
+
+
+def test_q200_equals_q197_row_for_row(spark):
+    """The registered lifecycle query must equal q197 on every column:
+    both report the same delete against the same full-corpus state —
+    q197 scratch-builds it, q200 reaches it through the append fold."""
+    from eurostat_energy_etl_pipeline_spark.plans import QUERIES, load_all
+
+    load_all()
+    scratch_path = sorted(
+        map(tuple, QUERIES["q197_deletion_fold"](spark, SF_DIR).collect())
+    )
+    lifecycle = sorted(
+        map(tuple, QUERIES["q200_lifecycle_fold"](spark, SF_DIR).collect())
+    )
+    assert lifecycle == scratch_path
+
+
 def test_media_fold_from_parquet_reload_matches_warm_fold(spark, tmp_path):
     """Restart safety at media grain: write every tick-1 media artifact
     (stats, keeper table, band index, pair list) to parquet, reload,

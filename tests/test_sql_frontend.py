@@ -147,6 +147,7 @@ DUCKDB_ONLY = {
     "q197_deletion_fold",       # q185 idioms + FULL JOIN cert diff
     "q198_incremental_containment",  # q194's oracle verbatim
     "q199_multitick_media",     # q195's oracle verbatim (same idioms)
+    "q200_lifecycle_fold",      # q197's oracle verbatim (same idioms)
 }
 
 
