@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
     # never driver-checked (new this round)
+    "q200_lifecycle_fold",
     "q196_multitick_funnel",
     "q197_deletion_fold",
     "q198_incremental_containment",

@@ -18,6 +18,7 @@ from eurostat_energy_etl_pipeline_spark.functions.parallelism import (
     widen_if_narrow,
 )
 from eurostat_energy_etl_pipeline_spark.functions.presentation import (
+    ordered_output,
     presentation_sort,
 )
 
@@ -26,6 +27,7 @@ __all__ = [
     "exact_sum",
     "portable_round",
     "portable_round_sql",
+    "ordered_output",
     "presentation_sort",
     "rolling_mean_min_periods",
     "rolling_std_min_periods",

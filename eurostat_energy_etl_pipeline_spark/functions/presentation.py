@@ -33,3 +33,42 @@ def presentation_sort(df: DataFrame, *cols: str | Column) -> DataFrame:
     (no range-sample job, no range exchange). See module docstring for
     when this is safe."""
     return df.coalesce(1).sortWithinPartitions(*cols)
+
+
+def ordered_output(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """Total ordering for ROW-LEVEL results whose producing subtree is
+    expensive — the case `presentation_sort` excludes.
+
+    `orderBy` on such a result plans a range exchange whose partitioner
+    SAMPLES the child by executing it: with AQE off (the autotuned
+    interactive regime) the whole expensive subtree runs twice per
+    action (guide §7.2 — the classic global-sort double execution;
+    measured on q87's kNN kernel: 0.95 s with `orderBy` vs 0.50 s for
+    the unsorted kernel at sf0.1). `coalesce(1)` is no better here: a
+    narrow dependency would pull the expensive subtree itself into one
+    task (the q107 49-s regression noted in its docstring).
+
+    Fix, scale-adaptively:
+
+    - interactive regime (the session's static shuffle width is below
+      the core count — exactly `autotune_for_input`'s small-input
+      branch, where AQE is off and results are test-scale): ONE
+      round-robin exchange to a single partition + an in-partition
+      sort. The child executes once at full parallelism; only the
+      O(|result|) merge is single-task.
+    - warehouse regime (shuffle width >= cores — AQE on): keep the
+      parallel range sort. A row-level result can be corpus-grain
+      there, a single-task merge would bottleneck, and AQE's stage
+      materialization already de-duplicates the sampling pass.
+
+    Output rows and their total order are identical on both paths; the
+    hostile-config sweep (driver_sim --weird / --autotune) certifies
+    both."""
+    spark = df.sparkSession
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return df.orderBy(*cols)
+    if width < spark.sparkContext.defaultParallelism:
+        return df.repartition(1).sortWithinPartitions(*cols)
+    return df.orderBy(*cols)

@@ -1302,13 +1302,28 @@ def prefix_jaccard_join(
     Returns (id_a, id_b, jacc) with jacc on the 1e-6 grid, id_a < id_b,
     UNORDERED (a pair list is corpus-grain; callers needing a
     presentation order sort the small filtered result themselves).
+
+    r14 optimization (guide §1.2/§5): the hashed-shingle-set table feeds
+    FOUR consumers in one plan (the df_ aggregate, the rarity ranking,
+    and both verify sides) and the prefix table feeds both sides of the
+    candidate self-join — unpinned, Spark replayed the tokenize+shingle+
+    xxhash subtree for each consumer (the single most expensive scan in
+    the whole bench). Pinning both (text-free, fixed-width hash arrays —
+    bounded metadata, the same contract as q186's one pinned stats
+    table) measured 3.33 s -> 0.98 s at sf0.1/local[32] with identical
+    output. At cluster scale the pins spill MEMORY_AND_DISK and degrade
+    to the recompute they replace.
     """
-    sets = widen_if_narrow(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(token_shingles(F.col(text_col), k)),
-            lambda x: F.xxhash64(x),
-        ).alias("s"),
+    from eurostat_energy_etl_pipeline_spark import plans as _plans
+
+    sets = _plans.pin(
+        widen_if_narrow(df).select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.array_distinct(token_shingles(F.col(text_col), k)),
+                lambda x: F.xxhash64(x),
+            ).alias("s"),
+        )
     )
     toks = sets.select("id", F.explode("s").alias("tk"))
     freq = toks.groupBy("tk").agg(F.count(F.lit(1)).alias("df_"))
@@ -1329,11 +1344,13 @@ def prefix_jaccard_join(
             ).alias("order")
         )
     )
-    prefix = ranked.select(
-        "id",
-        F.size("order").alias("n"),
-        F.explode(F.slice(F.col("order"), 1, p)).alias("o"),
-    ).select("id", "n", F.col("o.tk").alias("tk"))
+    prefix = _plans.pin(
+        ranked.select(
+            "id",
+            F.size("order").alias("n"),
+            F.explode(F.slice(F.col("order"), 1, p)).alias("o"),
+        ).select("id", "n", F.col("o.tk").alias("tk"))
+    )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cands = (
         pa.join(

@@ -959,6 +959,12 @@ def knn_join_exact(
     from pyspark.sql.types import IntegerType, StructField, StructType
     from pyspark.sql.types import DoubleType
 
+    # r14: the query side's per-batch matmul is the kernel's whole cost;
+    # a single-row-group parquet scan would run it on ONE core (guide
+    # §2.5 input skew / §6 split size). widen_if_narrow spreads it across
+    # the executor at test scale and is a no-op once the scan is already
+    # wide (cluster scale).
+    left = widen_if_narrow(left)
     rows = right.select(F.col(right_id), F.col(vec_col)).collect()
     nids = [r[0] for r in rows]
     M = np.array([r[1] for r in rows], dtype=np.float64)

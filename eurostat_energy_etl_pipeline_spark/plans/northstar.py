@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
 from eurostat_energy_etl_pipeline_spark.functions import (
+    ordered_output,
     portable_round,
     portable_round_sql,
     presentation_sort,
@@ -1173,13 +1174,14 @@ def q87(spark, sf_dir):
     so both engines order identically. The bucketed scale path for
     corpus x corpus sizes is q88."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    return (
+    return ordered_output(
         S.knn_join_exact(
             e.where(F.col("vec_id") % 2 == 0),
             e.where(F.col("vec_id") % 2 == 1),
             k=3,
-        )
-        .orderBy("qid", "rk")
+        ),
+        "qid",
+        "rk",
     )
 
 
@@ -1443,9 +1445,8 @@ def q92(spark, sf_dir):
     partitioning, pure integer arithmetic — the DuckDB differential is
     exact), clean docs rejoin with coverage 0."""
     t = load_tables(spark, sf_dir)
-    return (
-        D.dup_span_coverage(widen_if_narrow(t["documents"]), k=8)
-        .orderBy("id")
+    return ordered_output(
+        D.dup_span_coverage(widen_if_narrow(t["documents"]), k=8), "id"
     )
 
 

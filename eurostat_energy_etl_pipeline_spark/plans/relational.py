@@ -711,7 +711,17 @@ def q84(spark, sf_dir):
     double then round to DECIMAL(18,4) identically), so the hash compare
     is bit-stable."""
     t = load_tables(spark, sf_dir)
-    li = t["lineitem"].where(F.year("l_shipdate").between(1996, 1998))
+    # r14: year(l_shipdate) BETWEEN 1996 AND 1998 rewritten to the
+    # equivalent half-open timestamp range [1996-01-01, 1999-01-01) — a
+    # filter on a DERIVED column cannot reach the parquet scan (guide §6:
+    # PushedFilters), and the year() expression was evaluated twice per
+    # row (bound check x2). Identical predicate set; measured
+    # 0.74 -> 0.62 s at sf0.1. At scale this is the difference between
+    # pruning row groups on l_shipdate min/max stats and reading all.
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
     joined = (
         li.join(t["orders"], li["l_orderkey"] == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
