@@ -1207,7 +1207,14 @@ def dup_span_coverage(
         whitespace_tokens(F.col(text_col)).alias("tk"),
     ).select("id", F.size("tk").alias("n_tokens"), "tk")
 
-    grams = (
+    from eurostat_energy_etl_pipeline_spark import plans as _plans
+
+    # r14: the gram stream feeds TWO consumers (the duplicated-key
+    # aggregate and the join probe) and each replayed the tokenize +
+    # shingle + sha2 build from the scan — the r11 exchange-reuse attempt
+    # failed on pruning mismatch (BENCHNOTES), but a pin of the hashed,
+    # text-free (id, pos, gh) stream shares the build directly.
+    grams = _plans.pin(
         base.where(F.col("n_tokens") >= k)
         .select(
             "id",

@@ -264,7 +264,14 @@ def repetition_profile(
             "tk"
         ),
     ).where(F.size("tk") >= dup_k)
-    tok = tok.select("doc_id", "tk", F.size("tk").alias("n_tokens"))
+    # r14: the tokenized table feeds FOUR consumers (2-gram counts,
+    # 3-gram counts, the 5-gram coverage pass, and the doc-grain base) —
+    # unpinned, each replayed the regex tokenize from the scan.
+    from eurostat_energy_etl_pipeline_spark import plans as _plans
+
+    tok = _plans.pin(
+        tok.select("doc_id", "tk", F.size("tk").alias("n_tokens"))
+    )
 
     def gram_positions(n: int):
         return tok.select(
@@ -516,13 +523,22 @@ def cut_duplicated_spans(
     higher-order filter (no UDF, no second pass over text). Bucketing
     the corpus by doc_id makes the rewrite join co-located."""
     passthrough = [c for c in docs.columns if c not in (id_col, text_col)]
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        *passthrough,
-        F.col(text_col).alias("_orig"),
-        F.filter(whitespace_tokens(F.col(text_col)), lambda x: x != "").alias(
-            "tk"
-        ),
+    from eurostat_energy_etl_pipeline_spark import plans as _plans
+
+    # r14: the token table feeds the gram stream AND the rewrite join —
+    # unpinned, the regex tokenize of the whole corpus ran twice per
+    # execution. The pin carries text (the rewrite needs _orig), so at
+    # cluster scale it spills MEMORY_AND_DISK and degrades to the
+    # recompute it replaces; at bench scale it halves the tokenize cost.
+    tok = _plans.pin(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            *passthrough,
+            F.col(text_col).alias("_orig"),
+            F.filter(
+                whitespace_tokens(F.col(text_col)), lambda x: x != ""
+            ).alias("tk"),
+        )
     )
     g = _gram_stream(tok.select("doc_id", "tk"), k)
     w_cnt = Window.partitionBy("gh")
