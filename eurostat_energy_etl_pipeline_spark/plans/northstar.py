@@ -2426,7 +2426,11 @@ def q159(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     media = media_table(t["documents"])
-    sigs = media_signatures(media)
+    # r14: the signature table feeds BOTH sides of the band self-join —
+    # unpinned, the Arrow signature kernel (the query's dominant cost,
+    # ~0.7 s of the 1.2 s wall at sf0.1) ran once per side. Narrow
+    # (id, type, n_bytes, 2 x int64) rows; payloads stay scan-side.
+    sigs = pin(media_signatures(media))
     base = media.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_media")
     )

@@ -1305,24 +1305,32 @@ def q135_weighted_quantiles(spark, sf_dir):
         "l_linenumber",
         F.col("l_quantity").cast("long").alias("w"),
     )
-    c = global_prefix_sum(
-        base, ["price", "l_orderkey", "l_linenumber"], "w", out_col="cw"
+    # r14: pin the prefix-summed table — the ranking kernel (bucket
+    # sample + per-bucket windows) is the query's dominant subtree and
+    # the quantile probe re-executes it per pass otherwise.
+    c = pin(
+        global_prefix_sum(
+            base, ["price", "l_orderkey", "l_linenumber"], "w", out_col="cw"
+        )
     )
     t = base.agg(F.sum("w").alias("tw"))
-    med = (
-        c.crossJoin(F.broadcast(t))
-        .where(F.col("cw") * 2 >= F.col("tw"))
-        .agg(F.min("price").alias("wmedian"))
-    )
-    p90 = (
-        c.crossJoin(F.broadcast(t))
-        .where(F.col("cw") * 10 >= F.col("tw") * 9)
-        .agg(F.min("price").alias("wp90"))
+    # r14: both quantile probes as conditional MINs in ONE aggregate over
+    # one pass of the prefix-sum kernel — as two filtered aggregates the
+    # whole kernel subtree (bucket sample + per-bucket windows) replayed
+    # once per quantile. min ignores the NULLs the when() leaves, so this
+    # is the identical "smallest price whose cumulative weight reaches
+    # q*W" per threshold.
+    qs = c.crossJoin(F.broadcast(t)).agg(
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price"))
+        ).alias("wmedian"),
+        F.min(
+            F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("price"))
+        ).alias("wp90"),
     )
     return (
         t.select(F.col("tw").cast("long").alias("total_weight"))
-        .crossJoin(F.broadcast(med))
-        .crossJoin(F.broadcast(p90))
+        .crossJoin(F.broadcast(qs))
     )
 
 
