@@ -92,6 +92,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     prepared: tuple[DataFrame, DataFrame, int] | None = None,
+    complete_in_coverage: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -125,6 +126,14 @@ def pagerank(
     # build = |V|/shuffle-partitions rows — bounded, since the shuffle
     # width is autotuned to input size). Same rows, same arithmetic;
     # measured with q172's identical shape: 1.59 s -> 1.22 s at sf0.1.
+    # r14: when every node has an in-edge (`complete_in_coverage` — true
+    # for any symmetrized edge list, where in-set == out-set and every
+    # node has degree >= 1), the per-iteration "left-join back to nodes"
+    # that re-attaches zero-mass nodes is an identity: the damped update
+    # applies directly to the aggregate (coalesce(mass, 0) never fires).
+    # That removes one join + its stages per iteration (§2.4 remove
+    # shuffles outright). Graphs that may have in-edge-less nodes keep
+    # the general path — those nodes must settle at the teleport mass.
     for _ in range(n_iter):
         contrib = (
             base.join(ranks.hint("shuffle_hash"), base[src] == ranks["node"])
@@ -138,16 +147,24 @@ def pagerank(
         summed = contrib.groupBy("node").agg(
             F.sum("c").cast("double").alias("mass")
         )
-        ranks = (
-            nodes.join(summed.hint("shuffle_hash"), "node", "left")
-            .select(
+        if complete_in_coverage:
+            ranks = summed.select(
                 "node",
                 _grid(
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                    F.lit(teleport) + F.lit(damping) * F.col("mass")
                 ).alias("rank"),
             )
-        )
+        else:
+            ranks = (
+                nodes.join(summed.hint("shuffle_hash"), "node", "left")
+                .select(
+                    "node",
+                    _grid(
+                        F.lit(teleport)
+                        + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
     if own:
         # Materialize before dropping the pins: localCheckpoint executes
         # the plan and truncates lineage, so the returned DataFrame no
@@ -245,7 +262,7 @@ def q99(spark, sf_dir):
         )
         prepared = prepare_graph(edges)
         _PREPARED_GRAPHS[key] = prepared
-    ranks = pagerank(edges=None, prepared=prepared)
+    ranks = pagerank(edges=None, prepared=prepared, complete_in_coverage=True)
     return (
         ranks.select(
             "node", F.round(F.col("rank") * 1e6, 4).alias("rank_ppm")
@@ -413,8 +430,11 @@ def label_propagation(
     # r14: shuffled-hash joins for both per-round joins — the pinned edge
     # table streams unsorted (SMJ re-sorted all |E| cached rows every
     # round) and the node-grain tables build bounded per-partition
-    # hashes. Measured 1.59 s -> 1.22 s at sf0.1 with identical output;
-    # see pagerank() for the scale argument.
+    # hashes (the width is autotuned to input size). Two rejected
+    # alternatives, measured: per-round broadcast of the label table
+    # (1.44 s vs 1.22 s, and unbounded build at scale) and folding the
+    # self term via a union into the min aggregate (13 stages/78 tasks
+    # vs 11/50 — the extra union branch outweighs the dropped left join).
     for _ in range(n_iter):
         nb = (
             edges.join(lab.hint("shuffle_hash"), edges["src"] == lab["node"])

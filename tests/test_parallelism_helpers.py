@@ -122,3 +122,38 @@ def test_autotune_walks_directory_tables_and_keeps_defaults_on_empty(
     # Restore the session defaults for later tests.
     spark.conf.set("spark.sql.shuffle.partitions", before_parts)
     spark.conf.set("spark.sql.adaptive.enabled", before_aqe)
+
+
+def test_ordered_output_both_regimes_identical_rows(spark):
+    """r14: `ordered_output` must produce the SAME rows in the SAME total
+    order on both of its physical paths — the interactive-regime
+    single-partition sort (shuffle width < core count) and the
+    warehouse-regime parallel orderBy — and the interactive path must not
+    plan a range exchange (whose boundary sampling re-executes the child)."""
+    from eurostat_energy_etl_pipeline_spark.functions import ordered_output
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 37).alias("k"), (F.col("id") * 7 % 101).alias("v")
+    )
+    cores = spark.sparkContext.defaultParallelism
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # interactive regime: width below core count
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(1, cores - 1)))
+        small = ordered_output(df, "k", F.desc("v"))
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan_small.lower()
+        assert small.rdd.getNumPartitions() == 1
+        rows_small = [tuple(r) for r in small.collect()]
+
+        # warehouse regime: width at/above core count -> parallel orderBy
+        spark.conf.set("spark.sql.shuffle.partitions", str(cores * 4))
+        big = ordered_output(df, "k", F.desc("v"))
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan_big.lower()
+        rows_big = [tuple(r) for r in big.collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    assert rows_small == rows_big
+    assert rows_small == sorted(rows_small, key=lambda t: (t[0], -t[1]))
