@@ -44,3 +44,30 @@ def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
     if current < target:
         return df.repartition(target)
     return df
+
+
+def keyed_compute_width(df: DataFrame) -> int:
+    """Partition count for CPU-BOUND keyed stages — grouped-map Python
+    kernels (`applyInPandas` / cogroup) and pair-expansion aggregates —
+    whose cost per row dwarfs their bytes.
+
+    The session's static shuffle width is sized to the INPUT BYTES
+    (``session.autotune_for_input``: bytes / 64 MB), which is right for
+    I/O-bound reduce stages but starves compute-bound ones: at
+    interactive scale the width lands at the 4-partition floor, so a
+    grouped kernel runs 4 Python workers while the other cores idle.
+    Pre-partitioning the kernel's input with
+    ``repartition(keyed_compute_width(df), *keys)`` satisfies the
+    operator's ClusteredDistribution requirement, so the plan gets ONE
+    exchange either way — only its width changes. ``max(cores, static
+    width)`` keeps warehouse plans unchanged (there the static width
+    already exceeds the local core count) — this never shrinks a
+    large-scale exchange, exactly like the forecast operator's
+    repartition-by-group-key (ml/forecast.forecast_all)."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        width = cores
+    return max(width, cores)

@@ -50,25 +50,33 @@ def ordered_output(df: DataFrame, *cols: str | Column) -> DataFrame:
 
     Fix, scale-adaptively:
 
-    - interactive regime (the session's static shuffle width is below
-      the core count — exactly `autotune_for_input`'s small-input
-      branch, where AQE is off and results are test-scale): ONE
+    - interactive regime (AQE off — exactly `autotune_for_input`'s
+      small-input branch, where the input is small enough that per-stage
+      re-planning cannot pay for itself and results are test-scale): ONE
       round-robin exchange to a single partition + an in-partition
       sort. The child executes once at full parallelism; only the
       O(|result|) merge is single-task.
-    - warehouse regime (shuffle width >= cores — AQE on): keep the
-      parallel range sort. A row-level result can be corpus-grain
-      there, a single-task merge would bottleneck, and AQE's stage
-      materialization already de-duplicates the sampling pass.
+    - warehouse regime (AQE on — the session default and autotune's
+      large-input branch): keep the parallel range sort. A row-level
+      result can be corpus-grain there, a single-task merge would
+      bottleneck, and AQE's stage materialization already de-duplicates
+      the sampling pass.
+
+    The branch keys off ``spark.sql.adaptive.enabled`` — the SAME flag
+    ``autotune_for_input`` sets — so the two regimes coincide with the
+    autotune regimes BY CONSTRUCTION (ADVICE r14: the old
+    width-vs-core-count test diverged from autotune's threshold in the
+    32-64-partition window, re-introducing the double execution there,
+    and inverted on clusters with more cores than shuffle partitions).
 
     Output rows and their total order are identical on both paths; the
     hostile-config sweep (driver_sim --weird / --autotune) certifies
     both."""
     spark = df.sparkSession
     try:
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
     except Exception:
         return df.orderBy(*cols)
-    if width < spark.sparkContext.defaultParallelism:
+    if str(aqe).lower() == "false":
         return df.repartition(1).sortWithinPartitions(*cols)
     return df.orderBy(*cols)

@@ -116,8 +116,22 @@ def semantic_dedup_keep_list(
             {"id": ids, "cid": pdf["cid"], "keep": keep, "dup_of": dup}
         )
 
-    out = assigned.groupBy("cid").applyInPandas(
-        _cell, "id long, cid int, keep int, dup_of long"
+    # r15 (guide §2.5 / forecast_all's recipe): the grouped kernel is
+    # CPU-bound (blockwise matmul per cell), but the groupBy exchange
+    # inherits the byte-sized static shuffle width — 4 partitions at
+    # interactive scale, so 4 Python workers score every cell while the
+    # remaining cores idle. Pre-partitioning on the exact group key at
+    # compute width satisfies the ClusteredDistribution requirement: one
+    # exchange either way, only wider. Warehouse plans are unchanged
+    # (width already >= cores).
+    from eurostat_energy_etl_pipeline_spark.functions.parallelism import (
+        keyed_compute_width,
+    )
+
+    out = (
+        assigned.repartition(keyed_compute_width(assigned), "cid")
+        .groupBy("cid")
+        .applyInPandas(_cell, "id long, cid int, keep int, dup_of long")
     )
     return out.select(
         F.col("id").alias(id_col), "cid", "keep", "dup_of"

@@ -1234,9 +1234,22 @@ def knn_join_lsh(
             }
         )
 
+    # r15 (guide §2.5 / forecast_all's recipe): the co-grouped scoring
+    # kernel is CPU-bound (one |L_b| x |R_b| fold-matmul per cell), but
+    # the cogroup exchanges inherit the byte-sized static shuffle width
+    # (4 at interactive scale), so a handful of Python workers score all
+    # ~T*2^bits cells. Pre-partitioning BOTH sides on the exact cell key
+    # at compute width satisfies the ClusteredDistribution requirement —
+    # same exchange count, wider kernels; warehouse plans unchanged.
+    from eurostat_energy_etl_pipeline_spark.functions.parallelism import (
+        keyed_compute_width,
+    )
+
+    n_parts = keyed_compute_width(a)
     cand = (
-        a.groupby("tbl", "bucket")
-        .cogroup(b.groupby("tbl", "bucket"))
+        a.repartition(n_parts, "tbl", "bucket")
+        .groupby("tbl", "bucket")
+        .cogroup(b.repartition(n_parts, "tbl", "bucket").groupby("tbl", "bucket"))
         .applyInPandas(_score_cell, "qid long, nid long, cos double")
     )
     # Instances of the same (qid,nid) pair are bit-identical across cells

@@ -53,6 +53,89 @@ def _grid(col):
 _PREPARED_GRAPHS: dict[tuple[str, str], tuple[DataFrame, DataFrame, int]] = {}
 
 
+# --- order-isomorphic int64 node ids (r15, guide §2.3 narrower types) ---
+#
+# The purchase-graph node ids are 'c'||custkey / 's'||suppkey STRINGS,
+# and every per-iteration aggregate keys (and, for q172, AGGREGATES —
+# min(label)) on them. Spark's HashAggregate requires fixed-width
+# mutable buffers, so min/max over strings falls back to SortAggregate:
+# each label-propagation round paid TWO sorts of the |E|-row
+# contribution stream. Mapping each id to an int64 that is STRICTLY
+# ORDER-ISOMORPHIC to the bytewise string order makes every iteration
+# aggregate hash-based + map-side-combinable and every shuffle row
+# fixed-width (16 bytes vs two ~7-char strings), while min/least/argsort
+# commute with the relabeling — decode at the (tiny) output restores the
+# exact strings, so results are bit-identical to the string pipeline and
+# the unchanged DuckDB oracles.
+#
+# Encoding ('c...' < 's...' bytewise, digits have no leading zeros):
+#   enc = is_s * 2^62  +  k * 10^(W - len(k)) * 16  +  len(k),  W = 14
+# Bytewise order of decimal strings == order by (left-aligned value,
+# then length): "c19" < "c2" (1.9e14 < 2e14), "c2" < "c21" (tie -> len).
+# W = 14 supports keys to 10^14-1 (TPC-H custkey at SF100k is ~1.5e10);
+# max enc = 2^62 + 10^14*16 + 14 < 2^63. All arithmetic stays exact:
+# k * 10^(W-len) <= 10^14 < 2^53.
+_ENC_W = 14
+_ENC_S_FLAG = 1 << 62
+
+
+def _enc_node(key_col, is_supplier: bool):
+    """int64 encoding of 'c'||key (is_supplier=False) or 's'||key that
+    preserves the bytewise string order. ``key_col`` must be a positive
+    integral column (no leading zeros in its decimal rendering)."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    digits = F.length(k.cast("string"))
+    pad = (
+        k.cast("double") * F.pow(F.lit(10.0), F.lit(_ENC_W) - digits)
+    ).cast("long")
+    enc = pad * 16 + digits
+    return enc + _ENC_S_FLAG if is_supplier else enc
+
+
+def _dec_node(enc) -> "F.Column":
+    """Exact inverse of :func:`_enc_node` back to the id string."""
+    e = F.col(enc) if isinstance(enc, str) else enc
+    is_s = e >= _ENC_S_FLAG
+    rest = F.when(is_s, e - _ENC_S_FLAG).otherwise(e)
+    digits = rest % 16
+    pad = (rest / 16).cast("long")
+    k = (
+        pad.cast("double") / F.pow(F.lit(10.0), F.lit(_ENC_W) - digits)
+    ).cast("long")
+    return F.concat(F.when(is_s, F.lit("s")).otherwise(F.lit("c")), k)
+
+
+def _shared_purchase_graph(spark, sf_dir: str):
+    """The symmetric customer-supplier purchase graph shared by
+    q99/q172/q189, prepared once per (session, sf_dir) with
+    :func:`prepare_graph` and cached under the T4 contract. Nodes are
+    the order-isomorphic int64 encodings (see :func:`_enc_node`)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    # Evict entries from previous SparkContexts (r6 advice): after a
+    # session restart in the same process the old keys reference
+    # DataFrames of a stopped context and can never be hit again.
+    for stale in [k for k in _PREPARED_GRAPHS if k[0] != key[0]]:
+        del _PREPARED_GRAPHS[stale]
+    prepared = _PREPARED_GRAPHS.get(key)
+    if prepared is None:
+        t = load_tables(spark, sf_dir)
+        e0 = (
+            t["orders"]
+            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(
+                _enc_node("o_custkey", is_supplier=False).alias("src"),
+                _enc_node("l_suppkey", is_supplier=True).alias("dst"),
+            )
+            .distinct()
+        )
+        edges = e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        prepared = prepare_graph(edges)
+        _PREPARED_GRAPHS[key] = prepared
+    return prepared
+
+
 def prepare_graph(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> tuple[DataFrame, DataFrame, int]:
@@ -238,30 +321,12 @@ def q99(spark, sf_dir):
     the edge DERIVATION (orders⋈lineitem distinct + symmetrize) runs
     once per session, not once per invocation, and repeated invocations
     do not stack fresh persist entries (r5 advice). Each call still
-    executes the three iterations against the pins."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    # Evict entries from previous SparkContexts (r6 advice): after a
-    # session restart in the same process the old keys reference
-    # DataFrames of a stopped context and can never be hit again.
-    for stale in [k for k in _PREPARED_GRAPHS if k[0] != key[0]]:
-        del _PREPARED_GRAPHS[stale]
-    prepared = _PREPARED_GRAPHS.get(key)
-    if prepared is None:
-        t = load_tables(spark, sf_dir)
-        e0 = (
-            t["orders"]
-            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-            .select(
-                F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-            )
-            .distinct()
-        )
-        edges = e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        prepared = prepare_graph(edges)
-        _PREPARED_GRAPHS[key] = prepared
+    executes the three iterations against the pins. Nodes travel as the
+    order-isomorphic int64 encodings (r15, see :func:`_enc_node`) —
+    every iteration keys 16-byte fixed rows instead of strings — and the
+    top-20 tiebreak orders on the encoding (== the string order by
+    construction) before the final decode."""
+    prepared = _shared_purchase_graph(spark, sf_dir)
     ranks = pagerank(edges=None, prepared=prepared, complete_in_coverage=True)
     return (
         ranks.select(
@@ -269,6 +334,7 @@ def q99(spark, sf_dir):
         )
         .orderBy(F.desc("rank_ppm"), "node")
         .limit(20)
+        .select(_dec_node("node").alias("node"), "rank_ppm")
     )
 
 
@@ -487,28 +553,16 @@ def q172(spark, sf_dir):
     state — the pinned pre-partitioned edge table serves both queries'
     iterations in one session): 3 synchronous min-label rounds, then a
     community-size census. See :func:`label_propagation` for semantics
-    and the exact-replay contract; all comparisons are bytewise string
-    mins, so the DuckDB unrolled-CTE oracle hash-matches exactly."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    for stale in [k for k in _PREPARED_GRAPHS if k[0] != key[0]]:
-        del _PREPARED_GRAPHS[stale]
-    prepared = _PREPARED_GRAPHS.get(key)
-    if prepared is None:
-        t = load_tables(spark, sf_dir)
-        e0 = (
-            t["orders"]
-            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-            .select(
-                F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-            )
-            .distinct()
-        )
-        edges = e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        prepared = prepare_graph(edges)
-        _PREPARED_GRAPHS[key] = prepared
+    and the exact-replay contract. Labels travel as the
+    order-isomorphic int64 encodings (r15, :func:`_enc_node`): min over
+    the encodings == min over the bytewise strings by construction, and
+    int64 min is a FIXED-WIDTH aggregation buffer, so every round's
+    neighbor-min is a map-side-combinable HashAggregate — the string
+    pipeline fell back to SortAggregate, paying two |E|-row sorts per
+    round. Decode at the community-grain census restores the exact
+    strings; the DuckDB unrolled-CTE oracle is unchanged and
+    hash-matches exactly."""
+    prepared = _shared_purchase_graph(spark, sf_dir)
     nodes, base, _n = prepared
     lab = label_propagation(nodes, base.select("src", "dst"))
     return (
@@ -517,6 +571,12 @@ def q172(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_members"),
             F.min("node").alias("first_member"),
             F.max("node").alias("last_member"),
+        )
+        .select(
+            _dec_node("community").alias("community"),
+            "n_members",
+            _dec_node("first_member").alias("first_member"),
+            _dec_node("last_member").alias("last_member"),
         )
         .transform(presentation_sort, F.desc("n_members"), "community")
     )
@@ -561,43 +621,28 @@ def q189(spark, sf_dir):
     frontier census per hop (bipartite graph, so hops alternate
     supplier / customer grains).
 
-    Determinism: levels are SET operations on string node ids — no
-    floats, no ordering; the oracle unrolls the identical 3 levels as
-    join/EXCEPT CTEs (the q172 unrolled-iteration recipe), so the hash
-    match certifies the iterative loop against a closed form.
+    Determinism: levels are SET operations on node ids — no floats, no
+    ordering; the oracle unrolls the identical 3 levels as join/EXCEPT
+    CTEs (the q172 unrolled-iteration recipe), so the hash match
+    certifies the iterative loop against a closed form. Nodes travel as
+    the order-isomorphic int64 encodings (r15, :func:`_enc_node`) — the
+    per-level joins/anti-joins only test EQUALITY, which any injection
+    preserves, and the output is hop-grain counts, so nothing decodes.
 
     Scale shape: each hop shuffles only (node) keys — the frontier and
     visited sets are O(|V|) single-column tables, localCheckpoint'd per
     level (the connected_components lifetime pattern) so level N's plan
     never replays levels 1..N-1; a celebrity node is an AQE-splittable
     hot key, never a hot task."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    for stale in [k for k in _PREPARED_GRAPHS if k[0] != key[0]]:
-        del _PREPARED_GRAPHS[stale]
-    prepared = _PREPARED_GRAPHS.get(key)
+    prepared = _shared_purchase_graph(spark, sf_dir)
     t = load_tables(spark, sf_dir)
-    if prepared is None:
-        e0 = (
-            t["orders"]
-            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-            .select(
-                F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-            )
-            .distinct()
-        )
-        edges = e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        prepared = prepare_graph(edges)
-        _PREPARED_GRAPHS[key] = prepared
     _nodes, base, _n = prepared
     edges = base.select("src", "dst")
     # per-level frontier/visited checkpoints are plan-lifetime blocks
     seeds = plans.plan_checkpoint(
         t["customer"]
         .where(F.col("c_nationkey") == 0)
-        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+        .select(_enc_node("c_custkey", is_supplier=False).alias("node"))
         .distinct()
     )
     counts = [seeds.agg(F.count(F.lit(1)).cast("long").alias("n"))]

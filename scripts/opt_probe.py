@@ -24,17 +24,31 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+PLANS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
+)
 
 
 def main() -> None:
     tag = sys.argv[1]
-    names = [a for a in sys.argv[2:] if not a.startswith("--")]
+    skip = set()
+    if "--top" in sys.argv:
+        skip.add(sys.argv.index("--top") + 1)  # the N value is not a name
+    names = [
+        a
+        for i, a in enumerate(sys.argv)
+        if i >= 2 and i not in skip and not a.startswith("--")
+    ]
     reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "3"))
     if "--top" in sys.argv:
         n = int(sys.argv[sys.argv.index("--top") + 1])
         full = json.load(open(os.path.join(os.path.dirname(PLANS_DIR), "..", "bench_full.json")))
         names += [k for k, _ in sorted(full["queries"].items(), key=lambda kv: -kv[1])[:n]]
+    # ADVICE r14: a query named explicitly AND landing in the slowest-N
+    # list was probed twice (double runtime, out[name] overwritten).
+    names = list(dict.fromkeys(names))
 
     os.environ.setdefault("SPARK_GRAFT_PLAN_CACHE_SIZE", "100000")
     from eurostat_energy_etl_pipeline_spark.session import autotune_for_input, get_spark

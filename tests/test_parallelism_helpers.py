@@ -125,35 +125,37 @@ def test_autotune_walks_directory_tables_and_keeps_defaults_on_empty(
 
 
 def test_ordered_output_both_regimes_identical_rows(spark):
-    """r14: `ordered_output` must produce the SAME rows in the SAME total
-    order on both of its physical paths — the interactive-regime
-    single-partition sort (shuffle width < core count) and the
-    warehouse-regime parallel orderBy — and the interactive path must not
-    plan a range exchange (whose boundary sampling re-executes the child)."""
+    """r14/r15: `ordered_output` must produce the SAME rows in the SAME
+    total order on both of its physical paths — the interactive-regime
+    single-partition sort (AQE off, autotune's small-input branch) and
+    the warehouse-regime parallel orderBy (AQE on) — and the interactive
+    path must not plan a range exchange (whose boundary sampling
+    re-executes the child). The regime flag IS autotune's AQE flag
+    (ADVICE r14), so this test no longer depends on the runner's core
+    count."""
     from eurostat_energy_etl_pipeline_spark.functions import ordered_output
 
     df = spark.range(0, 1000).select(
         (F.col("id") % 37).alias("k"), (F.col("id") * 7 % 101).alias("v")
     )
-    cores = spark.sparkContext.defaultParallelism
-    before = spark.conf.get("spark.sql.shuffle.partitions")
+    before = spark.conf.get("spark.sql.adaptive.enabled")
     try:
-        # interactive regime: width below core count
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(1, cores - 1)))
+        # interactive regime: AQE off (what autotune sets below 64 parts)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         small = ordered_output(df, "k", F.desc("v"))
         plan_small = small._jdf.queryExecution().executedPlan().toString()
         assert "rangepartitioning" not in plan_small.lower()
         assert small.rdd.getNumPartitions() == 1
         rows_small = [tuple(r) for r in small.collect()]
 
-        # warehouse regime: width at/above core count -> parallel orderBy
-        spark.conf.set("spark.sql.shuffle.partitions", str(cores * 4))
+        # warehouse regime: AQE on -> parallel orderBy
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         big = ordered_output(df, "k", F.desc("v"))
         plan_big = big._jdf.queryExecution().executedPlan().toString()
         assert "rangepartitioning" in plan_big.lower()
         rows_big = [tuple(r) for r in big.collect()]
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.set("spark.sql.adaptive.enabled", before)
 
     assert rows_small == rows_big
     assert rows_small == sorted(rows_small, key=lambda t: (t[0], -t[1]))
