@@ -15,7 +15,9 @@ from eurostat_energy_etl_pipeline_spark.functions.domain import (
     trend_label,
 )
 from eurostat_energy_etl_pipeline_spark.functions.parallelism import (
+    keyed_compute_width,
     widen_if_narrow,
+    widen_keyed,
 )
 from eurostat_energy_etl_pipeline_spark.functions.presentation import (
     ordered_output,
@@ -32,6 +34,8 @@ __all__ = [
     "rolling_mean_min_periods",
     "rolling_std_min_periods",
     "widen_if_narrow",
+    "widen_keyed",
+    "keyed_compute_width",
     "growth_pct",
     "indicator_display_name",
     "insight_text",

@@ -71,3 +71,16 @@ def keyed_compute_width(df: DataFrame) -> int:
     except Exception:
         width = cores
     return max(width, cores)
+
+
+def widen_keyed(df: DataFrame, *keys: str) -> DataFrame:
+    """``repartition(keyed_compute_width(df), *keys)`` — pre-partition a
+    CPU-bound keyed stage's input on its exact group/join key at compute
+    width. The downstream groupBy/grouped-map requirement is satisfied
+    by this partitioning, so the plan gets the SAME exchange count —
+    only wider where the static shuffle width would starve the stage."""
+    from pyspark.sql import functions as F
+
+    return df.repartition(
+        keyed_compute_width(df), *[F.col(k) for k in keys]
+    )

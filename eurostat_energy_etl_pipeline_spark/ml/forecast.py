@@ -260,5 +260,15 @@ def forecast_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def forecast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """queries() entry (rows-only check; invariants in tests/test_forecast)."""
-    return forecast_all(spark, sf_dir).orderBy("geo", "indicator", "type", "year")
+    """queries() entry (rows-only check; invariants in tests/test_forecast).
+
+    r15: total ordering via ``ordered_output`` — a bare ``orderBy``
+    plans a range exchange whose boundary sampler EXECUTES the child,
+    i.e. every per-series model fit ran twice per action in the AQE-off
+    interactive regime (guide §7.2, the q87 lesson). Same rows, same
+    total order on both regimes."""
+    from eurostat_energy_etl_pipeline_spark.functions import ordered_output
+
+    return ordered_output(
+        forecast_all(spark, sf_dir), "geo", "indicator", "type", "year"
+    )

@@ -2402,8 +2402,15 @@ def q119(spark, sf_dir):
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
-    scored = widen_if_narrow(docs).select(
-        "doc_id", "source", T.quality_score(F.col("text")).alias("q")
+    # r15: the scored table feeds THREE consumers in the final plan (the
+    # global-rank side, the source-local window side, and the n_all
+    # broadcast) plus the ranking kernel's build-time boundary sample —
+    # each replaying the regex quality score over the whole corpus. Pin
+    # it (text-free: doc_id, source, q), guide §1.2/§5.
+    scored = pin(
+        widen_if_narrow(docs).select(
+            "doc_id", "source", T.quality_score(F.col("text")).alias("q")
+        )
     )
     g = global_row_number(scored, ["q", "doc_id"], out_col="grank").select(
         F.col("q").alias("gq"), "grank"
@@ -3648,13 +3655,19 @@ def q148(spark, sf_dir):
     )
 
     docs = widen_if_narrow(load_tables(spark, sf_dir)["documents"])
-    s = docs.select(
-        "doc_id",
-        "n_chars",
-        (-F.floor(quality_score(F.col("text")) * 1e12 + 0.5))
-        .cast("long")
-        .alias("neg_qg"),
-        (-F.col("n_chars")).cast("long").alias("neg_len"),
+    # r15: `s` feeds BOTH ranking sides in the final plan (plus the two
+    # kernels' build-time boundary samples), each replaying the regex
+    # quality score over the whole corpus. Pin it (text-free 4-column
+    # doc grain), guide §1.2/§5.
+    s = pin(
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (-F.floor(quality_score(F.col("text")) * 1e12 + 0.5))
+            .cast("long")
+            .alias("neg_qg"),
+            (-F.col("n_chars")).cast("long").alias("neg_len"),
+        )
     )
     ra = global_row_number(s, ["neg_qg", "doc_id"], "rank_quality").select(
         "doc_id", "rank_quality"

@@ -163,7 +163,22 @@ def prepare_graph(
         .persist()
     )
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    base = edges.join(deg, src).repartition(F.col(src)).persist()
+    # r15: pin the edge table at COMPUTE width, not the byte-sized static
+    # shuffle width — the cached partitioning dictates the width of every
+    # iteration's join+aggregate pipeline (EnsureRequirements exchanges
+    # the rank side to match the satisfied pinned side), and the
+    # iterations are CPU-bound (gridded-decimal contribution math), so
+    # the 4-partition interactive width ran them on 4 of 32 cores.
+    # max(cores, static width) leaves warehouse layouts unchanged.
+    from eurostat_energy_etl_pipeline_spark.functions.parallelism import (
+        keyed_compute_width,
+    )
+
+    base = (
+        edges.join(deg, src)
+        .repartition(keyed_compute_width(edges), F.col(src))
+        .persist()
+    )
     n_nodes = nodes.count()  # O(1) driver scalar, fixes the teleport mass
     return nodes, base, n_nodes
 
