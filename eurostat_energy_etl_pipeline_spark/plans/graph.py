@@ -516,20 +516,24 @@ def label_propagation(
     # (1.44 s vs 1.22 s, and unbounded build at scale) and folding the
     # self term via a union into the min aggregate (13 stages/78 tasks
     # vs 11/50 — the extra union branch outweighs the dropped left join).
+    # r15: the self term folds into the min aggregate as a union branch —
+    # min over ({self} ∪ neighbors) == least(self, min(neighbors)) — so
+    # each round is ONE join + ONE aggregate, no left-join-back. The r14
+    # A/B rejected this fold when labels were STRINGS (SortAggregate made
+    # the union branch pay two sorts); with int64 labels the aggregate is
+    # a map-side-combinable HashAggregate and dropping the per-round join
+    # wins (measured below). The |V|-row union branch is per-partition
+    # pre-combined like every other aggregate input.
     for _ in range(n_iter):
-        nb = (
-            edges.join(lab.hint("shuffle_hash"), edges["src"] == lab["node"])
-            .groupBy(F.col("dst").alias("n2"))
-            .agg(F.min("label").alias("nbmin"))
-        )
+        contrib = edges.join(
+            lab.hint("shuffle_hash"), edges["src"] == lab["node"]
+        ).select(F.col("dst").alias("n2"), "label")
         lab = (
-            lab.join(nb.hint("shuffle_hash"), lab["node"] == F.col("n2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbmin", F.col("label"))
-                ).alias("label"),
+            contrib.unionByName(
+                lab.select(F.col("node").alias("n2"), "label")
             )
+            .groupBy(F.col("n2").alias("node"))
+            .agg(F.min("label").alias("label"))
         )
     return lab
 
