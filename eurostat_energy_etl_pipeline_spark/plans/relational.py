@@ -231,20 +231,33 @@ def q10(spark, sf_dir):
     dec = F.col("l_extendedprice").cast("decimal(18,2)")
     zero = F.lit(0).cast("decimal(18,2)")
 
-    def flag(v):
-        return F.round(
-            F.sum(F.when(F.col("l_returnflag") == v, dec).otherwise(zero)).cast("double"), 4
-        ).alias(f"flag_{v.lower()}")
-
     # No final sort: supplier grain scales with the corpus (SF x 10k), so
     # a global orderBy pays a range exchange PLUS a boundary-sampling job
     # that re-executes the aggregate (measured 0.72 -> 0.53 s at sf0.1
     # without it); the driver's hash canonicalizes row order and the
     # oracle keeps ORDER BY for presentation (the q33 contract).
+    #
+    # r15 (guide §1.2 per-task work): two-level shape — reduce to
+    # (suppkey, flag) grain with ONE decimal add per row, then pivot the
+    # <=3 rows per key with the conditional picks. The one-level form
+    # evaluated three CASEs and three decimal adds (two of them +0.00)
+    # per input row, all inside the single scan task at this row-group
+    # layout. Decimal addition is exact and associative, so the split is
+    # value-identical (A/B'd: byte-equal output, 0.68 s -> 0.51 s).
+    def pick(v):
+        return F.round(
+            F.sum(
+                F.when(F.col("l_returnflag") == v, F.col("s")).otherwise(zero)
+            ).cast("double"),
+            4,
+        ).alias(f"flag_{v.lower()}")
+
     return (
         t["lineitem"]
+        .groupBy("l_suppkey", "l_returnflag")
+        .agg(F.sum(dec).alias("s"))
         .groupBy("l_suppkey")
-        .agg(flag("A"), flag("N"), flag("R"))
+        .agg(pick("A"), pick("N"), pick("R"))
     )
 
 
