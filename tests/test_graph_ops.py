@@ -104,3 +104,42 @@ def test_pit_attribution_same_instant_transition_excluded(spark):
         .collect()
     }
     assert got == {2: "view", 3: None}
+
+
+def test_enc_node_order_isomorphic_and_invertible(spark):
+    """r15: the int64 node encoding must be STRICTLY order-isomorphic to
+    the bytewise order of the 'c'||key / 's'||key strings (min/least/
+    sort over encodings == over strings) and exactly invertible — the
+    two properties the q99/q172/q189 relabeling stands on."""
+    from eurostat_energy_etl_pipeline_spark.plans.graph import (
+        _dec_node,
+        _enc_node,
+    )
+
+    # adversarial key set: prefix pairs (1 vs 10), lex-vs-numeric flips
+    # (19 vs 2 vs 21), max-ish widths, and equal-length runs
+    keys = [1, 2, 9, 10, 11, 19, 20, 21, 99, 100, 101, 999, 1000,
+            12345, 99999999, 10**10, 10**13, 10**14 - 1]
+    rows = [(k, s) for k in keys for s in (0, 1)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "is_s"]).astype("int64")
+    )
+    got = df.select(
+        F.concat(
+            F.when(F.col("is_s") == 1, F.lit("s")).otherwise(F.lit("c")),
+            F.col("k"),
+        ).alias("label"),
+        F.when(F.col("is_s") == 1, _enc_node("k", is_supplier=True))
+        .otherwise(_enc_node("k", is_supplier=False))
+        .alias("enc"),
+    ).withColumn("back", _dec_node("enc")).collect()
+    # exact inversion
+    for r in got:
+        assert r["back"] == r["label"], (r["label"], r["enc"], r["back"])
+    # strict order isomorphism against Spark's own string ordering
+    # (UTF8_BINARY == Python str comparison for ASCII)
+    by_enc = [r["label"] for r in sorted(got, key=lambda r: r["enc"])]
+    by_str = sorted((r["label"] for r in got))
+    assert by_enc == by_str
+    # injectivity
+    assert len({r["enc"] for r in got}) == len(got)
