@@ -38,59 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tiebreak — regenerated each round by scripts in this repo's workflow.
 # Names and callables are unchanged — only dict order.
 _DRIVER_CHECK_PRIORITY = [
-    # never driver-checked (new this round)
-    "q200_lifecycle_fold",
-    "q196_multitick_funnel",
-    "q197_deletion_fold",
-    "q198_incremental_containment",
-    "q199_multitick_media",
-    # last driver-checked in round 9
-    "q60_global_ids",
-    "q61_canonical_docs",
-    "q62_json_props",
-    "q63_incremental_dedup",
-    "q64_funnel",
-    "q65_retention",
-    "q66_rare_word_filter",
-    "q67_cluster_canonical",
-    "q68_topk_per_group",
-    "q70_dataset_split",
-    "q71_jsonstat_decode",
-    "q72_source_audit",
-    "q73_mixture_sample",
-    "q79_quantize_audit",
-    "q83_crossmodal_audit",
-    "q85_median_bridge",
-    "q87_knn_join_exact",
-    "q_stream_cms",
-    "q_stream_enrich",
-    "q_stream_sliding",
     # last driver-checked in round 10
-    "q01_filter_project",
-    "q02_in_list",
-    "q03_distinct_notnull",
-    "q04_union_all",
-    "q05_year_extract",
-    "q06_topk_avg",
-    "q07_topk_sum",
-    "q08_latest_period",
-    "q09_between",
-    "q100_weighted_sample",
-    "q101_state_history",
-    "q102_heldout_lm",
-    "q103_drift_psi",
-    "q104_ri_audit",
-    "q10_pivot_conditional",
-    "q11_lag",
-    "q12_rolling_mean",
-    "q13_row_number",
-    "q141_substring_dedup",
-    "q142_locf_gap_fill",
-    "q143_markov_transitions",
-    "q144_winnowing",
-    "q145_repetition_filters",
-    "q146_mutual_information",
-    "q148_rank_fusion",
     "q149_new_vs_returning",
     "q14_join_agg",
     "q150_classifier_eval",
@@ -269,6 +217,57 @@ _DRIVER_CHECK_PRIORITY = [
     "q_stream_dedup",
     "q_stream_running_totals",
     "q_stream_screen",
+    # last driver-checked in round 14
+    "q01_filter_project",
+    "q02_in_list",
+    "q03_distinct_notnull",
+    "q04_union_all",
+    "q05_year_extract",
+    "q06_topk_avg",
+    "q07_topk_sum",
+    "q08_latest_period",
+    "q09_between",
+    "q100_weighted_sample",
+    "q101_state_history",
+    "q102_heldout_lm",
+    "q103_drift_psi",
+    "q104_ri_audit",
+    "q10_pivot_conditional",
+    "q11_lag",
+    "q12_rolling_mean",
+    "q13_row_number",
+    "q141_substring_dedup",
+    "q142_locf_gap_fill",
+    "q143_markov_transitions",
+    "q144_winnowing",
+    "q145_repetition_filters",
+    "q146_mutual_information",
+    "q148_rank_fusion",
+    "q196_multitick_funnel",
+    "q197_deletion_fold",
+    "q198_incremental_containment",
+    "q199_multitick_media",
+    "q200_lifecycle_fold",
+    "q60_global_ids",
+    "q61_canonical_docs",
+    "q62_json_props",
+    "q63_incremental_dedup",
+    "q64_funnel",
+    "q65_retention",
+    "q66_rare_word_filter",
+    "q67_cluster_canonical",
+    "q68_topk_per_group",
+    "q70_dataset_split",
+    "q71_jsonstat_decode",
+    "q72_source_audit",
+    "q73_mixture_sample",
+    "q79_quantize_audit",
+    "q83_crossmodal_audit",
+    "q85_median_bridge",
+    "q87_knn_join_exact",
+    "q_stream_cms",
+    "q_stream_enrich",
+    "q_stream_sliding",
 ]
 
 
