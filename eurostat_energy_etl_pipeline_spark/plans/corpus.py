@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
 from eurostat_energy_etl_pipeline_spark.functions import (
     exact_sum,
+    ordered_output,
     portable_round,
     portable_round_sql,
     presentation_sort,
@@ -127,7 +128,10 @@ def q52(spark, sf_dir):
     docs = t["documents"]
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
-    return contaminated_ids(corpus, bench, k=4).orderBy("doc_id")
+    # r15: ordered_output — the bare orderBy's range sampler re-executed
+    # the shingle semi-join child once per action in the AQE-off regime
+    # (guide §7.2); same rows, same total order.
+    return ordered_output(contaminated_ids(corpus, bench, k=4), "doc_id")
 
 
 @query(

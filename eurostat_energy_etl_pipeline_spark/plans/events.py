@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 from eurostat_energy_etl_pipeline_spark.catalog import load_tables
 from eurostat_energy_etl_pipeline_spark.functions import (
     exact_sum,
+    ordered_output,
     portable_round,
     presentation_sort,
 )
@@ -122,7 +123,10 @@ def events_sessionize(spark, sf_dir):
             F.floor(F.min("ts").cast("double")).cast("long").alias("start_s"),
             F.floor(F.max("ts").cast("double")).cast("long").alias("end_s"),
         )
-        .orderBy("user_id", "session_id")
+        # r15: ordered_output — the bare orderBy's range sampler
+        # re-executed the sessionizer window child per action (guide
+        # §7.2); same rows, same total order ((user, session) unique).
+        .transform(ordered_output, "user_id", "session_id")
     )
 
 

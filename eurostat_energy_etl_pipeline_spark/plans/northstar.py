@@ -158,7 +158,10 @@ def q24(spark, sf_dir):
     deterministic, oracle-checkable core of near-dup verification (pair
     *generation* at scale is LSH's job, see q25)."""
     t = load_tables(spark, sf_dir)
-    return D.ngram_jaccard_pairs(t["documents"], k=3).orderBy("id_a")
+    # r15: ordered_output — the bare orderBy's range sampler re-executed
+    # the shingle+Jaccard child once per action in the AQE-off regime
+    # (guide §7.2); same rows, same total order (id_a unique).
+    return ordered_output(D.ngram_jaccard_pairs(t["documents"], k=3), "id_a")
 
 
 @query(
@@ -423,7 +426,7 @@ def q31(spark, sf_dir):
             "id_b",
             F.round(S.cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
         )
-        .orderBy("id_a")
+        .transform(ordered_output, "id_a")  # r15: no range-sample re-exec
     )
 
 
